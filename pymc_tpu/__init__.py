@@ -1,0 +1,70 @@
+"""pymc_tpu — a TPU-native probabilistic programming framework.
+
+Re-designed from scratch for JAX/XLA/Pallas with the capability surface of
+PyMC (reference layout: pymc/__init__.py:49-65). The model's joint logp+grad
+compiles to ONE fused XLA program; chains are a vmapped/sharded array axis;
+adaptation, NUTS tree-doubling, VI and SMC all run on-device.
+"""
+
+__version__ = "0.1.0"
+
+import logging
+
+_log = logging.getLogger(__name__)
+if not logging.root.handlers and not _log.handlers:
+    _handler = logging.StreamHandler()
+    _log.addHandler(_handler)
+    _log.setLevel(logging.INFO)
+
+from . import math  # noqa: E402
+from .blocking import DictToArrayBijection, RaveledInfo  # noqa: E402
+from .config import config, floatX  # noqa: E402
+from .distributions import *  # noqa: E402,F401,F403
+from .distributions import __all__ as _dist_all  # noqa: E402
+from .exceptions import *  # noqa: E402,F401,F403
+from .graph import Node, evaluate  # noqa: E402
+from .model import (  # noqa: E402
+    Data,
+    Deterministic,
+    Model,
+    Potential,
+    compile_fn,
+    modelcontext,
+    set_data,
+)
+from .functions import draw, logp, logcdf, icdf  # noqa: E402
+from .initial_point import make_initial_point  # noqa: E402
+from .sampling import sample, init_nuts  # noqa: E402
+from . import stats  # noqa: E402
+from .stats import ess, rhat  # noqa: E402
+from .backends import InferenceData  # noqa: E402
+
+__all__ = [
+    "__version__",
+    "math",
+    "config",
+    "floatX",
+    "Node",
+    "evaluate",
+    "Model",
+    "modelcontext",
+    "Data",
+    "Deterministic",
+    "Potential",
+    "set_data",
+    "compile_fn",
+    "draw",
+    "logp",
+    "logcdf",
+    "icdf",
+    "make_initial_point",
+    "sample",
+    "init_nuts",
+    "stats",
+    "ess",
+    "rhat",
+    "InferenceData",
+    "DictToArrayBijection",
+    "RaveledInfo",
+    *_dist_all,
+]

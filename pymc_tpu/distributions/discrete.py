@@ -1,0 +1,488 @@
+"""Discrete distributions.
+
+Parity: reference pymc/distributions/discrete.py (Binomial:73,
+BetaBinomial:178, Bernoulli:296, DiscreteWeibull:430, Poisson:522,
+NegativeBinomial:618, Geometric:765, HyperGeometric:859, DiscreteUniform:1000,
+Categorical:1099, OrderedLogistic:1231, OrderedProbit:1329).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp
+
+from ..config import floatX, intX
+from ..graph import apply, is_node
+from .dist_math import (
+    betaln,
+    binomln,
+    check_parameters,
+    factln,
+    logpow,
+    normal_lcdf,
+)
+from .distribution import Discrete, as_param
+
+__all__ = [
+    "Binomial", "BetaBinomial", "Bernoulli", "DiscreteWeibull", "Poisson",
+    "NegativeBinomial", "Geometric", "HyperGeometric", "DiscreteUniform",
+    "Categorical", "OrderedLogistic", "OrderedProbit",
+]
+
+
+def _log1mexp(x):
+    from ..math import _log1mexp_jax
+
+    return _log1mexp_jax(x)
+
+
+class Binomial(Discrete):
+    """Reference discrete.py:73."""
+
+    param_names = ("n", "p")
+
+    def __dist_init__(self, n, p=None, logit_p=None):
+        self.n = as_param(n, float_ok=False)
+        if p is None and logit_p is not None:
+            p = apply(jax.nn.sigmoid, as_param(logit_p))
+        self.p = as_param(p)
+
+    def _logp(self, value, n, p):
+        res = (
+            binomln(n, value)
+            + logpow(p, value)
+            + logpow(1.0 - p, n - value)
+        )
+        res = jnp.where((value >= 0) & (value <= n), res, -jnp.inf)
+        return check_parameters(res, n >= 0, p >= 0, p <= 1)
+
+    def _logcdf(self, value, n, p):
+        v = jnp.floor(value)
+        safe_v = jnp.clip(v, 0, n)
+        # CDF(k) = I_{1-p}(n-k, k+1) (regularized incomplete beta)
+        from .dist_math import safe_log
+
+        res = safe_log(jsp.betainc(jnp.maximum(n - safe_v, 1e-12), safe_v + 1.0, 1.0 - p))
+        res = jnp.where(v < 0, -jnp.inf, jnp.where(v >= n, 0.0, res))
+        return check_parameters(res, n >= 0, p >= 0, p <= 1)
+
+    def _sample(self, key, shape, n, p):
+        return jax.random.binomial(
+            key, jnp.asarray(n, floatX()), jnp.asarray(p, floatX()), shape=shape
+        ).astype(intX())
+
+    def _support_point(self, n, p):
+        return jnp.round(n * p).astype(intX())
+
+
+class BetaBinomial(Discrete):
+    """Reference discrete.py:178."""
+
+    param_names = ("n", "alpha", "beta")
+
+    def __dist_init__(self, alpha, beta, n):
+        self.n = as_param(n, float_ok=False)
+        self.alpha = as_param(alpha)
+        self.beta = as_param(beta)
+
+    def _logp(self, value, n, alpha, beta):
+        res = (
+            binomln(n, value)
+            + betaln(value + alpha, n - value + beta)
+            - betaln(alpha, beta)
+        )
+        res = jnp.where((value >= 0) & (value <= n), res, -jnp.inf)
+        return check_parameters(res, alpha > 0, beta > 0, n >= 0)
+
+    def _sample(self, key, shape, n, alpha, beta):
+        k1, k2 = jax.random.split(key)
+        p = jax.random.beta(k1, alpha, beta, shape=shape, dtype=floatX())
+        return jax.random.binomial(k2, jnp.asarray(n, floatX()), p, shape=shape).astype(
+            intX()
+        )
+
+    def _support_point(self, n, alpha, beta):
+        return jnp.round(n * alpha / (alpha + beta)).astype(intX())
+
+
+class Bernoulli(Discrete):
+    """Reference discrete.py:296."""
+
+    param_names = ("p",)
+
+    def __dist_init__(self, p=None, logit_p=None):
+        if p is None and logit_p is not None:
+            p = apply(jax.nn.sigmoid, as_param(logit_p))
+        self.p = as_param(p)
+
+    def _logp(self, value, p):
+        from .dist_math import safe_log
+
+        res = jnp.where(value == 1, safe_log(p), safe_log(1.0 - p))
+        res = jnp.where((value == 0) | (value == 1), res, -jnp.inf)
+        return check_parameters(res, p >= 0, p <= 1)
+
+    def _logcdf(self, value, p):
+        from .dist_math import safe_log
+
+        res = jnp.where(value >= 1, 0.0, safe_log(1.0 - p))
+        res = jnp.where(value < 0, -jnp.inf, res)
+        return check_parameters(res, p >= 0, p <= 1)
+
+    def _icdf(self, q, p):
+        return jnp.where(q <= 1.0 - p, 0, 1)
+
+    def _sample(self, key, shape, p):
+        return jax.random.bernoulli(key, jnp.asarray(p, floatX()), shape=shape).astype(
+            intX()
+        )
+
+    def _support_point(self, p):
+        return (p > 0.5).astype(intX())
+
+
+class DiscreteWeibull(Discrete):
+    """Reference discrete.py:430 (q, beta parametrization)."""
+
+    param_names = ("q", "beta")
+
+    def __dist_init__(self, q, beta):
+        self.q = as_param(q)
+        self.beta = as_param(beta)
+
+    def _logp(self, value, q, beta):
+        vf = jnp.asarray(value, floatX())
+        safe = jnp.maximum(vf, 0.0)
+        lq = jnp.log(q)
+        a = lq * safe**beta
+        b = lq * (safe + 1.0) ** beta
+        res = a + _log1mexp(b - a)
+        res = jnp.where(value >= 0, res, -jnp.inf)
+        return check_parameters(res, q > 0, q < 1, beta > 0)
+
+    def _logcdf(self, value, q, beta):
+        vf = jnp.floor(jnp.asarray(value, floatX()))
+        safe = jnp.maximum(vf, 0.0)
+        res = _log1mexp(jnp.log(q) * (safe + 1.0) ** beta)
+        res = jnp.where(value >= 0, res, -jnp.inf)
+        return check_parameters(res, q > 0, q < 1, beta > 0)
+
+    def _sample(self, key, shape, q, beta):
+        u = jax.random.uniform(key, shape, dtype=floatX())
+        # icdf: smallest k with 1 - q^{(k+1)^beta} >= u
+        k = jnp.ceil((jnp.log1p(-u) / jnp.log(q)) ** (1.0 / beta) - 1.0)
+        return jnp.maximum(k, 0.0).astype(intX())
+
+    def _support_point(self, q, beta):
+        u = 0.5
+        k = jnp.ceil((jnp.log1p(-u) / jnp.log(q)) ** (1.0 / beta) - 1.0)
+        return jnp.maximum(k, 0.0).astype(intX())
+
+
+class Poisson(Discrete):
+    """Reference discrete.py:522."""
+
+    param_names = ("mu",)
+
+    def __dist_init__(self, mu):
+        self.mu = as_param(mu)
+
+    def _logp(self, value, mu):
+        vf = jnp.asarray(value, floatX())
+        res = logpow(mu, vf) - factln(vf) - mu
+        res = jnp.where(value >= 0, res, -jnp.inf)
+        return check_parameters(res, mu >= 0)
+
+    def _logcdf(self, value, mu):
+        vf = jnp.floor(jnp.asarray(value, floatX()))
+        safe = jnp.maximum(vf, 0.0)
+        # CDF(k) = Q(k+1, mu) (regularized upper incomplete gamma)
+        from .dist_math import safe_log
+
+        res = safe_log(jsp.gammaincc(safe + 1.0, mu))
+        res = jnp.where(value >= 0, res, -jnp.inf)
+        return check_parameters(res, mu >= 0)
+
+    def _sample(self, key, shape, mu):
+        return jax.random.poisson(key, jnp.asarray(mu, floatX()), shape=shape).astype(
+            intX()
+        )
+
+    def _support_point(self, mu):
+        return jnp.floor(mu).astype(intX())
+
+
+class NegativeBinomial(Discrete):
+    """Reference discrete.py:618 (mu/alpha or p/n parametrization)."""
+
+    param_names = ("n", "p")
+
+    def __dist_init__(self, mu=None, alpha=None, p=None, n=None):
+        n_, p_ = self._get_n_p(mu, alpha, p, n)
+        self.n = as_param(n_)
+        self.p = as_param(p_)
+
+    @staticmethod
+    def _get_n_p(mu, alpha, p, n):
+        if n is not None and p is not None:
+            return n, p
+        if mu is not None and alpha is not None:
+            mu, alpha = as_param(mu), as_param(alpha)
+            return alpha, apply(lambda a, m: a / (m + a), alpha, mu)
+        raise ValueError("NegativeBinomial requires (mu, alpha) or (p, n)")
+
+    def _logp(self, value, n, p):
+        vf = jnp.asarray(value, floatX())
+        res = (
+            binomln(vf + n - 1.0, vf)
+            + logpow(p, n)
+            + logpow(1.0 - p, vf)
+        )
+        res = jnp.where(value >= 0, res, -jnp.inf)
+        return check_parameters(res, n > 0, p > 0, p <= 1)
+
+    def _logcdf(self, value, n, p):
+        vf = jnp.floor(jnp.asarray(value, floatX()))
+        safe = jnp.maximum(vf, 0.0)
+        from .dist_math import safe_log
+
+        res = safe_log(jsp.betainc(n, safe + 1.0, p))
+        res = jnp.where(value >= 0, res, -jnp.inf)
+        return check_parameters(res, n > 0, p > 0, p <= 1)
+
+    def _sample(self, key, shape, n, p):
+        # gamma-poisson mixture
+        k1, k2 = jax.random.split(key)
+        g = jax.random.gamma(k1, n, shape=shape, dtype=floatX()) * (1.0 - p) / p
+        return jax.random.poisson(k2, g, shape=shape).astype(intX())
+
+    def _support_point(self, n, p):
+        mu = n * (1.0 - p) / p
+        return jnp.floor(mu).astype(intX())
+
+
+class Geometric(Discrete):
+    """Reference discrete.py:765 (support {1, 2, ...})."""
+
+    param_names = ("p",)
+
+    def __dist_init__(self, p):
+        self.p = as_param(p)
+
+    def _logp(self, value, p):
+        vf = jnp.asarray(value, floatX())
+        res = jnp.log(p) + logpow(1.0 - p, vf - 1.0)
+        res = jnp.where(value >= 1, res, -jnp.inf)
+        return check_parameters(res, p > 0, p <= 1)
+
+    def _logcdf(self, value, p):
+        vf = jnp.floor(jnp.asarray(value, floatX()))
+        safe = jnp.maximum(vf, 1.0)
+        res = _log1mexp(safe * jnp.log1p(-p))
+        res = jnp.where(value >= 1, res, -jnp.inf)
+        return check_parameters(res, p > 0, p <= 1)
+
+    def _icdf(self, q, p):
+        return jnp.ceil(jnp.log1p(-q) / jnp.log1p(-p)).astype(intX())
+
+    def _sample(self, key, shape, p):
+        u = jax.random.uniform(key, shape, dtype=floatX())
+        return jnp.maximum(
+            jnp.ceil(jnp.log1p(-u) / jnp.log1p(-p)), 1.0
+        ).astype(intX())
+
+    def _support_point(self, p):
+        return jnp.maximum(jnp.round(1.0 / p), 1.0).astype(intX())
+
+
+class HyperGeometric(Discrete):
+    """Reference discrete.py:859. N population, k successes, n draws."""
+
+    param_names = ("N", "k", "n")
+
+    def __dist_init__(self, N, k, n):
+        self.N = as_param(N, float_ok=False)
+        self.k = as_param(k, float_ok=False)
+        self.n = as_param(n, float_ok=False)
+
+    def _logp(self, value, N, k, n):
+        vf = jnp.asarray(value, floatX())
+        Nf = jnp.asarray(N, floatX())
+        kf = jnp.asarray(k, floatX())
+        nf = jnp.asarray(n, floatX())
+        res = binomln(kf, vf) + binomln(Nf - kf, nf - vf) - binomln(Nf, nf)
+        lower = jnp.maximum(0.0, nf - (Nf - kf))
+        upper = jnp.minimum(kf, nf)
+        res = jnp.where((vf >= lower) & (vf <= upper), res, -jnp.inf)
+        return check_parameters(res, N >= 0, k >= 0, n >= 0, k <= N, n <= N)
+
+    def _sample(self, key, shape, N, k, n):
+        # sequential sampling via inverse CDF is O(n); use the count of
+        # successes among n draws without replacement via Fisher-Yates-free
+        # trick: sort n smallest of N uniform keys — O(N) per element is too
+        # big; instead use the normal/binomial approximation... Here: exact
+        # via logcdf-free cumulative scan over support (support is small for
+        # typical use). Max support bound computed statically if concrete.
+        Nf = jnp.asarray(N, floatX())
+        kf = jnp.asarray(k, floatX())
+        nf = jnp.asarray(n, floatX())
+        kmax = int(np.asarray(jax.device_get(jnp.max(jnp.minimum(kf, nf)))))
+        ks = jnp.arange(kmax + 1, dtype=floatX())
+        shp = shape + (kmax + 1,)
+        logp = (
+            binomln(kf[..., None], ks)
+            + binomln(Nf[..., None] - kf[..., None], nf[..., None] - ks)
+            - binomln(Nf[..., None], nf[..., None])
+        )
+        lower = jnp.maximum(0.0, nf[..., None] - (Nf[..., None] - kf[..., None]))
+        upper = jnp.minimum(kf[..., None], nf[..., None])
+        logp = jnp.where((ks >= lower) & (ks <= upper), logp, -jnp.inf)
+        return jax.random.categorical(key, jnp.broadcast_to(logp, shp)).astype(intX())
+
+    def _support_point(self, N, k, n):
+        Nf = jnp.asarray(N, floatX())
+        return jnp.floor(
+            jnp.asarray(n, floatX()) * jnp.asarray(k, floatX()) / Nf
+        ).astype(intX())
+
+
+class DiscreteUniform(Discrete):
+    """Reference discrete.py:1000."""
+
+    param_names = ("lower", "upper")
+
+    def __dist_init__(self, lower, upper):
+        self.lower = as_param(lower, float_ok=False)
+        self.upper = as_param(upper, float_ok=False)
+
+    def _logp(self, value, lower, upper):
+        nf = jnp.asarray(upper - lower + 1, floatX())
+        res = -jnp.log(nf)
+        res = jnp.where((value >= lower) & (value <= upper), res, -jnp.inf)
+        return check_parameters(res, lower <= upper)
+
+    def _logcdf(self, value, lower, upper):
+        vf = jnp.floor(jnp.asarray(value, floatX()))
+        nf = jnp.asarray(upper - lower + 1, floatX())
+        frac = (jnp.clip(vf, lower, upper) - lower + 1.0) / nf
+        res = jnp.log(frac)
+        res = jnp.where(vf < lower, -jnp.inf, jnp.where(vf >= upper, 0.0, res))
+        return check_parameters(res, lower <= upper)
+
+    def _icdf(self, q, lower, upper):
+        nf = upper - lower + 1
+        return (lower + jnp.ceil(q * nf) - 1).astype(intX())
+
+    def _sample(self, key, shape, lower, upper):
+        u = jax.random.uniform(key, shape, dtype=floatX())
+        span = jnp.asarray(upper - lower + 1, floatX())
+        return (lower + jnp.floor(u * span)).astype(intX())
+
+    def _support_point(self, lower, upper):
+        return ((lower + upper) // 2).astype(intX())
+
+
+class Categorical(Discrete):
+    """Reference discrete.py:1099. p along the LAST axis."""
+
+    param_names = ("p",)
+    param_event_ndims = (1,)
+
+    def __dist_init__(self, p=None, logit_p=None):
+        if p is None and logit_p is not None:
+            p = apply(lambda lp: jax.nn.softmax(lp, axis=-1), as_param(logit_p))
+        self.p = as_param(p)
+
+    @property
+    def n_categories(self):
+        from .distribution import _shape_of
+
+        return _shape_of(self.p)[-1]
+
+    def _logp(self, value, p):
+        k = p.shape[-1]
+        from .dist_math import safe_log
+
+        logp_all = safe_log(p / jnp.sum(p, axis=-1, keepdims=True))
+        v = jnp.clip(value, 0, k - 1)
+        res = jnp.take_along_axis(
+            jnp.broadcast_to(logp_all, jnp.shape(value) + (k,)),
+            v[..., None].astype(jnp.int32),
+            axis=-1,
+        )[..., 0]
+        res = jnp.where((value >= 0) & (value <= k - 1), res, -jnp.inf)
+        return check_parameters(
+            res, jnp.all(p >= 0, axis=-1), jnp.all(p <= 1, axis=-1)
+        )
+
+    def _sample(self, key, shape, p):
+        from .dist_math import safe_log
+
+        logits = safe_log(p)
+        logits = jnp.broadcast_to(logits, shape + (p.shape[-1],))
+        return jax.random.categorical(key, logits, axis=-1).astype(intX())
+
+    def _support_point(self, p):
+        return jnp.argmax(p, axis=-1).astype(intX())
+
+
+class _OrderedBase(Discrete):
+    param_names = ("eta", "cutpoints")
+    param_event_ndims = (0, 1)
+
+    def __dist_init__(self, eta, cutpoints):
+        self.eta = as_param(eta)
+        self.cutpoints = as_param(cutpoints)
+
+    @staticmethod
+    def _link_logcdf(x):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _category_logits(self, eta, cutpoints):
+        # P(y = k) = F(c_k - eta) - F(c_{k-1} - eta), F per link
+        z = cutpoints - eta[..., None]
+        lcdf = self._link_logcdf(z)  # (..., K-1)
+        neg_inf = jnp.full_like(lcdf[..., :1], -jnp.inf)
+        lo = jnp.concatenate([neg_inf, lcdf], axis=-1)
+        hi = jnp.concatenate([lcdf, jnp.zeros_like(lcdf[..., :1])], axis=-1)
+        from ..math import _log1mexp_jax
+
+        return hi + _log1mexp_jax(jnp.minimum(lo - hi, -1e-15))
+
+    def _logp(self, value, eta, cutpoints):
+        logits = self._category_logits(eta, cutpoints)
+        k = logits.shape[-1]
+        v = jnp.clip(value, 0, k - 1)
+        res = jnp.take_along_axis(
+            jnp.broadcast_to(logits, jnp.shape(value) + (k,)),
+            v[..., None].astype(jnp.int32),
+            axis=-1,
+        )[..., 0]
+        return jnp.where((value >= 0) & (value <= k - 1), res, -jnp.inf)
+
+    def _sample(self, key, shape, eta, cutpoints):
+        logits = self._category_logits(eta, cutpoints)
+        logits = jnp.broadcast_to(logits, shape + logits.shape[-1:])
+        return jax.random.categorical(key, logits, axis=-1).astype(intX())
+
+    def _support_point(self, eta, cutpoints):
+        logits = self._category_logits(eta, cutpoints)
+        return jnp.argmax(logits, axis=-1).astype(intX())
+
+
+class OrderedLogistic(_OrderedBase):
+    """Reference discrete.py:1231."""
+
+    @staticmethod
+    def _link_logcdf(z):
+        return -jax.nn.softplus(-z)
+
+
+class OrderedProbit(_OrderedBase):
+    """Reference discrete.py:1329."""
+
+    @staticmethod
+    def _link_logcdf(z):
+        return normal_lcdf(0.0, 1.0, z)

@@ -1,0 +1,373 @@
+"""Distribution base classes — the JAX-native replacement for the reference's
+RandomVariable-Op + graph-rewrite machinery.
+
+Parity: pymc/distributions/distribution.py (Distribution.__new__:465 named-RV
+path, Distribution.dist:597 unnamed path, support_point dispatch:679,
+DistributionMeta logp/logcdf/icdf registration:87-198). Here distributions are
+plain objects with pure-JAX methods:
+
+    logp(value, env)         elementwise log-density over the batch shape
+    logcdf / logccdf / icdf
+    sample(key, sample_shape, env)
+    support_point(env)       initial-value heuristic
+    default_transform()      unconstraining bijector for the sampler
+
+Parameters may be concrete arrays OR symbolic graph Nodes (outputs of other
+RVs/deterministics); they are resolved through the evaluation env at trace
+time, so a model's joint logp remains one fused XLA program.
+
+Shapes are fully static (XLA requirement): batch shape is resolved at
+construction from parameter shapes / `shape=` / `size=` / `dims=` / observed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import floatX, intX
+from ..exceptions import ShapeError
+from ..graph import Node, evaluate, is_node
+from . import transforms as tr
+
+__all__ = [
+    "Distribution",
+    "Continuous",
+    "Discrete",
+    "UNSET",
+    "DiracDelta",
+]
+
+
+class _Unset:
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return "UNSET"
+
+    def __bool__(self):
+        return False
+
+
+UNSET = _Unset()
+
+
+def _as_param(x, float_ok=True):
+    """Normalize a distribution parameter: Nodes pass through; concrete values
+    become jnp arrays in the default float dtype (unless integral semantics)."""
+    if x is None or isinstance(x, Node):
+        return x
+    x = jnp.asarray(x)
+    if float_ok and not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(floatX())
+    return x
+
+
+def _shape_of(p):
+    if p is None:
+        return ()
+    if isinstance(p, Node):
+        return tuple(p.shape)
+    return tuple(np.shape(p))
+
+
+class Distribution:
+    """Base class. Subclasses define:
+
+    param_names : tuple of parameter attribute names (resolution order)
+    param_event_ndims : per-param event ndim (default zeros) for batch-shape
+        inference of multivariate distributions
+    event_ndim : int, ndim of a single event (0 scalar, 1 vector, 2 matrix)
+    support : str in {"real","positive","unit_interval","interval","simplex",
+        "circular","ordered",...} controlling the default transform
+    is_discrete : bool
+
+    __dist_init__(self, ...)   canonicalize & store params
+    _logp(self, value, *params)
+    _logcdf(self, value, *params)         (optional)
+    _icdf(self, q, *params)               (optional)
+    _sample(self, key, shape, *params)    shape = FULL result shape
+    _support_point(self, *params)         (broadcast to full shape by base)
+    _event_shape(self, *param_shapes)     (optional, default ())
+    """
+
+    param_names: tuple = ()
+    param_event_ndims: tuple | None = None
+    event_ndim: int = 0
+    support: str = "real"
+    is_discrete: bool = False
+
+    # ------------------------------------------------------------------ init
+    def __new__(cls, name=None, *args, **kwargs):
+        """Named-RV path: create the distribution and register it in the
+        current model context (reference distribution.py:475-573)."""
+        from ..model.core import Model
+
+        if name is None or not isinstance(name, str):
+            raise TypeError(
+                f"Name argument to {cls.__name__} must be a string; got "
+                f"{type(name).__name__}. Use .dist() for unnamed distributions."
+            )
+        observed = kwargs.pop("observed", None)
+        dims = kwargs.pop("dims", None)
+        transform = kwargs.pop("transform", UNSET)
+        default_transform = kwargs.pop("default_transform", UNSET)
+        initval = kwargs.pop("initval", None)
+        total_size = kwargs.pop("total_size", None)
+        model = Model.get_context()
+        if observed is not None and kwargs.get("shape") is None and "size" not in kwargs:
+            # infer shape from observed, as the reference does via make_obs_var
+            obs_arr = model.normalize_observed(observed)
+            kwargs.setdefault("shape", np.shape(obs_arr))
+        if dims is not None and kwargs.get("shape") is None and observed is None:
+            kwargs.setdefault("shape", model.shape_from_dims(dims))
+        dist = cls.dist(*args, **kwargs)
+        return model.register_rv(
+            dist,
+            name,
+            observed=observed,
+            dims=dims,
+            transform=transform,
+            default_transform=default_transform,
+            initval=initval,
+            total_size=total_size,
+        )
+
+    @classmethod
+    def dist(cls, *args, shape=None, size=None, **kwargs):
+        """Unnamed-distribution path (reference distribution.py:597)."""
+        obj = object.__new__(cls)
+        obj._shape_arg = tuple(shape) if shape is not None else None
+        obj._size_arg = tuple(size) if size is not None else None
+        obj.__dist_init__(*args, **kwargs)
+        obj._resolve_shapes()
+        return obj
+
+    def __dist_init__(self, *args, **kwargs):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ params
+    def param_values(self):
+        return [getattr(self, n) for n in self.param_names]
+
+    def resolve_params(self, env=None, memo=None):
+        if memo is None:
+            memo = {}
+        return tuple(
+            evaluate(p, env, memo) if p is not None else None
+            for p in self.param_values()
+        )
+
+    # ------------------------------------------------------------ shapes
+    def _event_shape(self, *param_shapes):
+        return ()
+
+    def _resolve_shapes(self):
+        pshapes = [_shape_of(p) for p in self.param_values()]
+        pe = self.param_event_ndims or (0,) * len(pshapes)
+        batch_shapes = []
+        for s, e in zip(pshapes, pe):
+            batch_shapes.append(s[: len(s) - e] if e else s)
+        try:
+            nat_batch = tuple(np.broadcast_shapes(*batch_shapes)) if batch_shapes else ()
+        except ValueError as err:
+            raise ShapeError(
+                f"Incompatible parameter shapes for {type(self).__name__}: {pshapes}"
+            ) from err
+        ev = tuple(self._event_shape(*pshapes))
+        if self._shape_arg is not None:
+            full = self._shape_arg
+            if self.event_ndim and ev and tuple(full[len(full) - len(ev):]) != ev:
+                raise ShapeError(
+                    f"shape {full} incompatible with event shape {ev} "
+                    f"of {type(self).__name__}"
+                )
+            batch = tuple(full[: len(full) - len(ev)])
+        elif self._size_arg is not None:
+            batch = self._size_arg
+        else:
+            batch = nat_batch
+        # validate params broadcast against requested batch
+        try:
+            np.broadcast_shapes(batch, nat_batch)
+        except ValueError as err:
+            raise ShapeError(
+                f"size/shape {batch} incompatible with parameter batch shape "
+                f"{nat_batch} for {type(self).__name__}"
+            ) from err
+        self.batch_shape = batch
+        self.event_shape = ev
+
+    @property
+    def shape(self):
+        return tuple(self.batch_shape) + tuple(self.event_shape)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def dtype(self):
+        return intX() if self.is_discrete else floatX()
+
+    # ------------------------------------------------------------ densities
+    def logp(self, value, env=None, memo=None):
+        params = self.resolve_params(env, memo)
+        value = self._cast_value(value)
+        return self._logp(value, *params)
+
+    def logcdf(self, value, env=None, memo=None):
+        params = self.resolve_params(env, memo)
+        value = self._cast_value(value)
+        return self._logcdf(value, *params)
+
+    def logccdf(self, value, env=None, memo=None):
+        params = self.resolve_params(env, memo)
+        value = self._cast_value(value)
+        return self._logccdf(value, *params)
+
+    def icdf(self, q, env=None, memo=None):
+        params = self.resolve_params(env, memo)
+        return self._icdf(jnp.asarray(q, dtype=floatX()), *params)
+
+    def _logcdf(self, value, *params):
+        raise NotImplementedError(
+            f"logcdf not implemented for {type(self).__name__}"
+        )
+
+    def _logccdf(self, value, *params):
+        # default via log1mexp(logcdf); stable upper tail needs override
+        cdf = self._logcdf(value, *params)
+        from ..math import _log1mexp_jax
+
+        return _log1mexp_jax(cdf)
+
+    def _icdf(self, q, *params):
+        raise NotImplementedError(
+            f"icdf not implemented for {type(self).__name__}"
+        )
+
+    def _cast_value(self, value):
+        value = jnp.asarray(value)
+        if not self.is_discrete and not jnp.issubdtype(value.dtype, jnp.floating):
+            value = value.astype(floatX())
+        return value
+
+    # ------------------------------------------------------------ sampling
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        params = self.resolve_params(env, memo)
+        full = tuple(sample_shape) + self.shape
+        draw = self._sample(key, full, *params)
+        if self.is_discrete:
+            draw = jnp.asarray(draw, dtype=intX())
+        else:
+            draw = jnp.asarray(draw, dtype=floatX())
+        return draw
+
+    def _sample(self, key, shape, *params):  # pragma: no cover - abstract
+        raise NotImplementedError(
+            f"random sampling not implemented for {type(self).__name__}"
+        )
+
+    # ------------------------------------------------------------ moments
+    def support_point(self, env=None, memo=None):
+        """Finite, in-support initial value (reference support_point:679)."""
+        params = self.resolve_params(env, memo)
+        pt = self._support_point(*params)
+        pt = jnp.asarray(pt, dtype=self.dtype)
+        return jnp.broadcast_to(pt, self.shape)
+
+    def _support_point(self, *params):
+        raise NotImplementedError(
+            f"support_point not implemented for {type(self).__name__}"
+        )
+
+    # ------------------------------------------------------------ transform
+    def default_transform(self):
+        """Default value transform from the support declaration
+        (reference pymc/distributions/transforms.py:55 _default_transform)."""
+        if self.is_discrete:
+            return None
+        s = self.support
+        if s == "real":
+            return None
+        if s == "positive":
+            return tr.log
+        if s == "unit_interval":
+            return tr.logodds
+        if s == "interval":
+            lower, upper = self._interval_bounds()
+            return tr.IntervalTransform(lower, upper)
+        if s == "simplex":
+            return tr.simplex
+        if s == "circular":
+            return tr.circular
+        if s == "ordered":
+            return tr.ordered
+        return None
+
+    def _interval_bounds(self):  # pragma: no cover
+        raise NotImplementedError
+
+    def __repr__(self):
+        return f"<{type(self).__name__} shape={self.shape}>"
+
+
+class Continuous(Distribution):
+    is_discrete = False
+
+
+class Discrete(Distribution):
+    is_discrete = True
+    support = "discrete"
+
+    def _cast_value(self, value):
+        return jnp.asarray(value)
+
+
+class DiracDelta(Discrete):
+    """Point mass at c (reference distribution.py:740). Discrete-flavored:
+    logp is 0 at c and -inf elsewhere."""
+
+    param_names = ("c",)
+
+    def __dist_init__(self, c):
+        self.c = _as_param(c, float_ok=False)
+
+    @property
+    def dtype(self):
+        c = self.c
+        if is_node(c):
+            return c.dtype
+        return jnp.asarray(c).dtype
+
+    @property
+    def is_discrete_dtype(self):
+        return jnp.issubdtype(self.dtype, jnp.integer)
+
+    def _logp(self, value, c):
+        match = jnp.isclose(
+            jnp.asarray(value, dtype=floatX()), jnp.asarray(c, dtype=floatX())
+        )
+        return jnp.where(match, 0.0, -jnp.inf)
+
+    def _sample(self, key, shape, c):
+        return jnp.broadcast_to(c, shape)
+
+    def _support_point(self, c):
+        return c
+
+    def _cast_value(self, value):
+        return jnp.asarray(value)
+
+
+# re-export for concrete modules
+as_param = _as_param

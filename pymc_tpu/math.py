@@ -1,0 +1,373 @@
+"""Node-aware math API.
+
+Parity with reference pymc/math.py (logit/invlogit, probit/invprobit,
+logsumexp, logaddexp, logdiffexp, log1mexp, kronecker, cartesian,
+expand_packed_triangular, batched_diag, logdet, ...) — every function accepts
+symbolic Nodes or concrete arrays and stays a pure-JAX trace.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp_special
+from jax.scipy.special import logsumexp as _logsumexp
+
+from .graph import apply, as_node, is_node
+
+__all__ = [
+    # elementwise
+    "abs", "exp", "log", "log1p", "log2", "log10", "sqrt", "cbrt", "square",
+    "sgn", "sign", "ceil", "floor", "round", "trunc",
+    "sin", "cos", "tan", "arcsin", "arccos", "arctan", "arctan2",
+    "sinh", "cosh", "tanh", "arcsinh", "arccosh", "arctanh",
+    "erf", "erfc", "erfinv", "erfcinv",
+    "sigmoid", "invlogit", "logit", "probit", "invprobit", "softmax",
+    "log_softmax", "logsumexp", "logaddexp", "logdiffexp", "log1mexp",
+    "expm1", "exprel", "softplus", "log1pexp",
+    # reductions / linalg
+    "sum", "prod", "mean", "maximum", "minimum", "max", "min", "dot",
+    "matmul", "outer", "tensordot", "norm",
+    "kronecker", "kron_dot", "kron_diag", "cartesian", "flat_outer",
+    "expand_packed_triangular", "batched_diag", "block_diagonal", "logdet",
+    "matrix_inverse", "extract_diag",
+    # structural
+    "where", "switch", "clip", "concatenate", "stack", "full", "full_like",
+    "ones_like", "zeros_like", "eq", "neq", "lt", "gt", "le", "ge",
+    "and_", "or_", "cumsum", "cumprod", "diff", "constant", "floatX",
+]
+
+
+def _wrap(fn):
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        node_args = [a for a in args]
+        return apply(lambda *xs: fn(*xs, **kwargs), *node_args)
+
+    return inner
+
+
+# elementwise
+abs = _wrap(jnp.abs)
+exp = _wrap(jnp.exp)
+log = _wrap(jnp.log)
+log1p = _wrap(jnp.log1p)
+log2 = _wrap(jnp.log2)
+log10 = _wrap(jnp.log10)
+sqrt = _wrap(jnp.sqrt)
+cbrt = _wrap(jnp.cbrt)
+square = _wrap(jnp.square)
+sgn = _wrap(jnp.sign)
+sign = _wrap(jnp.sign)
+ceil = _wrap(jnp.ceil)
+floor = _wrap(jnp.floor)
+round = _wrap(jnp.round)
+trunc = _wrap(jnp.trunc)
+sin = _wrap(jnp.sin)
+cos = _wrap(jnp.cos)
+tan = _wrap(jnp.tan)
+arcsin = _wrap(jnp.arcsin)
+arccos = _wrap(jnp.arccos)
+arctan = _wrap(jnp.arctan)
+arctan2 = _wrap(jnp.arctan2)
+sinh = _wrap(jnp.sinh)
+cosh = _wrap(jnp.cosh)
+tanh = _wrap(jnp.tanh)
+arcsinh = _wrap(jnp.arcsinh)
+arccosh = _wrap(jnp.arccosh)
+arctanh = _wrap(jnp.arctanh)
+erf = _wrap(jsp_special.erf)
+erfc = _wrap(jsp_special.erfc)
+erfinv = _wrap(jsp_special.erfinv)
+expm1 = _wrap(jnp.expm1)
+
+
+def erfcinv(x):
+    return apply(lambda v: jsp_special.erfinv(1.0 - v), x)
+
+
+sigmoid = _wrap(jax.nn.sigmoid)
+invlogit = sigmoid
+logit = _wrap(jsp_special.logit)
+
+
+def probit(x):
+    """Inverse of standard normal CDF."""
+    return apply(jsp_special.ndtri, x)
+
+
+def invprobit(x):
+    """Standard normal CDF."""
+    return apply(jsp_special.ndtr, x)
+
+
+softmax = _wrap(jax.nn.softmax)
+log_softmax = _wrap(jax.nn.log_softmax)
+softplus = _wrap(jax.nn.softplus)
+log1pexp = softplus
+
+
+def logsumexp(x, axis=None, keepdims=False):
+    return apply(lambda v: _logsumexp(v, axis=axis, keepdims=keepdims), x)
+
+
+logaddexp = _wrap(jnp.logaddexp)
+
+
+def logdiffexp(a, b):
+    """log(e^a - e^b), a >= b elementwise."""
+    return apply(lambda x, y: x + _log1mexp_jax(y - x), a, b)
+
+
+def _log1mexp_jax(x):
+    # log(1 - exp(x)) for x <= 0, numerically stable (Maechler 2012)
+    x = jnp.minimum(x, 0.0)
+    return jnp.where(
+        x > -0.6931471805599453,  # -log(2)
+        jnp.log(-jnp.expm1(x)),
+        jnp.log1p(-jnp.exp(x)),
+    )
+
+
+def log1mexp(x):
+    """log(1 - exp(x)) for x <= 0 (reference pymc/math.py:412 convention)."""
+    return apply(_log1mexp_jax, x)
+
+
+def exprel(x):
+    """(exp(x)-1)/x with the x→0 limit handled."""
+    def _f(v):
+        small = jnp.abs(v) < 1e-8
+        safe = jnp.where(small, 1.0, v)
+        return jnp.where(small, 1.0 + v / 2.0, jnp.expm1(safe) / safe)
+
+    return apply(_f, x)
+
+
+# reductions / linalg
+def sum(x, axis=None, keepdims=False):  # noqa: A001
+    return apply(lambda v: jnp.sum(v, axis=axis, keepdims=keepdims), x)
+
+
+def prod(x, axis=None, keepdims=False):
+    return apply(lambda v: jnp.prod(v, axis=axis, keepdims=keepdims), x)
+
+
+def mean(x, axis=None, keepdims=False):
+    return apply(lambda v: jnp.mean(v, axis=axis, keepdims=keepdims), x)
+
+
+def max(x, axis=None, keepdims=False):  # noqa: A001
+    return apply(lambda v: jnp.max(v, axis=axis, keepdims=keepdims), x)
+
+
+def min(x, axis=None, keepdims=False):  # noqa: A001
+    return apply(lambda v: jnp.min(v, axis=axis, keepdims=keepdims), x)
+
+
+maximum = _wrap(jnp.maximum)
+minimum = _wrap(jnp.minimum)
+dot = _wrap(jnp.dot)
+matmul = _wrap(jnp.matmul)
+outer = _wrap(jnp.outer)
+
+
+def tensordot(a, b, axes=2):
+    return apply(lambda x, y: jnp.tensordot(x, y, axes=axes), a, b)
+
+
+def norm(x, ord=None, axis=None):
+    return apply(lambda v: jnp.linalg.norm(v, ord=ord, axis=axis), x)
+
+
+def kronecker(*Ks):
+    """Kronecker product of a sequence of matrices (reference math.py:294)."""
+    def _kron(*ms):
+        out = ms[0]
+        for m in ms[1:]:
+            out = jnp.kron(out, m)
+        return out
+
+    return apply(_kron, *Ks)
+
+
+def kron_dot(krons, m):
+    """Efficient (K1 ⊗ K2 ⊗ ...) @ m without materializing the product
+    (reference math.py:333 kron_matrix_op)."""
+    def _kd(mat, *ks):
+        res = mat
+        n = mat.shape[0]
+        for k in reversed(ks):
+            kn = k.shape[0]
+            res = res.reshape(-1, kn, res.shape[-1] if res.ndim > 1 else 1)
+            res = jnp.einsum("ij,kjl->kil", k, res)
+            res = res.reshape(n, -1) if mat.ndim > 1 else res.reshape(n)
+        return res
+
+    # simpler correct implementation: reshape-multiply per factor
+    def _kron_vec(mat, *ks):
+        sizes = [k.shape[0] for k in ks]
+        x = mat
+        vec_in = x.ndim == 1
+        if vec_in:
+            x = x[:, None]
+        ncols = x.shape[1]
+        for i, k in enumerate(ks):
+            # x has shape (prod(sizes), ncols); apply k along its block axis
+            x = x.reshape(sizes[i], -1, ncols)
+            x = jnp.einsum("ab,bcd->acd", k, x.reshape(sizes[i], -1, ncols))
+            # rotate axes so next factor is leading
+            x = jnp.moveaxis(x, 0, 1).reshape(-1, ncols)
+        out = x
+        return out[:, 0] if vec_in else out
+
+    return apply(_kron_vec, m, *krons)
+
+
+def kron_diag(*diags):
+    """Diagonal of a kronecker product from component diagonals."""
+    def _kdg(*ds):
+        out = ds[0]
+        for d in ds[1:]:
+            out = (out[:, None] * d[None, :]).ravel()
+        return out
+
+    return apply(_kdg, *diags)
+
+
+def cartesian(*arrays):
+    """Cartesian product rows (reference math.py:315)."""
+    def _cart(*arrs):
+        arrs = [jnp.atleast_1d(a) for a in arrs]
+        grids = jnp.meshgrid(*arrs, indexing="ij")
+        return jnp.stack([g.ravel() for g in grids], axis=-1)
+
+    return apply(_cart, *arrays)
+
+
+def flat_outer(a, b):
+    return apply(lambda x, y: jnp.outer(x, y).ravel(), a, b)
+
+
+def expand_packed_triangular(n, packed, lower=True, diagonal_only=False):
+    """Unpack a flat array of n*(n+1)/2 values into an (n, n) triangular matrix
+    (reference math.py:444)."""
+    def _expand(p):
+        if diagonal_only:
+            idx = (np.arange(n) * (np.arange(n) + (3 if lower else 1)) // 2
+                   if lower else None)
+            if lower:
+                diag_idx = np.cumsum(np.arange(1, n + 1)) - 1
+            else:
+                diag_idx = np.concatenate([[0], np.cumsum(np.arange(n, 1, -1))])
+            return p[..., diag_idx]
+        out = jnp.zeros(p.shape[:-1] + (n, n), dtype=p.dtype)
+        if lower:
+            rows, cols = np.tril_indices(n)
+        else:
+            rows, cols = np.triu_indices(n)
+        return out.at[..., rows, cols].set(p)
+
+    return apply(_expand, packed)
+
+
+def batched_diag(x):
+    """Vector(s) -> diagonal matrices, or matrices -> diagonals
+    (reference math.py:540 BatchedDiag)."""
+    def _bd(v):
+        if v.ndim >= 2 and v.shape[-1] == v.shape[-2]:
+            return jnp.diagonal(v, axis1=-2, axis2=-1)
+        eye = jnp.eye(v.shape[-1], dtype=v.dtype)
+        return v[..., None] * eye
+
+    return apply(_bd, x)
+
+
+def block_diagonal(matrices):
+    def _blk(*ms):
+        return jax.scipy.linalg.block_diag(*ms)
+
+    return apply(_blk, *matrices)
+
+
+def logdet(m):
+    """log|det M| for symmetric positive definite M (reference math.py:490 LogDet)."""
+    return apply(lambda x: jnp.linalg.slogdet(x)[1], m)
+
+
+def matrix_inverse(m):
+    return apply(jnp.linalg.inv, m)
+
+
+def extract_diag(m):
+    return apply(lambda x: jnp.diagonal(x, axis1=-2, axis2=-1), m)
+
+
+# structural
+where = _wrap(jnp.where)
+switch = _wrap(jnp.where)
+
+
+def clip(x, lo, hi):
+    return apply(jnp.clip, x, lo, hi)
+
+
+def concatenate(xs, axis=0):
+    return apply(lambda *vs: jnp.concatenate(vs, axis=axis), *xs)
+
+
+def stack(xs, axis=0):
+    return apply(lambda *vs: jnp.stack(vs, axis=axis), *xs)
+
+
+def full(shape, fill_value, dtype=None):
+    return apply(lambda v: jnp.full(shape, v, dtype=dtype), fill_value)
+
+
+def full_like(x, fill_value):
+    return apply(lambda v, f: jnp.full_like(v, f), x, fill_value)
+
+
+def ones_like(x):
+    return apply(jnp.ones_like, x)
+
+
+def zeros_like(x):
+    return apply(jnp.zeros_like, x)
+
+
+eq = _wrap(jnp.equal)
+neq = _wrap(jnp.not_equal)
+lt = _wrap(jnp.less)
+gt = _wrap(jnp.greater)
+le = _wrap(jnp.less_equal)
+ge = _wrap(jnp.greater_equal)
+and_ = _wrap(jnp.logical_and)
+or_ = _wrap(jnp.logical_or)
+
+
+def cumsum(x, axis=None):
+    return apply(lambda v: jnp.cumsum(v, axis=axis), x)
+
+
+def cumprod(x, axis=None):
+    return apply(lambda v: jnp.cumprod(v, axis=axis), x)
+
+
+def diff(x, n=1, axis=-1):
+    return apply(lambda v: jnp.diff(v, n=n, axis=axis), x)
+
+
+def constant(x, name=None):
+    return as_node(jnp.asarray(x))
+
+
+def floatX(x):
+    from .config import as_floatx
+
+    if is_node(x):
+        return apply(as_floatx, x)
+    return as_floatx(x)

@@ -1,0 +1,392 @@
+"""pm.sample — the MCMC driver.
+
+Parity: reference pymc/sampling/mcmc.py:620 (sample), :1759 (init_nuts
+strategies), :1232 (_sample_return packaging + convergence checks).
+
+TPU-native architecture (replaces §2.7's process-per-chain executor): chains
+are a vmapped leading axis of ONE on-device program; warmup adaptation
+(dual-averaging + windowed Welford mass matrix) is per-chain vectorized state
+inside lax.scan; draws stream back to host in chunks. Multi-chip scaling
+shards the chain axis over a jax.sharding.Mesh (see pymc_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..backends.arviz import to_inference_data
+from ..blocking import ravel_point, unravel_vector
+from ..config import floatX
+from ..initial_point import make_initial_points_per_chain
+from ..model.core import modelcontext
+from ..stats.convergence import log_warnings, run_convergence_checks
+from .adaptation import (
+    build_schedule,
+    da_init,
+    da_restart,
+    da_update,
+    find_reasonable_step_size,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+from .nuts import NutsStats, nuts_transition
+
+__all__ = ["sample", "init_nuts"]
+
+_log = logging.getLogger("pymc_tpu")
+
+
+def _resolve_seed(random_seed):
+    if random_seed is None:
+        random_seed = np.random.default_rng().integers(2**30)
+    if isinstance(random_seed, jax.Array) and random_seed.dtype == jnp.uint32:
+        return random_seed
+    return jax.random.PRNGKey(int(random_seed))
+
+
+def sample(
+    draws=1000,
+    *,
+    tune=1000,
+    chains=4,
+    model=None,
+    random_seed=None,
+    target_accept=0.8,
+    max_treedepth=10,
+    init="jitter+adapt_diag",
+    jitter_max_retries=10,
+    initvals=None,
+    step=None,
+    discard_tuned_samples=True,
+    progressbar=True,
+    compute_convergence_checks=True,
+    return_inferencedata=True,
+    idata_kwargs=None,
+    chain_method="vectorized",
+    nuts=None,
+    postprocessing_chunks=None,
+    var_names=None,
+    mass_adapt="per_chain",
+    cores=None,
+    keep_warning_stat=False,
+    **kwargs,
+):
+    """Draw posterior samples with on-device vectorized NUTS.
+
+    Mirrors the reference `pm.sample` signature (sampling/mcmc.py:620) where
+    meaningful on TPU; process-pool arguments (`cores`, `mp_ctx`) are accepted
+    and ignored — chains are a device axis, not processes.
+
+    mass_adapt: "per_chain" (reference behavior) or "pooled" — pool the
+    Welford mass-matrix statistics across chains each window (dramatically
+    faster adaptation at high chain counts; cross-chain option of SURVEY §7.4).
+    """
+    model = modelcontext(model)
+    if step is not None:
+        from .compound import sample_with_steps
+
+        return sample_with_steps(
+            draws=draws, tune=tune, chains=chains, model=model, step=step,
+            random_seed=random_seed, discard_tuned_samples=discard_tuned_samples,
+            compute_convergence_checks=compute_convergence_checks,
+            idata_kwargs=idata_kwargs, progressbar=progressbar,
+            initvals=initvals,
+        )
+    if model.discrete_value_vars:
+        from .compound import sample_with_steps
+
+        return sample_with_steps(
+            draws=draws, tune=tune, chains=chains, model=model, step=None,
+            random_seed=random_seed, discard_tuned_samples=discard_tuned_samples,
+            compute_convergence_checks=compute_convergence_checks,
+            idata_kwargs=idata_kwargs, progressbar=progressbar,
+            initvals=initvals,
+        )
+
+    if nuts:
+        target_accept = nuts.get("target_accept", target_accept)
+        max_treedepth = nuts.get("max_treedepth", max_treedepth)
+
+    key = _resolve_seed(random_seed)
+    k_init, k_eps, k_warm, k_samp = jax.random.split(key, 4)
+
+    info = model.raveled_info()
+    D = info.total_size
+    logp_dict_fn = model.logp_fn()
+
+    def flat_logp(q):
+        return logp_dict_fn(unravel_vector(q, info))
+
+    logp_grad_fn = jax.value_and_grad(flat_logp)
+
+    # ---- initial points (reference init_nuts :1759; jitter+adapt_diag default)
+    jitter = 1.0 if init.startswith("jitter") else 0.0
+    t0 = time.perf_counter()
+    start_points = make_initial_points_per_chain(
+        model, k_init, chains, jitter=jitter, overrides=initvals,
+        logp_fn=logp_dict_fn, jitter_max_retries=jitter_max_retries,
+    )
+    q0 = jax.vmap(lambda pt: ravel_point(pt, info))(start_points)  # (C, D)
+    logp0, grad0 = jax.jit(jax.vmap(logp_grad_fn))(q0)
+    if not bool(np.all(np.isfinite(jax.device_get(logp0)))):
+        bad = np.where(~np.isfinite(jax.device_get(logp0)))[0]
+        from ..exceptions import SamplingError
+
+        raise SamplingError(
+            f"Initial evaluation of model at starting point failed for "
+            f"chains {bad.tolist()}! Check model.debug() / point_logps()."
+        )
+
+    inv_mass = jnp.ones((chains, D), dtype=floatX())
+    eps_keys = jax.random.split(k_eps, chains)
+    eps0 = jax.jit(
+        jax.vmap(
+            lambda q, lp, g, k, im: find_reasonable_step_size(
+                logp_grad_fn, q, lp, g, k, im
+            )
+        )
+    )(q0, logp0, grad0, eps_keys, inv_mass)
+
+    da = jax.vmap(da_init)(eps0)
+    wf = jax.vmap(lambda _: welford_init(D, dtype=floatX()))(jnp.arange(chains))
+
+    schedule = build_schedule(tune)
+    upd_mass = jnp.asarray(schedule["update_mass"])
+    swi_mass = jnp.asarray(schedule["switch_mass"])
+
+    transition = partial(
+        nuts_transition,
+        logp_grad_fn,
+        max_treedepth=max_treedepth,
+        max_energy_error=1000.0,
+    )
+    vmapped_transition = jax.vmap(transition)
+    chain_idx = jnp.arange(chains)
+
+    def chain_keys(step_key):
+        return jax.vmap(lambda i: jax.random.fold_in(step_key, i))(chain_idx)
+
+    def warmup_step(carry, xs):
+        step_i, do_update, do_switch = xs
+        q, logp, grad, da, wf, inv_mass = carry
+        keys = chain_keys(jax.random.fold_in(k_warm, step_i))
+        step_size = jnp.exp(da.log_step)
+        (q, logp, grad), stats = vmapped_transition(
+            keys, q, logp, grad, step_size, inv_mass
+        )
+        accept = jnp.clip(stats.acceptance_rate, 0.0, 1.0)
+        da = jax.vmap(lambda d, a: da_update(d, a, target_accept))(da, accept)
+        wf_new = jax.vmap(welford_update)(wf, q)
+        wf = jax.tree.map(
+            lambda new, old: jnp.where(
+                _bcast(do_update, new), new, old
+            ),
+            wf_new,
+            wf,
+        )
+        # window switch: adopt variance estimate, reset welford + step size
+        new_inv = jax.vmap(welford_variance)(wf)
+        if mass_adapt == "pooled":
+            new_inv = jnp.broadcast_to(
+                jnp.mean(new_inv, axis=0, keepdims=True), new_inv.shape
+            )
+        inv_mass = jnp.where(_bcast(do_switch, inv_mass), new_inv, inv_mass)
+        wf_reset = jax.vmap(lambda _: welford_init(D, dtype=floatX()))(chain_idx)
+        wf = jax.tree.map(
+            lambda res, old: jnp.where(_bcast(do_switch, res), res, old),
+            wf_reset,
+            wf,
+        )
+        da_res = jax.vmap(da_restart)(da)
+        da = jax.tree.map(
+            lambda res, old: jnp.where(_bcast(do_switch, res), res, old),
+            da_res,
+            da,
+        )
+        carry = (q, logp, grad, da, wf, inv_mass)
+        out = (q, stats, jnp.exp(da.log_step)) if not discard_tuned_samples else None
+        return carry, out
+
+    def sampling_step(carry, step_i):
+        q, logp, grad, step_size, inv_mass = carry
+        keys = chain_keys(jax.random.fold_in(k_samp, step_i))
+        (q, logp, grad), stats = vmapped_transition(
+            keys, q, logp, grad, step_size, inv_mass
+        )
+        return (q, logp, grad, step_size, inv_mass), (q, stats)
+
+    # ---- warmup
+    _log.info(
+        f"NUTS warmup: {tune} steps, {chains} chains, {D} parameters "
+        f"(init={init}, target_accept={target_accept})"
+    )
+    warm_carry = (q0, logp0, grad0, da, wf, inv_mass)
+    warm_xs = (jnp.arange(tune, dtype=jnp.int32), upd_mass, swi_mass)
+    warm_scan = jax.jit(lambda c, xs: lax.scan(warmup_step, c, xs))
+    warm_carry, warm_out = warm_scan(warm_carry, warm_xs)
+    q, logp, grad, da, wf, inv_mass = warm_carry
+    step_size_final = jnp.exp(da.log_step_avg)
+
+    # ---- sampling
+    samp_carry = (q, logp, grad, step_size_final, inv_mass)
+    samp_scan = jax.jit(lambda c, xs: lax.scan(sampling_step, c, xs))
+    t1 = time.perf_counter()
+    samp_carry, (q_draws, stats) = samp_scan(
+        samp_carry, jnp.arange(tune, tune + draws, dtype=jnp.int32)
+    )
+    q_draws = jax.block_until_ready(q_draws)
+    t2 = time.perf_counter()
+    _log.info(
+        f"Sampling {draws} draws x {chains} chains took {t2 - t1:.2f}s "
+        f"(+{t1 - t0:.2f}s warmup+compile)"
+    )
+
+    idata = _package(
+        model,
+        info,
+        q_draws,
+        stats,
+        step_size_final,
+        warmup=(None if discard_tuned_samples else warm_out),
+        idata_kwargs=idata_kwargs,
+        max_treedepth=max_treedepth,
+        sampling_time=t2 - t1,
+        tuning_time=t1 - t0,
+    )
+
+    if compute_convergence_checks:
+        warns = run_convergence_checks(idata, model)
+        log_warnings(warns)
+
+    return idata
+
+
+def _bcast(flag, arr):
+    """Broadcast a scalar bool against an array's leading axes."""
+    return jnp.reshape(flag, (1,) * arr.ndim)
+
+
+def init_nuts(init="jitter+adapt_diag", chains=1, random_seed=None, model=None,
+              **kwargs):
+    """Reference-compatible helper (mcmc.py:1759): returns initial points and
+    a description of the adaptation config."""
+    model = modelcontext(model)
+    key = _resolve_seed(random_seed)
+    jitter = 1.0 if init.startswith("jitter") else 0.0
+    pts = make_initial_points_per_chain(model, key, chains, jitter=jitter)
+    return pts, init
+
+
+def _package(
+    model, info, q_draws, stats, step_size, warmup=None, idata_kwargs=None,
+    max_treedepth=10, sampling_time=None, tuning_time=None,
+):
+    """(draws, chains, D) unconstrained draws -> InferenceData with posterior
+    (constrained + deterministics), sample_stats, observed/constant data."""
+    idata_kwargs = dict(idata_kwargs or {})
+    S, C, D = q_draws.shape
+
+    post_fn = _make_postprocess_fn(model, info)
+    flat = q_draws.reshape(S * C, D)
+    # chunk the vmapped postprocess to bound memory
+    chunk = max(1, min(S * C, 65536))
+    outs = []
+    pfn = jax.jit(jax.vmap(post_fn))
+    for i in range(0, S * C, chunk):
+        outs.append(jax.device_get(pfn(flat[i : i + chunk])))
+    names = list(outs[0].keys())
+    posterior = {
+        n: np.concatenate([o[n] for o in outs], axis=0).reshape(
+            (S, C) + outs[0][n].shape[1:]
+        ).swapaxes(0, 1)
+        for n in names
+    }
+
+    stat_arrays = {
+        "tree_depth": np.asarray(jax.device_get(stats.depth)).swapaxes(0, 1),
+        "n_steps": np.asarray(jax.device_get(stats.n_steps)).swapaxes(0, 1),
+        "diverging": np.asarray(jax.device_get(stats.diverging)).swapaxes(0, 1),
+        "energy": np.asarray(jax.device_get(stats.energy)).swapaxes(0, 1),
+        "energy_error": np.asarray(jax.device_get(stats.energy_error)).swapaxes(0, 1),
+        "max_energy_error": np.asarray(
+            jax.device_get(stats.max_energy_error)
+        ).swapaxes(0, 1),
+        "acceptance_rate": np.asarray(
+            jax.device_get(stats.acceptance_rate)
+        ).swapaxes(0, 1),
+        "lp": np.asarray(jax.device_get(stats.lp)).swapaxes(0, 1),
+    }
+    ss = np.asarray(jax.device_get(step_size))
+    stat_arrays["step_size"] = np.broadcast_to(ss[:, None], (C, S)).copy()
+
+    warmup_groups = {}
+    if warmup is not None:
+        wq, wstats, wss = warmup
+        Wn = wq.shape[0]
+        wflat = wq.reshape(Wn * C, D)
+        wouts = []
+        for i in range(0, Wn * C, chunk):
+            wouts.append(jax.device_get(pfn(wflat[i : i + chunk])))
+        warmup_groups["warmup_posterior"] = {
+            n: np.concatenate([o[n] for o in wouts], axis=0)
+            .reshape((Wn, C) + wouts[0][n].shape[1:])
+            .swapaxes(0, 1)
+            for n in names
+        }
+        warmup_groups["warmup_sample_stats"] = {
+            "tree_depth": np.asarray(jax.device_get(wstats.depth)).swapaxes(0, 1),
+            "diverging": np.asarray(jax.device_get(wstats.diverging)).swapaxes(0, 1),
+            "acceptance_rate": np.asarray(
+                jax.device_get(wstats.acceptance_rate)
+            ).swapaxes(0, 1),
+            "lp": np.asarray(jax.device_get(wstats.lp)).swapaxes(0, 1),
+            "step_size": np.asarray(jax.device_get(wss)).swapaxes(0, 1),
+        }
+
+    idata = to_inference_data(
+        model,
+        posterior=posterior,
+        sample_stats=stat_arrays,
+        warmup_groups=warmup_groups,
+        attrs={
+            "max_treedepth": max_treedepth,
+            "sampling_time": sampling_time,
+            "tuning_time": tuning_time,
+            "inference_library": "pymc_tpu",
+        },
+        include_log_likelihood=idata_kwargs.get("log_likelihood", False),
+    )
+    return idata
+
+
+def _make_postprocess_fn(model, info):
+    """Build fn(q_flat) -> {name: constrained value} incl. deterministics —
+    the reference's _postprocess_samples (sampling/jax.py:151-183)."""
+    free_RVs = list(model.free_RVs)
+    deterministics = list(model.deterministics)
+
+    def post(q):
+        vals = unravel_vector(q, info)
+        env = {}
+        out = {}
+        for rv in free_RVs:
+            v = vals[rv.value_name]
+            x = rv.transform.backward(v, env) if rv.transform is not None else v
+            env[rv.name] = x
+            out[rv.name] = x
+        memo = {}
+        from ..graph import evaluate
+
+        for det in deterministics:
+            out[det.name] = evaluate(det, env, memo)
+        return out
+
+    return post

@@ -1,0 +1,371 @@
+"""On-device iterative NUTS kernel.
+
+Parity: reference pymc/step_methods/hmc/nuts.py (tree doubling to
+max_treedepth:204-225, multinomial sampling via logaddexp log_size:270-476,
+generalized U-turn criterion, divergence at dH > Emax=1000:419-440) and
+hmc/integration.py:41-145 (leapfrog).
+
+TPU-native redesign (SURVEY.md §7 "hard parts" #1): the reference's recursive
+`_Tree._build_subtree` + per-step compiled-fn calls become ONE fused XLA
+program — an iterative tree doubling in `lax.while_loop` with an
+O(max_treedepth) checkpoint stack for within-subtree U-turn checks (the
+popcount trick), vmapped over chains. One leapfrog = one fused logp+grad
+evaluation; the whole draw never leaves the device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["NutsStats", "nuts_transition"]
+
+
+class NutsStats(NamedTuple):
+    depth: jax.Array
+    n_steps: jax.Array
+    diverging: jax.Array
+    energy: jax.Array
+    energy_error: jax.Array
+    max_energy_error: jax.Array
+    acceptance_rate: jax.Array
+    lp: jax.Array
+
+
+class _SubtreeState(NamedTuple):
+    n: jax.Array                # leaves built so far
+    q: jax.Array                # current (last) leaf
+    p: jax.Array
+    grad: jax.Array
+    logp: jax.Array
+    prop_q: jax.Array           # progressive multinomial proposal
+    prop_p: jax.Array
+    prop_grad: jax.Array
+    prop_logp: jax.Array
+    prop_energy: jax.Array
+    log_size: jax.Array
+    sum_accept: jax.Array
+    max_eerr: jax.Array         # signed max |energy error|
+    p_sum: jax.Array            # momentum sum over subtree leaves
+    p_ckpt: jax.Array           # (max_depth+1, D) checkpointed momenta
+    psum_ckpt: jax.Array        # (max_depth+1, D) exclusive prefix sums
+    turning: jax.Array
+    diverging: jax.Array
+
+
+class _TrajState(NamedTuple):
+    depth: jax.Array
+    q_left: jax.Array
+    p_left: jax.Array
+    grad_left: jax.Array
+    logp_left: jax.Array
+    q_right: jax.Array
+    p_right: jax.Array
+    grad_right: jax.Array
+    logp_right: jax.Array
+    p_sum: jax.Array
+    prop_q: jax.Array
+    prop_p: jax.Array
+    prop_grad: jax.Array
+    prop_logp: jax.Array
+    prop_energy: jax.Array
+    log_size: jax.Array
+    sum_accept: jax.Array
+    n_leaves: jax.Array
+    max_eerr: jax.Array
+    turning: jax.Array
+    diverging: jax.Array
+
+
+def _kinetic(p, inv_mass_diag):
+    return 0.5 * jnp.sum(p * inv_mass_diag * p)
+
+
+def _leapfrog(logp_grad_fn, q, p, grad, eps, inv_mass_diag):
+    p_half = p + 0.5 * eps * grad
+    q_new = q + eps * (inv_mass_diag * p_half)
+    logp_new, grad_new = logp_grad_fn(q_new)
+    p_new = p_half + 0.5 * eps * grad_new
+    return q_new, p_new, grad_new, logp_new
+
+
+def _is_turning(v_first, v_last, rho):
+    return jnp.logical_or(
+        jnp.dot(v_first, rho) <= 0.0, jnp.dot(v_last, rho) <= 0.0
+    )
+
+
+def _popcount(x):
+    return lax.population_count(x.astype(jnp.uint32)).astype(jnp.int32)
+
+
+def _build_subtree(
+    logp_grad_fn, key, depth, q0, p0, grad0, logp0, eps_signed,
+    inv_mass_diag, h0, max_treedepth, max_energy_error,
+):
+    """Build 2**depth leapfrog leaves starting one step after (q0, p0).
+
+    Iterative within-subtree U-turn checks use the classic checkpoint scheme:
+    leaf i (0-based) is stored at stack slot popcount(i) when i is even; when
+    i is odd, the completed subtrees ending at i (sizes 2^j for
+    j <= trailing_ones(i)) are checked against slots
+    popcount(i)-trailing_ones(i) .. popcount(i)-1.
+    """
+    D = q0.shape[0]
+    dtype = q0.dtype
+    n_target = jnp.left_shift(jnp.asarray(1, jnp.int32), depth)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    init = _SubtreeState(
+        n=jnp.zeros((), jnp.int32),
+        q=q0, p=p0, grad=grad0, logp=logp0,
+        prop_q=q0, prop_p=p0, prop_grad=grad0, prop_logp=logp0,
+        prop_energy=h0,
+        log_size=neg_inf,
+        sum_accept=jnp.zeros((), dtype),
+        max_eerr=jnp.zeros((), dtype),
+        p_sum=jnp.zeros((D,), dtype),
+        p_ckpt=jnp.zeros((max_treedepth + 1, D), dtype),
+        psum_ckpt=jnp.zeros((max_treedepth + 1, D), dtype),
+        turning=jnp.zeros((), jnp.bool_),
+        diverging=jnp.zeros((), jnp.bool_),
+    )
+
+    def cond(s: _SubtreeState):
+        return jnp.logical_and(
+            s.n < n_target, jnp.logical_not(jnp.logical_or(s.turning, s.diverging))
+        )
+
+    def body(s: _SubtreeState):
+        q, p, grad, logp = _leapfrog(
+            logp_grad_fn, s.q, s.p, s.grad, eps_signed, inv_mass_diag
+        )
+        energy = -logp + _kinetic(p, inv_mass_diag)
+        eerr = energy - h0  # positive = worse
+        eerr_ok = jnp.isfinite(eerr)
+        diverging = jnp.logical_or(~eerr_ok, eerr > max_energy_error)
+        eerr_safe = jnp.where(eerr_ok, eerr, jnp.asarray(jnp.inf, dtype))
+
+        log_w = -eerr_safe
+        log_size_new = jnp.logaddexp(s.log_size, log_w)
+        accept_prob = jnp.exp(jnp.minimum(log_w, 0.0))
+        u = jax.random.uniform(jax.random.fold_in(key, s.n), dtype=dtype)
+        take = jnp.logical_and(~diverging, jnp.log(u) < log_w - log_size_new)
+
+        prop_q = jnp.where(take, q, s.prop_q)
+        prop_p = jnp.where(take, p, s.prop_p)
+        prop_grad = jnp.where(take, grad, s.prop_grad)
+        prop_logp = jnp.where(take, logp, s.prop_logp)
+        prop_energy = jnp.where(take, energy, s.prop_energy)
+
+        n = s.n
+        is_even = (n & 1) == 0
+        slot = _popcount(n)
+        # store checkpoints for even leaves (exclusive prefix + leaf momentum)
+        p_ckpt = jnp.where(
+            is_even, s.p_ckpt.at[slot].set(p), s.p_ckpt
+        )
+        psum_ckpt = jnp.where(
+            is_even, s.psum_ckpt.at[slot].set(s.p_sum), s.psum_ckpt
+        )
+        p_sum = s.p_sum + p
+
+        # U-turn checks for completed subtrees ending at odd leaf n
+        t_ones = _popcount(n ^ (n + 1)) - 1  # trailing ones of n
+        c_hi = _popcount(n) - 1
+        c_lo = _popcount(n) - t_ones
+        v_leaf = inv_mass_diag * p
+
+        def check(slot_j, turning):
+            active = jnp.logical_and(slot_j >= c_lo, slot_j <= c_hi)
+            rho = p_sum - psum_ckpt[slot_j]
+            v_start = inv_mass_diag * p_ckpt[slot_j]
+            t = jnp.logical_or(
+                jnp.dot(v_start, rho) <= 0.0, jnp.dot(v_leaf, rho) <= 0.0
+            )
+            return jnp.logical_or(turning, jnp.logical_and(active, t))
+
+        turning = jnp.where(
+            jnp.logical_and(~is_even, ~diverging),
+            lax.fori_loop(0, max_treedepth + 1, check, s.turning),
+            s.turning,
+        )
+
+        abs_bigger = jnp.abs(eerr_safe) > jnp.abs(s.max_eerr)
+        max_eerr = jnp.where(
+            jnp.isfinite(eerr_safe) | True,
+            jnp.where(abs_bigger, eerr_safe, s.max_eerr),
+            s.max_eerr,
+        )
+
+        return _SubtreeState(
+            n=n + 1,
+            q=q, p=p, grad=grad, logp=logp,
+            prop_q=prop_q, prop_p=prop_p, prop_grad=prop_grad,
+            prop_logp=prop_logp, prop_energy=prop_energy,
+            log_size=jnp.where(diverging, s.log_size, log_size_new),
+            sum_accept=s.sum_accept + accept_prob,
+            max_eerr=max_eerr,
+            p_sum=jnp.where(diverging, s.p_sum, p_sum),
+            p_ckpt=p_ckpt,
+            psum_ckpt=psum_ckpt,
+            turning=turning,
+            diverging=diverging,
+        )
+
+    out = lax.while_loop(cond, body, init)
+    # first-leaf momentum lives at checkpoint slot 0 (leaf 0 is even)
+    return out, out.p_ckpt[0]
+
+
+def nuts_transition(
+    logp_grad_fn,
+    key,
+    q,
+    logp,
+    grad,
+    step_size,
+    inv_mass_diag,
+    *,
+    max_treedepth=10,
+    max_energy_error=1000.0,
+):
+    """One NUTS draw for a single chain: (q, logp, grad) -> new state + stats.
+
+    Pure function; vmap over chains, jit once. Reference semantics:
+    nuts.py:204-225 doubling loop + biased progressive sampling of the new
+    subtree (Betancourt 2016), divergence at dH > 1000.
+    """
+    dtype = q.dtype
+    D = q.shape[0]
+    k_mom, k_dir, k_tree, k_acc = jax.random.split(key, 4)
+
+    p0 = jax.random.normal(k_mom, (D,), dtype=dtype) / jnp.sqrt(inv_mass_diag)
+    h0 = -logp + _kinetic(p0, inv_mass_diag)
+
+    init = _TrajState(
+        depth=jnp.zeros((), jnp.int32),
+        q_left=q, p_left=p0, grad_left=grad, logp_left=logp,
+        q_right=q, p_right=p0, grad_right=grad, logp_right=logp,
+        p_sum=p0,
+        prop_q=q, prop_p=p0, prop_grad=grad, prop_logp=logp,
+        prop_energy=h0,
+        log_size=jnp.zeros((), dtype),
+        sum_accept=jnp.zeros((), dtype),
+        n_leaves=jnp.zeros((), jnp.int32),
+        max_eerr=jnp.zeros((), dtype),
+        turning=jnp.zeros((), jnp.bool_),
+        diverging=jnp.zeros((), jnp.bool_),
+    )
+
+    def cond(s: _TrajState):
+        return jnp.logical_and(
+            s.depth < max_treedepth,
+            jnp.logical_not(jnp.logical_or(s.turning, s.diverging)),
+        )
+
+    def body(s: _TrajState):
+        go_right = jax.random.bernoulli(jax.random.fold_in(k_dir, s.depth))
+        eps_signed = jnp.where(go_right, step_size, -step_size)
+        q_start = jnp.where(go_right, s.q_right, s.q_left)
+        p_start = jnp.where(go_right, s.p_right, s.p_left)
+        grad_start = jnp.where(go_right, s.grad_right, s.grad_left)
+        logp_start = jnp.where(go_right, s.logp_right, s.logp_left)
+
+        sub, p_first = _build_subtree(
+            logp_grad_fn,
+            jax.random.fold_in(k_tree, s.depth),
+            s.depth,
+            q_start, p_start, grad_start, logp_start,
+            eps_signed, inv_mass_diag, h0, max_treedepth, max_energy_error,
+        )
+
+        incomplete = jnp.logical_or(sub.turning, sub.diverging)
+
+        # biased progressive sampling: accept the new subtree's proposal with
+        # prob min(1, size_new/size_old)  (reference nuts.py multinomial accept)
+        u = jax.random.uniform(jax.random.fold_in(k_acc, s.depth), dtype=dtype)
+        take_new = jnp.logical_and(
+            ~incomplete, jnp.log(u) < sub.log_size - s.log_size
+        )
+        prop_q = jnp.where(take_new, sub.prop_q, s.prop_q)
+        prop_p = jnp.where(take_new, sub.prop_p, s.prop_p)
+        prop_grad = jnp.where(take_new, sub.prop_grad, s.prop_grad)
+        prop_logp = jnp.where(take_new, sub.prop_logp, s.prop_logp)
+        prop_energy = jnp.where(take_new, sub.prop_energy, s.prop_energy)
+
+        # merge trajectory ends (only when subtree completed)
+        def upd(new, old):
+            return jnp.where(jnp.logical_and(~incomplete, go_right), new, old)
+
+        def upd_l(new, old):
+            return jnp.where(jnp.logical_and(~incomplete, ~go_right), new, old)
+
+        q_right = upd(sub.q, s.q_right)
+        p_right = upd(sub.p, s.p_right)
+        grad_right = upd(sub.grad, s.grad_right)
+        logp_right = upd(sub.logp, s.logp_right)
+        q_left = upd_l(sub.q, s.q_left)
+        p_left = upd_l(sub.p, s.p_left)
+        grad_left = upd_l(sub.grad, s.grad_left)
+        logp_left = upd_l(sub.logp, s.logp_left)
+
+        p_sum = jnp.where(incomplete, s.p_sum, s.p_sum + sub.p_sum)
+
+        # full-trajectory U-turn check (generalized criterion) + the
+        # cross-subtree checks with boundary momenta (reference
+        # nuts.py:454-463 additional checks)
+        v_left = inv_mass_diag * p_left
+        v_right = inv_mass_diag * p_right
+        turn_main = _is_turning(v_left, v_right, p_sum)
+        # boundary-crossing checks: old trajectory + first leaf of subtree /
+        # subtree + adjacent old boundary
+        v_first = inv_mass_diag * p_first
+        v_last = inv_mass_diag * sub.p
+        turn_x1 = _is_turning(
+            jnp.where(go_right, v_left, v_last),
+            jnp.where(go_right, v_first, v_right),
+            jnp.where(go_right, s.p_sum + p_first, sub.p_sum + s.p_sum),
+        )
+        turning = jnp.logical_and(
+            ~incomplete, jnp.logical_or(turn_main, turn_x1)
+        )
+
+        return _TrajState(
+            depth=s.depth + 1,
+            q_left=q_left, p_left=p_left, grad_left=grad_left, logp_left=logp_left,
+            q_right=q_right, p_right=p_right, grad_right=grad_right,
+            logp_right=logp_right,
+            p_sum=p_sum,
+            prop_q=prop_q, prop_p=prop_p, prop_grad=prop_grad,
+            prop_logp=prop_logp, prop_energy=prop_energy,
+            log_size=jnp.where(incomplete, s.log_size,
+                               jnp.logaddexp(s.log_size, sub.log_size)),
+            sum_accept=s.sum_accept + sub.sum_accept,
+            n_leaves=s.n_leaves + sub.n,
+            max_eerr=jnp.where(
+                jnp.abs(sub.max_eerr) > jnp.abs(s.max_eerr),
+                sub.max_eerr, s.max_eerr,
+            ),
+            turning=jnp.logical_or(turning, sub.turning),
+            diverging=sub.diverging,
+        )
+
+    out = lax.while_loop(cond, body, init)
+
+    n = jnp.maximum(out.n_leaves, 1)
+    stats = NutsStats(
+        depth=out.depth,
+        n_steps=out.n_leaves,
+        diverging=out.diverging,
+        energy=out.prop_energy,
+        energy_error=out.prop_energy - h0,
+        max_energy_error=out.max_eerr,
+        acceptance_rate=out.sum_accept / n.astype(dtype),
+        lp=out.prop_logp,
+    )
+    return (out.prop_q, out.prop_logp, out.prop_grad), stats

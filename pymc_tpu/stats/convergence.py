@@ -1,0 +1,271 @@
+"""Convergence diagnostics: rank-normalized split-R-hat, bulk/tail ESS, MCSE.
+
+Parity: reference pymc/stats/convergence.py:64-133 (run_convergence_checks
+delegates R-hat/ESS to arviz_stats). Here the estimators themselves are
+implemented natively (Vehtari, Gelman, Simpson, Carpenter, Bürkner 2021),
+numpy on host — they run once per fit on (chain, draw, ...) arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import logging
+
+import numpy as np
+from scipy.special import ndtri
+
+__all__ = [
+    "rhat",
+    "ess",
+    "mcse_mean",
+    "mcse_sd",
+    "SamplerWarning",
+    "WarningType",
+    "run_convergence_checks",
+    "log_warnings",
+]
+
+_log = logging.getLogger("pymc_tpu")
+
+
+def _split_chains(x):
+    """(chain, draw, ...) -> (2*chain, draw//2, ...)"""
+    c, n = x.shape[:2]
+    half = n // 2
+    first = x[:, :half]
+    second = x[:, n - half : n]
+    return np.concatenate([first, second], axis=0)
+
+
+def _rank_normalize(x):
+    """Fractional ranks -> normal scores over (chain, draw) jointly."""
+    shp = x.shape
+    flat = x.reshape(-1, int(np.prod(shp[2:])) if x.ndim > 2 else 1)
+    out = np.empty_like(flat, dtype=np.float64)
+    s = flat.shape[0]
+    for j in range(flat.shape[1]):
+        ranks = np.argsort(np.argsort(flat[:, j], kind="stable"), kind="stable") + 1
+        out[:, j] = ndtri((ranks - 3.0 / 8.0) / (s + 1.0 / 4.0))
+    return out.reshape(shp)
+
+
+def _rhat_base(x):
+    """Split R-hat on (chain, draw, ...) without rank-normalization."""
+    x = _split_chains(np.asarray(x, dtype=np.float64))
+    c, n = x.shape[:2]
+    if n < 2 or c < 2:
+        return np.full(x.shape[2:], np.nan)
+    chain_mean = x.mean(axis=1)
+    chain_var = x.var(axis=1, ddof=1)
+    between = n * chain_mean.var(axis=0, ddof=1)
+    within = chain_var.mean(axis=0)
+    vhat = (n - 1.0) / n * within + between / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.sqrt(vhat / within)
+
+
+def rhat(x):
+    """Rank-normalized split-R-hat: max of bulk and folded estimators
+    (Vehtari et al. 2021)."""
+    x = np.asarray(x, dtype=np.float64)
+    bulk = _rhat_base(_rank_normalize(x))
+    folded = _rhat_base(_rank_normalize(np.abs(x - np.median(x, axis=(0, 1)))))
+    return np.maximum(bulk, folded)
+
+
+def _autocov_fft(x):
+    """Per-chain autocovariance via FFT; x: (chain, draw, ...)."""
+    c, n = x.shape[:2]
+    xc = x - x.mean(axis=1, keepdims=True)
+    m = 2 ** int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, n=m, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=m, axis=1)[:, :n].real
+    return acov / n
+
+
+def _ess_base(x):
+    """Geyer initial-monotone-sequence ESS on (chain, draw, ...)."""
+    x = _split_chains(np.asarray(x, dtype=np.float64))
+    c, n = x.shape[:2]
+    if n < 4 or c < 1:
+        return np.full(x.shape[2:], np.nan)
+    extra = x.shape[2:]
+    xf = x.reshape(c, n, -1)
+    k = xf.shape[2]
+    out = np.empty(k)
+    for j in range(k):
+        xs = xf[:, :, j]
+        acov = _autocov_fft(xs[:, :, None])[:, :, 0]
+        chain_var = acov[:, 0] * n / (n - 1.0)
+        mean_var = chain_var.mean()
+        var_plus = mean_var * (n - 1.0) / n
+        if c > 1:
+            var_plus += xs.mean(axis=1).var(ddof=1)
+        if var_plus == 0 or not np.isfinite(var_plus):
+            out[j] = np.nan
+            continue
+        rho = 1.0 - (mean_var - acov.mean(axis=0)) / var_plus
+        # Geyer initial positive monotone sequence over pair sums
+        # Gamma_k = rho_{2k} + rho_{2k+1};  tau = -1 + 2 * sum_k Gamma_k
+        t = 0
+        prev_min = np.inf
+        pair_sum = 0.0
+        while t + 1 < n:
+            pair = rho[t] + rho[t + 1]
+            if pair <= 0:
+                break
+            pair = min(pair, prev_min)
+            prev_min = pair
+            pair_sum += pair
+            t += 2
+        tau = max(-1.0 + 2.0 * pair_sum, 1.0 / np.log10(c * n + 10.0))
+        out[j] = c * n / tau
+    return out.reshape(extra) if extra else out[0]
+
+
+def ess(x, method="bulk", prob=None):
+    """Effective sample size (bulk by default; tail = min over the 5%/95%
+    exceedance indicators; mean/sd/quantile variants supported)."""
+    x = np.asarray(x, dtype=np.float64)
+    if method == "bulk":
+        return _ess_base(_rank_normalize(x))
+    if method == "mean":
+        return _ess_base(x)
+    if method == "sd":
+        return np.minimum(_ess_base(x), _ess_base(x**2))
+    if method == "tail":
+        probs = (0.05, 0.95) if prob is None else prob
+        esses = []
+        for p in probs:
+            q = np.quantile(x.reshape(-1, *x.shape[2:]), p, axis=0)
+            ind = (x <= q).astype(np.float64)
+            esses.append(_ess_base(_rank_normalize(ind)))
+        return np.minimum(*esses)
+    if method == "quantile":
+        q = np.quantile(x.reshape(-1, *x.shape[2:]), prob, axis=0)
+        ind = (x <= q).astype(np.float64)
+        return _ess_base(_rank_normalize(ind))
+    raise ValueError(f"Unknown ess method {method}")
+
+
+def mcse_mean(x):
+    x = np.asarray(x, dtype=np.float64)
+    e = _ess_base(x)
+    return x.std(axis=(0, 1), ddof=1) / np.sqrt(e)
+
+
+def mcse_sd(x):
+    x = np.asarray(x, dtype=np.float64)
+    e = np.minimum(_ess_base(x), _ess_base(x**2))
+    sd = x.std(axis=(0, 1), ddof=1)
+    fac = np.sqrt(np.exp(1.0) * (1.0 - 1.0 / e) ** (e - 1.0) - 1.0)
+    return sd * fac
+
+
+# ---------------------------------------------------------------- warnings
+class WarningType(enum.Enum):
+    """Reference stats/convergence.py:37."""
+
+    DIVERGENCE = 1
+    TUNING_DIVERGENCE = 2
+    DIVERGENCES = 3
+    TREEDEPTH = 4
+    BAD_PARAMS = 5
+    BAD_ACCEPTANCE = 6
+    BAD_ENERGY = 7
+    CONVERGENCE = 8
+
+
+@dataclasses.dataclass
+class SamplerWarning:
+    kind: WarningType
+    message: str
+    level: str
+    extra: object = None
+
+
+def run_convergence_checks(idata, model=None):
+    """R-hat / ESS / divergences / treedepth checks (reference
+    stats/convergence.py:64-133)."""
+    warns = []
+    post = getattr(idata, "posterior", None)
+    if post is None:
+        return warns
+    n_draws = post.dims.get("draw", 0)
+    n_chains = post.dims.get("chain", 1)
+    if n_draws < 100:
+        warns.append(
+            SamplerWarning(
+                WarningType.BAD_PARAMS,
+                "The number of samples is too small to check convergence reliably.",
+                "info",
+            )
+        )
+    else:
+        rhat_max = 0.0
+        ess_min = np.inf
+        for name, var in post.items():
+            vals = var.values
+            if vals.ndim < 2 or not np.issubdtype(vals.dtype, np.floating):
+                continue
+            r = rhat(vals)
+            e = ess(vals, "bulk")
+            rhat_max = max(rhat_max, float(np.nanmax(r)))
+            ess_min = min(ess_min, float(np.nanmin(e)))
+        if rhat_max > 1.01:
+            warns.append(
+                SamplerWarning(
+                    WarningType.CONVERGENCE,
+                    f"The rhat statistic is larger than 1.01 for some parameters "
+                    f"(max={rhat_max:.3f}). This indicates problems during sampling.",
+                    "info",
+                )
+            )
+        if n_chains > 1 and ess_min < 100 * n_chains:
+            warns.append(
+                SamplerWarning(
+                    WarningType.CONVERGENCE,
+                    f"The effective sample size per chain is smaller than 100 "
+                    f"for some parameters (min total ess={ess_min:.0f}). A higher "
+                    "number of samples is needed for reliable estimates.",
+                    "error",
+                )
+            )
+    stats = getattr(idata, "sample_stats", None)
+    if stats is not None and "diverging" in stats:
+        n_div = int(stats["diverging"].values.sum())
+        if n_div:
+            warns.append(
+                SamplerWarning(
+                    WarningType.DIVERGENCES,
+                    f"There were {n_div} divergences after tuning. Increase "
+                    "`target_accept` or reparameterize.",
+                    "error",
+                )
+            )
+    if stats is not None and "tree_depth" in stats:
+        # max_treedepth saturations
+        td = stats["tree_depth"].values
+        mt = stats.attrs.get("max_treedepth") if hasattr(stats, "attrs") else None
+        if mt is not None:
+            n_sat = int((td >= mt).sum())
+            if n_sat > 0.05 * td.size:
+                warns.append(
+                    SamplerWarning(
+                        WarningType.TREEDEPTH,
+                        f"The chain reached the maximum tree depth in "
+                        f"{100*n_sat/td.size:.0f}% of draws. Increase "
+                        "max_treedepth or reparameterize.",
+                        "warn",
+                    )
+                )
+    return warns
+
+
+def log_warnings(warns):
+    for w in warns:
+        if w.level == "error":
+            _log.warning(w.message)
+        else:
+            _log.info(w.message)
