@@ -1,0 +1,140 @@
+"""Benchmark: ESS/sec on the radon-style hierarchical GLM (BASELINE config #2
+shape), vectorized chains on the default device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against a 4-chain CPU run of the same model recorded in
+bench_baseline.json — the architectural stand-in for the reference's
+`nuts_sampler="numpyro"` CPU path (pymc/sampling/jax.py), since the reference
+publishes no numbers (BASELINE.md) and is not installable here.
+
+Usage:
+    python bench.py                    # TPU/default-device benchmark
+    python bench.py --measure-baseline # record the CPU 4-chain baseline
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def build_model(pm, n_counties=85, n_obs=919, seed=1234):
+    """Radon-style varying-intercept/slope multilevel regression
+    (reference benchmarks/benchmarks/benchmarks.py:26-46 structure,
+    synthetic data of the same shape)."""
+    rng = np.random.default_rng(seed)
+    county = rng.integers(0, n_counties, size=n_obs)
+    floor_x = rng.integers(0, 2, size=n_obs).astype(float)
+    true_a = rng.normal(1.5, 0.5, size=n_counties)
+    true_b = rng.normal(-0.7, 0.3, size=n_counties)
+    log_radon = true_a[county] + true_b[county] * floor_x + rng.normal(
+        0, 0.6, size=n_obs
+    )
+
+    with pm.Model(coords={"county": np.arange(n_counties)}) as model:
+        mu_a = pm.Normal("mu_a", 0.0, 10.0)
+        sigma_a = pm.HalfCauchy("sigma_a", 5.0)
+        mu_b = pm.Normal("mu_b", 0.0, 10.0)
+        sigma_b = pm.HalfCauchy("sigma_b", 5.0)
+        a_t = pm.Normal("a_t", 0.0, 1.0, dims="county")
+        b_t = pm.Normal("b_t", 0.0, 1.0, dims="county")
+        a = pm.Deterministic("a", mu_a + sigma_a * a_t, dims="county")
+        b = pm.Deterministic("b", mu_b + sigma_b * b_t, dims="county")
+        sigma_y = pm.HalfCauchy("sigma_y", 5.0)
+        mu_y = a[county] + b[county] * floor_x
+        pm.Normal("y", mu_y, sigma_y, observed=log_radon)
+    return model
+
+
+def run(chains, draws, tune, seed=0):
+    import pymc_tpu as pm
+    from pymc_tpu.stats.convergence import ess
+
+    model = build_model(pm)
+    t0 = time.perf_counter()
+    idata = pm.sample(
+        draws=draws,
+        tune=tune,
+        chains=chains,
+        model=model,
+        random_seed=seed,
+        progressbar=False,
+        compute_convergence_checks=False,
+        mass_adapt="pooled" if chains >= 64 else "per_chain",
+    )
+    total = time.perf_counter() - t0
+    sampling_time = idata.posterior.attrs.get("sampling_time", total)
+
+    # worst-case bulk ESS over the county-level effects (reference tracks
+    # az.ess(mu_a)/time and min-component ESS; we take the stricter min)
+    post = idata.posterior
+    ess_vals = []
+    for name in ("mu_a", "mu_b", "sigma_a", "sigma_b"):
+        ess_vals.append(float(np.nanmin(ess(post[name].values))))
+    ess_a = ess(post["a"].values)
+    ess_b = ess(post["b"].values)
+    ess_vals.append(float(np.nanmin(ess_a)))
+    ess_vals.append(float(np.nanmin(ess_b)))
+    min_ess = min(ess_vals)
+    return {
+        "min_ess": min_ess,
+        "sampling_time": float(sampling_time),
+        "total_time": total,
+        "ess_per_sec": min_ess / float(sampling_time),
+        "chains": chains,
+        "draws": draws,
+    }
+
+
+def main():
+    measure_baseline = "--measure-baseline" in sys.argv
+
+    if measure_baseline:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        res = run(chains=4, draws=1000, tune=1000)
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {
+                    "description": "CPU 4-chain ESS/sec, radon hierarchical GLM "
+                    "(proxy for reference numpyro-CPU path)",
+                    "ess_per_sec": res["ess_per_sec"],
+                    "detail": res,
+                },
+                f,
+                indent=2,
+            )
+        print(json.dumps({"baseline_ess_per_sec": res["ess_per_sec"]}))
+        return
+
+    import jax
+
+    platform = jax.default_backend()
+    chains = 1024 if platform == "tpu" else 64
+    res = run(chains=chains, draws=256, tune=500)
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)["ess_per_sec"]
+
+    out = {
+        "metric": "ess_per_sec_radon_glm",
+        "value": round(res["ess_per_sec"], 2),
+        "unit": f"min-ESS/sec ({res['chains']} chains x {res['draws']} draws, {platform})",
+        "vs_baseline": round(res["ess_per_sec"] / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,9 +81,12 @@ def safe_sqrt(x):
 
 
 def logpow(x, m):
-    """m * log(x) with the convention 0**0 = 1 (reference dist_math.py:92)."""
-    safe_x = jnp.where(x == 0, 1.0, x)
-    return jnp.where(jnp.logical_and(x == 0, m == 0), 0.0, m * jnp.log(safe_x))
+    """m * log(x) with the convention 0**0 = 1 (reference dist_math.py:92).
+    x == 0 with m > 0 gives -inf; gradient stays NaN-safe via double-where."""
+    is_zero = x == 0
+    safe_x = jnp.where(is_zero, 1.0, x)
+    log_x = jnp.where(is_zero, -jnp.inf, jnp.log(safe_x))
+    return jnp.where(m == 0, 0.0, m * log_x)
 
 
 def factln(n):

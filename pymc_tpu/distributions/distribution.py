@@ -233,8 +233,11 @@ class Distribution:
         return self._logccdf(value, *params)
 
     def icdf(self, q, env=None, memo=None):
+        from .dist_math import check_icdf_value
+
         params = self.resolve_params(env, memo)
-        return self._icdf(jnp.asarray(q, dtype=floatX()), *params)
+        q = jnp.asarray(q, dtype=floatX())
+        return check_icdf_value(self._icdf(q, *params), q)
 
     def _logcdf(self, value, *params):
         raise NotImplementedError(

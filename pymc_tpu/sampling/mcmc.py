@@ -174,23 +174,28 @@ def sample(
     def chain_keys(step_key):
         return jax.vmap(lambda i: jax.random.fold_in(step_key, i))(chain_idx)
 
-    def warmup_step(carry, xs):
-        step_i, do_update, do_switch = xs
+    def step(carry, xs):
+        """One draw for warmup AND sampling (adaptation gated by traced flags
+        so the NUTS tree program compiles exactly once)."""
+        step_i, do_update, do_switch, is_warmup = xs
         q, logp, grad, da, wf, inv_mass = carry
         keys = chain_keys(jax.random.fold_in(k_warm, step_i))
-        step_size = jnp.exp(da.log_step)
+        step_size = jnp.where(
+            is_warmup, jnp.exp(da.log_step), jnp.exp(da.log_step_avg)
+        )
         (q, logp, grad), stats = vmapped_transition(
             keys, q, logp, grad, step_size, inv_mass
         )
         accept = jnp.clip(stats.acceptance_rate, 0.0, 1.0)
-        da = jax.vmap(lambda d, a: da_update(d, a, target_accept))(da, accept)
+        da_new = jax.vmap(lambda d, a: da_update(d, a, target_accept))(da, accept)
+        da = jax.tree.map(
+            lambda new, old: jnp.where(_bcast(is_warmup, new), new, old),
+            da_new, da,
+        )
         wf_new = jax.vmap(welford_update)(wf, q)
         wf = jax.tree.map(
-            lambda new, old: jnp.where(
-                _bcast(do_update, new), new, old
-            ),
-            wf_new,
-            wf,
+            lambda new, old: jnp.where(_bcast(do_update, new), new, old),
+            wf_new, wf,
         )
         # window switch: adopt variance estimate, reset welford + step size
         new_inv = jax.vmap(welford_variance)(wf)
@@ -202,48 +207,37 @@ def sample(
         wf_reset = jax.vmap(lambda _: welford_init(D, dtype=floatX()))(chain_idx)
         wf = jax.tree.map(
             lambda res, old: jnp.where(_bcast(do_switch, res), res, old),
-            wf_reset,
-            wf,
+            wf_reset, wf,
         )
         da_res = jax.vmap(da_restart)(da)
         da = jax.tree.map(
             lambda res, old: jnp.where(_bcast(do_switch, res), res, old),
-            da_res,
-            da,
+            da_res, da,
         )
         carry = (q, logp, grad, da, wf, inv_mass)
-        out = (q, stats, jnp.exp(da.log_step)) if not discard_tuned_samples else None
-        return carry, out
+        return carry, (q, stats, step_size)
 
-    def sampling_step(carry, step_i):
-        q, logp, grad, step_size, inv_mass = carry
-        keys = chain_keys(jax.random.fold_in(k_samp, step_i))
-        (q, logp, grad), stats = vmapped_transition(
-            keys, q, logp, grad, step_size, inv_mass
-        )
-        return (q, logp, grad, step_size, inv_mass), (q, stats)
-
-    # ---- warmup
+    scan_fn = jax.jit(lambda c, xs: lax.scan(step, c, xs))
     _log.info(
         f"NUTS warmup: {tune} steps, {chains} chains, {D} parameters "
         f"(init={init}, target_accept={target_accept})"
     )
-    warm_carry = (q0, logp0, grad0, da, wf, inv_mass)
-    warm_xs = (jnp.arange(tune, dtype=jnp.int32), upd_mass, swi_mass)
-    warm_scan = jax.jit(lambda c, xs: lax.scan(warmup_step, c, xs))
-    warm_carry, warm_out = warm_scan(warm_carry, warm_xs)
-    q, logp, grad, da, wf, inv_mass = warm_carry
-    step_size_final = jnp.exp(da.log_step_avg)
-
+    # ---- warmup
+    carry = (q0, logp0, grad0, da, wf, inv_mass)
+    tru = jnp.ones((tune,), dtype=bool)
+    warm_xs = (jnp.arange(tune, dtype=jnp.int32), upd_mass, swi_mass, tru)
+    carry, warm_out = scan_fn(carry, warm_xs)
+    if discard_tuned_samples:
+        warm_out = None
     # ---- sampling
-    samp_carry = (q, logp, grad, step_size_final, inv_mass)
-    samp_scan = jax.jit(lambda c, xs: lax.scan(sampling_step, c, xs))
+    fls = jnp.zeros((draws,), dtype=bool)
+    samp_xs = (jnp.arange(tune, tune + draws, dtype=jnp.int32), fls, fls, fls)
     t1 = time.perf_counter()
-    samp_carry, (q_draws, stats) = samp_scan(
-        samp_carry, jnp.arange(tune, tune + draws, dtype=jnp.int32)
-    )
+    carry, (q_draws, stats, _) = scan_fn(carry, samp_xs)
     q_draws = jax.block_until_ready(q_draws)
     t2 = time.perf_counter()
+    da = carry[3]
+    step_size_final = jnp.exp(da.log_step_avg)
     _log.info(
         f"Sampling {draws} draws x {chains} chains took {t2 - t1:.2f}s "
         f"(+{t1 - t0:.2f}s warmup+compile)"

@@ -1,0 +1,354 @@
+"""Public testing library.
+
+Parity: reference pymc/testing.py (Domain:91, product:68, check_logp:311,
+check_logcdf:420, check_icdf:655, check_selfconsistency...:754,791,
+assert_support_point_is_expected:837, continuous_random_tester:867). The
+scipy-as-oracle contract is identical; the runtime differs: invalid
+parameters yield -inf logp (XLA cannot raise the reference's
+ParameterValueError) and out-of-support values yield -inf.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pymc_tpu as pm
+
+__all__ = [
+    "Domain",
+    "product",
+    "R", "Rplus", "Rplusbig", "Rminusbig", "Rbig", "Unit", "SortedVector",
+    "Simplex", "Nat", "NatSmall", "Bool", "posint", "Circ", "Runif",
+    "Rplusunif", "I",
+    "check_logp",
+    "check_logcdf",
+    "check_icdf",
+    "check_selfconsistency_discrete_logcdf",
+    "check_support_point",
+    "assert_support_point_is_expected",
+    "continuous_random_tester",
+    "discrete_random_tester",
+    "select_by_precision",
+]
+
+
+def select_by_precision(float64, float32):
+    """Tolerance by active precision (reference testing.py:234)."""
+    return float64 if jax.config.jax_enable_x64 else float32
+
+
+class Domain:
+    """A test domain: a list of values; first/last are edges (excluded from
+    interior testing, used for boundary checks). Reference testing.py:91."""
+
+    def __init__(self, vals, dtype="float64", edges=None, shape=None):
+        self.vals = list(vals)
+        self.dtype = dtype
+        if edges is None:
+            edges = (self.vals[0], self.vals[-1])
+            interior = self.vals[1:-1]
+        else:
+            interior = list(self.vals)
+        self.lower, self.upper = edges
+        self.interior_vals = interior
+        self.shape = shape
+
+    def __mul__(self, other):
+        return Domain(
+            [np.asarray(v) * other for v in self.vals],
+            self.dtype,
+            edges=(
+                None if self.lower is None else self.lower * other,
+                None if self.upper is None else self.upper * other,
+            ),
+        )
+
+    def __add__(self, other):
+        return Domain(
+            [np.asarray(v) + other for v in self.vals],
+            self.dtype,
+            edges=(
+                None if self.lower is None else self.lower + other,
+                None if self.upper is None else self.upper + other,
+            ),
+        )
+
+    def __neg__(self):
+        return Domain(
+            [-np.asarray(v) for v in self.vals],
+            self.dtype,
+            edges=(
+                None if self.upper is None else -self.upper,
+                None if self.lower is None else -self.lower,
+            ),
+        )
+
+    def __iter__(self):
+        return iter(self.interior_vals)
+
+
+def product(domains: dict, n_samples=-1):
+    """Cartesian product over interior values of named domains
+    (reference testing.py:68)."""
+    names = list(domains.keys())
+    all_vals = [list(domains[k]) for k in names]
+    combos = list(itertools.product(*all_vals))
+    if 0 < n_samples < len(combos):
+        rng = np.random.default_rng(42)
+        idx = rng.choice(len(combos), n_samples, replace=False)
+        combos = [combos[i] for i in idx]
+    return [dict(zip(names, c)) for c in combos]
+
+
+_inf = np.inf
+R = Domain([-_inf, -2.1, -1, -0.01, 0.0, 0.01, 1, 2.1, _inf])
+Rplus = Domain([0, 0.01, 0.1, 0.9, 0.99, 1, 1.5, 2, 100, _inf])
+Rplusbig = Domain([0, 0.5, 0.9, 0.99, 1, 1.5, 2, 20, _inf])
+Rminusbig = Domain([-_inf, -2, -1.5, -1, -0.99, -0.9, -0.5, -0.01, 0])
+Rbig = Domain([-_inf, -2, -1.5, -1, -0.99, -0.9, -0.5, -0.01, 0.5, 0.9, 0.99, 1, 1.5, 2, _inf])
+Unit = Domain([0, 0.001, 0.1, 0.5, 0.75, 0.99, 1])
+Runif = Domain([-_inf, -0.4, 0, 0.4, _inf])
+Rplusunif = Domain([0, 0.5, _inf])
+Circ = Domain([-np.pi, -2.1, -1, -0.01, 0.0, 0.01, 1, 2.1, np.pi])
+Nat = Domain([0, 1, 2, 3, _inf], dtype="int64")
+NatSmall = Domain([0, 3, 4, 5, _inf], dtype="int64")
+Bool = Domain([-_inf, 0, 0, 1, _inf], dtype="int64")
+posint = Domain([1, 2, 3, 4, _inf], dtype="int64")
+I = Domain([-_inf, -3, -2, -1, 0, 1, 2, 3, _inf], dtype="int64")
+SortedVector = lambda n: Domain(  # noqa: E731
+    [np.sort(np.random.default_rng(7).normal(size=n)) for _ in range(4)],
+    edges=(None, None),
+)
+Simplex = lambda n: Domain(  # noqa: E731
+    [np.random.default_rng(8).dirichlet(np.ones(n)) for _ in range(4)],
+    edges=(None, None),
+)
+
+
+def _build_dist(dist_cls, params):
+    return dist_cls.dist(**params)
+
+
+def check_logp(
+    dist_cls,
+    domain,
+    paramdomains,
+    scipy_logp,
+    decimal=None,
+    n_samples=100,
+    extra_args=None,
+    skip_paramdomain_outside_edge_test=False,
+    compare_finite_only=False,
+):
+    """Compare dist logp against the scipy oracle over the cartesian
+    parameter/value grid; assert -inf outside value support and -inf (our
+    ParameterValueError analogue) outside parameter support
+    (reference testing.py:311-419).
+
+    compare_finite_only: only compare where the scipy value is finite — for
+    distributions where scipy's implementation underflows to -inf in deep
+    tails while ours stays analytic (e.g. Moyal, Rice)."""
+    if decimal is None:
+        decimal = select_by_precision(6, 3)
+    for params in product(paramdomains, n_samples):
+        d = _build_dist(dist_cls, {**params, **(extra_args or {})})
+        values = np.asarray(list(domain), dtype=np.float64)
+        ours = np.asarray(jax.device_get(pm.logp(d, values)))
+        expected = np.asarray(
+            [scipy_logp(v, **params) for v in values], dtype=np.float64
+        )
+        if compare_finite_only:
+            keep = np.isfinite(expected)
+            ours, expected = ours[keep], expected[keep]
+        np.testing.assert_allclose(
+            ours,
+            expected,
+            rtol=10.0 ** -decimal,
+            atol=10.0 ** -decimal,
+            err_msg=f"{dist_cls.__name__} logp mismatch at params {params}",
+        )
+        # outside value support -> -inf
+        edge_vals = []
+        if domain.lower is not None and np.isfinite(domain.lower):
+            edge_vals.append(domain.lower - 1.0)
+        if domain.upper is not None and np.isfinite(domain.upper):
+            edge_vals.append(domain.upper + 1.0)
+        if edge_vals:
+            out = np.asarray(jax.device_get(pm.logp(d, np.asarray(edge_vals))))
+            assert np.all(out == -np.inf), (
+                f"{dist_cls.__name__}: expected -inf outside support, got {out}"
+            )
+
+    if not skip_paramdomain_outside_edge_test:
+        # invalid params -> -inf (reference raises ParameterValueError)
+        valid = product(paramdomains, 1)[0]
+        test_value = list(domain)[len(list(domain)) // 2]
+        for pname, pdomain in paramdomains.items():
+            for bad, shift in ((pdomain.lower, -1.0), (pdomain.upper, 1.0)):
+                if bad is None or not np.isfinite(bad):
+                    continue
+                bad_params = {**valid, pname: np.asarray(bad) + shift}
+                d = _build_dist(dist_cls, {**bad_params, **(extra_args or {})})
+                res = np.asarray(jax.device_get(pm.logp(d, test_value)))
+                assert np.all(~np.isfinite(res)), (
+                    f"{dist_cls.__name__}: expected non-finite logp for "
+                    f"invalid {pname}={bad_params[pname]}, got {res}"
+                )
+
+
+def check_logcdf(
+    dist_cls, domain, paramdomains, scipy_logcdf, decimal=None, n_samples=100,
+    extra_args=None, skip_paramdomain_outside_edge_test=False,
+):
+    """Reference testing.py:420."""
+    if decimal is None:
+        decimal = select_by_precision(6, 3)
+    for params in product(paramdomains, n_samples):
+        d = _build_dist(dist_cls, {**params, **(extra_args or {})})
+        values = np.asarray(list(domain), dtype=np.float64)
+        ours = np.asarray(jax.device_get(pm.logcdf(d, values)))
+        expected = np.asarray(
+            [scipy_logcdf(v, **params) for v in values], dtype=np.float64
+        )
+        np.testing.assert_allclose(
+            ours,
+            expected,
+            rtol=10.0 ** -decimal,
+            atol=10.0 ** -decimal,
+            err_msg=f"{dist_cls.__name__} logcdf mismatch at params {params}",
+        )
+        # below support -> -inf; above -> 0
+        if domain.lower is not None and np.isfinite(domain.lower):
+            below = np.asarray(
+                jax.device_get(pm.logcdf(d, np.asarray(domain.lower) - 1.0))
+            )
+            assert np.all(below == -np.inf)
+
+
+def check_icdf(
+    dist_cls, paramdomains, scipy_icdf, decimal=None, n_samples=100,
+    skip_paramdomain_outside_edge_test=False,
+):
+    """Reference testing.py:655. Also asserts icdf(q) is nan for q outside
+    [0, 1]."""
+    if decimal is None:
+        decimal = select_by_precision(6, 3)
+    qs = np.array([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    for params in product(paramdomains, n_samples):
+        d = _build_dist(dist_cls, params)
+        ours = np.asarray(jax.device_get(pm.icdf(d, qs)))
+        expected = np.asarray([scipy_icdf(q, **params) for q in qs])
+        np.testing.assert_allclose(
+            ours,
+            expected,
+            rtol=10.0 ** -decimal,
+            atol=10.0 ** -decimal,
+            err_msg=f"{dist_cls.__name__} icdf mismatch at params {params}",
+        )
+        bad = np.asarray(jax.device_get(pm.icdf(d, np.array([-0.1, 1.1]))))
+        assert np.all(np.isnan(bad)), f"expected nan icdf outside [0,1], got {bad}"
+
+
+def check_selfconsistency_discrete_logcdf(
+    dist_cls, domain, paramdomains, decimal=None, n_samples=30
+):
+    """logcdf(k) == logsumexp(logp(0..k)) (reference testing.py:754)."""
+    if decimal is None:
+        decimal = select_by_precision(6, 3)
+    from scipy.special import logsumexp
+
+    for params in product(paramdomains, n_samples):
+        d = _build_dist(dist_cls, params)
+        for value in domain:
+            if not np.isfinite(value):
+                continue
+            value = int(value)
+            ks = np.arange(0, value + 1)
+            logps = np.asarray(jax.device_get(pm.logp(d, ks)))
+            ours = float(np.asarray(jax.device_get(pm.logcdf(d, value))))
+            np.testing.assert_allclose(
+                ours,
+                logsumexp(logps),
+                rtol=10.0 ** -decimal,
+                atol=10.0 ** -decimal,
+                err_msg=f"{dist_cls.__name__} cdf!=sum(pmf) at {params}, k={value}",
+            )
+
+
+def check_support_point(dist_cls, paramdomains, n_samples=20):
+    """support_point is finite, correctly shaped, and has finite logp
+    (reference assert_support_point_is_expected:837)."""
+    for params in product(paramdomains, n_samples):
+        d = _build_dist(dist_cls, params)
+        pt = np.asarray(jax.device_get(d.support_point()))
+        assert pt.shape == d.shape, (
+            f"{dist_cls.__name__} support_point shape {pt.shape} != {d.shape}"
+        )
+        assert np.all(np.isfinite(pt)), f"non-finite support point {pt} at {params}"
+        lp = np.asarray(jax.device_get(pm.logp(d, pt)))
+        assert np.all(np.isfinite(lp)), (
+            f"{dist_cls.__name__} support_point has non-finite logp at {params}: "
+            f"point={pt} logp={lp}"
+        )
+
+
+def assert_support_point_is_expected(model, expected, check_finite_logp=True):
+    pt = model.initial_point()
+    rv = model.free_RVs[0]
+    v = pt[rv.value_name]
+    if rv.transform is not None:
+        v = rv.transform.backward(v)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(v)), expected, rtol=1e-5
+    )
+    if check_finite_logp:
+        lp = model.compile_logp()(model.initial_point())
+        assert np.isfinite(np.asarray(jax.device_get(lp)))
+
+
+def continuous_random_tester(
+    dist_cls, paramdomains, ref_cdf, size=2000, alpha=0.01, n_samples=5,
+    extra_args=None,
+):
+    """KS test of draws against the scipy reference CDF
+    (reference testing.py:867)."""
+    from scipy import stats as st
+
+    for i, params in enumerate(product(paramdomains, n_samples)):
+        d = dist_cls.dist(**{**params, **(extra_args or {})}, size=(size,))
+        draws = np.asarray(jax.device_get(d.sample(jax.random.PRNGKey(100 + i))))
+        _, pval = st.kstest(draws, lambda x: ref_cdf(x, **params))
+        assert pval > alpha, (
+            f"{dist_cls.__name__} KS test failed at {params}: p={pval}"
+        )
+
+
+def discrete_random_tester(
+    dist_cls, paramdomains, ref_logpmf, support_fn, size=4000, alpha=0.01,
+    n_samples=5,
+):
+    """Chi-squared test of draws against the reference pmf."""
+    from scipy import stats as st
+
+    for i, params in enumerate(product(paramdomains, n_samples)):
+        d = dist_cls.dist(**params, size=(size,))
+        draws = np.asarray(jax.device_get(d.sample(jax.random.PRNGKey(200 + i))))
+        ks = support_fn(**params)
+        probs = np.exp([ref_logpmf(k, **params) for k in ks])
+        probs = np.append(probs, max(1.0 - probs.sum(), 0.0))
+        counts = np.array([(draws == k).sum() for k in ks])
+        counts = np.append(counts, size - counts.sum())
+        keep = probs * size >= 5
+        keep[-1] = keep[-1] and probs[-1] > 0
+        if keep.sum() < 2:
+            continue
+        chi2, pval = st.chisquare(
+            counts[keep], probs[keep] / probs[keep].sum() * counts[keep].sum()
+        )
+        assert pval > alpha, (
+            f"{dist_cls.__name__} chi2 test failed at {params}: p={pval}"
+        )
