@@ -120,7 +120,7 @@ def main():
 
     platform = jax.default_backend()
     chains = 1024 if platform == "tpu" else 64
-    res = run(chains=chains, draws=256, tune=500)
+    res = run(chains=chains, draws=256, tune=300)
 
     baseline = None
     if os.path.exists(BASELINE_FILE):

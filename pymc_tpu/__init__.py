@@ -34,10 +34,34 @@ from .model import (  # noqa: E402
 )
 from .functions import draw, logp, logcdf, icdf  # noqa: E402
 from .initial_point import make_initial_point  # noqa: E402
-from .sampling import sample, init_nuts  # noqa: E402
+from .sampling import (  # noqa: E402
+    sample,
+    init_nuts,
+    sample_prior_predictive,
+    sample_posterior_predictive,
+    compute_deterministics,
+)
+from .stats.log_density import compute_log_likelihood, compute_log_prior  # noqa: E402
 from . import stats  # noqa: E402
 from .stats import ess, rhat  # noqa: E402
 from .backends import InferenceData  # noqa: E402
+from . import variational  # noqa: E402
+from .variational import ADVI, ASVGD, SVGD, FullRankADVI, KLqp, fit  # noqa: E402
+from .variational.approximations import Empirical, FullRank, MeanField  # noqa: E402
+from .data import Minibatch  # noqa: E402
+from .smc import sample_smc  # noqa: E402
+from .step_methods import (  # noqa: E402
+    NUTS,
+    HamiltonianMC,
+    Metropolis,
+    BinaryMetropolis,
+    BinaryGibbsMetropolis,
+    CategoricalGibbsMetropolis,
+    DEMetropolis,
+    DEMetropolisZ,
+    Slice,
+    CompoundStep,
+)
 
 __all__ = [
     "__version__",
@@ -60,10 +84,37 @@ __all__ = [
     "make_initial_point",
     "sample",
     "init_nuts",
+    "sample_prior_predictive",
+    "sample_posterior_predictive",
+    "compute_deterministics",
+    "compute_log_likelihood",
+    "compute_log_prior",
     "stats",
     "ess",
     "rhat",
     "InferenceData",
+    "variational",
+    "fit",
+    "ADVI",
+    "FullRankADVI",
+    "SVGD",
+    "ASVGD",
+    "KLqp",
+    "MeanField",
+    "FullRank",
+    "Empirical",
+    "Minibatch",
+    "sample_smc",
+    "NUTS",
+    "HamiltonianMC",
+    "Metropolis",
+    "BinaryMetropolis",
+    "BinaryGibbsMetropolis",
+    "CategoricalGibbsMetropolis",
+    "DEMetropolis",
+    "DEMetropolisZ",
+    "Slice",
+    "CompoundStep",
     "DictToArrayBijection",
     "RaveledInfo",
     *_dist_all,

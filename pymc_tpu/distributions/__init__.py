@@ -4,10 +4,17 @@ from .distribution import Continuous, Discrete, DiracDelta, Distribution, UNSET
 from .continuous import *  # noqa: F401,F403
 from .discrete import *  # noqa: F401,F403
 from .multivariate import *  # noqa: F401,F403
+from .mixture import *  # noqa: F401,F403
+from .censored import Censored
+from .truncated import Truncated
+from .timeseries import *  # noqa: F401,F403
+from .custom import CustomDist, DensityDist
 from . import transforms
 from .continuous import __all__ as _cont_all
 from .discrete import __all__ as _disc_all
 from .multivariate import __all__ as _mv_all
+from .mixture import __all__ as _mix_all
+from .timeseries import __all__ as _ts_all
 
 __all__ = [
     "Continuous",
@@ -19,4 +26,10 @@ __all__ = [
     *_cont_all,
     *_disc_all,
     *_mv_all,
+    *_mix_all,
+    *_ts_all,
+    "Censored",
+    "Truncated",
+    "CustomDist",
+    "DensityDist",
 ]

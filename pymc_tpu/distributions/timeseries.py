@@ -1,0 +1,452 @@
+"""Time-series distributions.
+
+Parity: reference pymc/distributions/timeseries.py (RandomWalk:122,
+GaussianRandomWalk:264, MvGaussianRandomWalk:301, MvStudentTRandomWalk:345,
+AR:475, GARCH11:746, EulerMaruyama:898).
+
+TPU-native design: the reference builds these as Scan graphs and derives logp
+through logprob/scan.py. Here the logps are closed-form over shifted slices
+wherever the recursion is linear (RandomWalk/AR/EulerMaruyama — pure
+vectorized ops, no sequential scan in the density!), and `lax.scan` only
+where state truly recurses (GARCH11 volatility, sampling paths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import floatX
+from ..graph import evaluate, is_node
+from .continuous import Flat, Normal
+from .dist_math import check_parameters, log_normal
+from .distribution import Continuous, Distribution, as_param
+from .multivariate import MvNormal, MvStudentT
+
+__all__ = [
+    "RandomWalk",
+    "GaussianRandomWalk",
+    "MvGaussianRandomWalk",
+    "MvStudentTRandomWalk",
+    "AR",
+    "GARCH11",
+    "EulerMaruyama",
+]
+
+
+def _steps_from_shape(shape_arg, size_arg, steps, extra_event=0):
+    if steps is not None:
+        return int(steps)
+    if shape_arg is not None:
+        return int(shape_arg[-1 - extra_event]) - 1
+    raise ValueError("Provide steps= or shape= for timeseries distributions")
+
+
+class RandomWalk(Continuous):
+    """Cumulative sum of iid innovations (reference timeseries.py:122)."""
+
+    param_names = ()
+    event_ndim = 1
+
+    def __dist_init__(self, innovation_dist=None, init_dist=None, steps=None):
+        if innovation_dist is None or not isinstance(innovation_dist, Distribution):
+            raise ValueError("RandomWalk requires innovation_dist=Distribution")
+        self.innovation_dist = innovation_dist
+        self.init_dist = init_dist if init_dist is not None else Flat.dist()
+        self.steps = _steps_from_shape(
+            self._shape_arg, self._size_arg, steps,
+            extra_event=innovation_dist.event_ndim,
+        )
+        self.event_ndim = 1 + innovation_dist.event_ndim
+
+    def _resolve_shapes(self):
+        inner_ev = self.innovation_dist.event_shape
+        nat_batch = tuple(
+            np.broadcast_shapes(
+                self.innovation_dist.batch_shape, self.init_dist.batch_shape
+            )
+        )
+        ev = (self.steps + 1,) + tuple(inner_ev)
+        if self._shape_arg is not None:
+            batch = tuple(self._shape_arg[: len(self._shape_arg) - len(ev)])
+        elif self._size_arg is not None:
+            batch = self._size_arg
+        else:
+            batch = nat_batch
+        self.batch_shape = batch
+        self.event_shape = ev
+
+    def _time_axis(self, value):
+        return value.ndim - 1 - self.innovation_dist.event_ndim
+
+    def logp(self, value, env=None, memo=None):
+        if memo is None:
+            memo = {}
+        ax = self._time_axis(value)
+        first = jnp.take(value, jnp.array([0]), axis=ax)
+        diffs = jnp.diff(value, axis=ax)
+        init_lp = self.init_dist.logp(jnp.squeeze(first, axis=ax), env, memo)
+        innov_lp = self.innovation_dist.logp(diffs, env, memo)
+        # sum over the time axis (and any inner event handled by innov logp)
+        innov_sum = jnp.sum(innov_lp, axis=ax if innov_lp.ndim > ax else None)
+        return init_lp + innov_sum
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        if memo is None:
+            memo = {}
+        k1, k2 = jax.random.split(key)
+        batch = tuple(sample_shape) + self.batch_shape
+        init = self.init_dist.sample(k1, batch[: len(batch) - self.init_dist.ndim]
+                                     if self.init_dist.ndim else batch, env, memo)
+        init = jnp.broadcast_to(init, batch + self.innovation_dist.event_shape)
+        innov_shape = batch + (self.steps,) + self.innovation_dist.event_shape
+        extra = innov_shape[: len(innov_shape) - self.innovation_dist.ndim] \
+            if self.innovation_dist.ndim else innov_shape
+        innov = jnp.broadcast_to(
+            self.innovation_dist.sample(k2, extra, env, memo), innov_shape
+        )
+        ax = len(batch)
+        path = jnp.concatenate(
+            [init[..., None, :] if self.innovation_dist.event_ndim else
+             jnp.expand_dims(init, ax), innov], axis=ax
+        )
+        return jnp.cumsum(path, axis=ax).astype(floatX())
+
+    def support_point(self, env=None, memo=None):
+        if memo is None:
+            memo = {}
+        init = self.init_dist.support_point(env, memo).astype(floatX())
+        innov = self.innovation_dist.support_point(env, memo).astype(floatX())
+        ev = self.innovation_dist.event_shape
+        steps_axis_shape = (self.steps + 1,) + tuple(ev)
+        path = jnp.concatenate(
+            [
+                jnp.broadcast_to(init, (1,) + tuple(ev)) if ev
+                else jnp.reshape(jnp.broadcast_to(init, ()), (1,)),
+                jnp.broadcast_to(innov, (self.steps,) + tuple(ev)),
+            ],
+            axis=0,
+        )
+        pt = jnp.cumsum(path, axis=0)
+        return jnp.broadcast_to(pt, self.shape)
+
+
+class GaussianRandomWalk(RandomWalk):
+    """Reference timeseries.py:264."""
+
+    def __dist_init__(self, mu=0.0, sigma=1.0, *, init_dist=None, steps=None):
+        innovation = Normal.dist(mu=mu, sigma=sigma)
+        super().__dist_init__(
+            innovation_dist=innovation, init_dist=init_dist, steps=steps
+        )
+
+
+class MvGaussianRandomWalk(RandomWalk):
+    """Reference timeseries.py:301."""
+
+    def __dist_init__(self, mu=0.0, cov=None, tau=None, chol=None,
+                      init_dist=None, steps=None):
+        innovation = MvNormal.dist(mu=mu, cov=cov, tau=tau, chol=chol)
+        if init_dist is None:
+            init_dist = MvNormal.dist(
+                mu=jnp.zeros(innovation.shape[-1]),
+                cov=100.0 * jnp.eye(innovation.shape[-1]),
+            )
+        super().__dist_init__(
+            innovation_dist=innovation, init_dist=init_dist, steps=steps
+        )
+
+
+class MvStudentTRandomWalk(RandomWalk):
+    """Reference timeseries.py:345."""
+
+    def __dist_init__(self, nu, mu=0.0, scale=None, tau=None, chol=None,
+                      init_dist=None, steps=None):
+        innovation = MvStudentT.dist(nu, mu=mu, scale=scale, tau=tau, chol=chol)
+        if init_dist is None:
+            init_dist = MvNormal.dist(
+                mu=jnp.zeros(innovation.shape[-1]),
+                cov=100.0 * jnp.eye(innovation.shape[-1]),
+            )
+        super().__dist_init__(
+            innovation_dist=innovation, init_dist=init_dist, steps=steps
+        )
+
+
+class AR(Continuous):
+    """Autoregressive process of order p (reference timeseries.py:475).
+
+    logp is fully vectorized: the conditional mean is a dot of lagged slices
+    with rho — no sequential scan in the density.
+    """
+
+    param_names = ("rho", "sigma")
+    param_event_ndims = (1, 0)
+    event_ndim = 1
+
+    def __dist_init__(self, rho, sigma=1.0, *, init_dist=None, steps=None,
+                      constant=False, ar_order=None):
+        self.rho = as_param(rho)
+        self.sigma = as_param(sigma)
+        self.constant = bool(constant)
+        from .distribution import _shape_of
+
+        rho_len = _shape_of(self.rho)[-1]
+        self.ar_order = int(
+            ar_order if ar_order is not None else rho_len - (1 if constant else 0)
+        )
+        self.init_dist = (
+            init_dist if init_dist is not None
+            else Normal.dist(0.0, 100.0, shape=(self.ar_order,))
+        )
+        self.steps = _steps_from_shape(self._shape_arg, self._size_arg, steps)
+
+    def _resolve_shapes(self):
+        from .distribution import _shape_of
+
+        nat_batch = tuple(
+            np.broadcast_shapes(
+                _shape_of(self.rho)[:-1], _shape_of(self.sigma)
+            )
+        )
+        ev = (self.steps + self.ar_order,)
+        if self._shape_arg is not None:
+            batch = tuple(self._shape_arg[:-1])
+            ev = (self._shape_arg[-1],)
+        elif self._size_arg is not None:
+            batch = self._size_arg
+        else:
+            batch = nat_batch
+        self.batch_shape = batch
+        self.event_shape = ev
+
+    def _split_rho(self, rho):
+        if self.constant:
+            return rho[..., 0], rho[..., 1:]
+        return jnp.zeros(rho.shape[:-1], rho.dtype), rho
+
+    def logp(self, value, env=None, memo=None):
+        if memo is None:
+            memo = {}
+        rho = evaluate(self.rho, env, memo)
+        sigma = evaluate(self.sigma, env, memo)
+        const, coefs = self._split_rho(rho)
+        p = self.ar_order
+        T = value.shape[-1]
+        init_lp = jnp.sum(
+            jnp.atleast_1d(self.init_dist.logp(value[..., :p], env, memo)),
+            axis=-1,
+        )
+        # lagged design: mean_t = const + sum_k coefs_k * x_{t-1-k}
+        lags = jnp.stack(
+            [value[..., p - 1 - k : T - 1 - k] for k in range(p)], axis=-1
+        )
+        mean = const[..., None] + jnp.einsum(
+            "...tk,...k->...t", lags, coefs
+        )
+        innov_lp = jnp.sum(
+            log_normal(value[..., p:], mean, sigma[..., None]), axis=-1
+        )
+        return check_parameters(init_lp + innov_lp, sigma > 0)
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        if memo is None:
+            memo = {}
+        rho = evaluate(self.rho, env, memo)
+        sigma = evaluate(self.sigma, env, memo)
+        const, coefs = self._split_rho(rho)
+        p = self.ar_order
+        batch = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        init_extra = batch[: len(batch) - (self.init_dist.ndim - 1)] \
+            if self.init_dist.ndim > 1 else batch
+        init = jnp.broadcast_to(
+            self.init_dist.sample(k1, init_extra, env, memo), batch + (p,)
+        )
+        noise = sigma[..., None] * jax.random.normal(
+            k2, batch + (self.steps,), dtype=floatX()
+        )
+        coefs_b = jnp.broadcast_to(coefs, batch + (p,))
+        const_b = jnp.broadcast_to(const, batch)
+
+        def step(carry, eps):
+            # carry: last p values, newest last
+            mean = const_b + jnp.einsum("...k,...k->...", carry[..., ::-1], coefs_b)
+            new = mean + eps
+            carry = jnp.concatenate([carry[..., 1:], new[..., None]], axis=-1)
+            return carry, new
+
+        _, path = lax.scan(step, init, jnp.moveaxis(noise, -1, 0))
+        path = jnp.moveaxis(path, 0, -1)
+        return jnp.concatenate([init, path], axis=-1).astype(floatX())
+
+    def support_point(self, env=None, memo=None):
+        return jnp.zeros(self.shape, dtype=floatX())
+
+
+class GARCH11(Continuous):
+    """GARCH(1,1) (reference timeseries.py:746): the volatility recursion is
+    the one true sequential dependency — computed with lax.scan."""
+
+    param_names = ("omega", "alpha_1", "beta_1", "initial_vol")
+    event_ndim = 1
+
+    def __dist_init__(self, omega, alpha_1, beta_1, initial_vol, *, steps=None):
+        self.omega = as_param(omega)
+        self.alpha_1 = as_param(alpha_1)
+        self.beta_1 = as_param(beta_1)
+        self.initial_vol = as_param(initial_vol)
+        self.steps = _steps_from_shape(self._shape_arg, self._size_arg, steps)
+
+    def _resolve_shapes(self):
+        from .distribution import _shape_of
+
+        nat_batch = tuple(
+            np.broadcast_shapes(
+                *[_shape_of(p) for p in self.param_values()]
+            )
+        )
+        if self._shape_arg is not None:
+            batch = tuple(self._shape_arg[:-1])
+            ev = (self._shape_arg[-1],)
+        else:
+            batch = self._size_arg if self._size_arg is not None else nat_batch
+            ev = (self.steps + 1,)
+        self.batch_shape = batch
+        self.event_shape = ev
+
+    def _vols(self, value, omega, alpha_1, beta_1, initial_vol):
+        def step(sigma2_prev_and_x, x_t):
+            sigma2_prev, x_prev = sigma2_prev_and_x
+            sigma2 = omega + alpha_1 * x_prev**2 + beta_1 * sigma2_prev
+            return (sigma2, x_t), jnp.sqrt(jnp.clip(sigma2, 1e-30, None))
+
+        x_moved = jnp.moveaxis(value, -1, 0)
+        init_v = jnp.broadcast_to(
+            jnp.asarray(initial_vol, value.dtype) ** 2, x_moved[0].shape
+        )
+        (_, _), vols = lax.scan(step, (init_v, x_moved[0]), x_moved[1:])
+        vols = jnp.moveaxis(vols, 0, -1)
+        init_vol_b = jnp.broadcast_to(
+            jnp.asarray(initial_vol, value.dtype), value.shape[:-1]
+        )
+        return jnp.concatenate([init_vol_b[..., None], vols], axis=-1)
+
+    def logp(self, value, env=None, memo=None):
+        if memo is None:
+            memo = {}
+        omega, alpha_1, beta_1, initial_vol = (
+            evaluate(p, env, memo) for p in self.param_values()
+        )
+        vols = self._vols(value, omega, alpha_1, beta_1, initial_vol)
+        res = jnp.sum(log_normal(value, 0.0, vols), axis=-1)
+        return check_parameters(
+            res, omega > 0, alpha_1 >= 0, beta_1 >= 0, alpha_1 + beta_1 < 1,
+            initial_vol > 0,
+        )
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        if memo is None:
+            memo = {}
+        omega, alpha_1, beta_1, initial_vol = (
+            evaluate(p, env, memo) for p in self.param_values()
+        )
+        batch = tuple(sample_shape) + self.batch_shape
+        noise = jax.random.normal(key, batch + (self.steps + 1,), dtype=floatX())
+        iv = jnp.broadcast_to(jnp.asarray(initial_vol, floatX()), batch)
+
+        def step(carry, eps):
+            sigma2_prev, x_prev = carry
+            sigma2 = omega + alpha_1 * x_prev**2 + beta_1 * sigma2_prev
+            x = eps * jnp.sqrt(jnp.clip(sigma2, 1e-30, None))
+            return (sigma2, x), x
+
+        x0 = noise[..., 0] * iv
+        (_, _), xs = lax.scan(
+            step, (iv**2, x0), jnp.moveaxis(noise[..., 1:], -1, 0)
+        )
+        xs = jnp.moveaxis(xs, 0, -1)
+        return jnp.concatenate([x0[..., None], xs], axis=-1).astype(floatX())
+
+    def support_point(self, env=None, memo=None):
+        return jnp.zeros(self.shape, dtype=floatX())
+
+
+class EulerMaruyama(Continuous):
+    """SDE discretization (reference timeseries.py:898): x_{t+1} ~ N(x_t +
+    f(x_t)*dt, g(x_t)^2*dt). Densities vectorize over shifted slices."""
+
+    param_names = ()
+    event_ndim = 1
+
+    def __dist_init__(self, dt, sde_fn, sde_pars, *, init_dist=None, steps=None):
+        self.dt = float(dt)
+        self.sde_fn = sde_fn
+        self.sde_pars = tuple(as_param(p) for p in sde_pars)
+        self.init_dist = init_dist if init_dist is not None else Flat.dist()
+        self.steps = _steps_from_shape(self._shape_arg, self._size_arg, steps)
+
+    def param_values(self):
+        return list(self.sde_pars)
+
+    def _resolve_shapes(self):
+        if self._shape_arg is not None:
+            batch = tuple(self._shape_arg[:-1])
+            ev = (self._shape_arg[-1],)
+        else:
+            batch = self._size_arg if self._size_arg is not None else ()
+            ev = (self.steps + 1,)
+        self.batch_shape = batch
+        self.event_shape = ev
+
+    def logp(self, value, env=None, memo=None):
+        if memo is None:
+            memo = {}
+        pars = [evaluate(p, env, memo) for p in self.sde_pars]
+        xt = value[..., :-1]
+        f, g = self.sde_fn(xt, *pars)
+        mu = xt + f * self.dt
+        sigma = jnp.sqrt(jnp.clip(g**2 * self.dt, 1e-30, None))
+        innov = jnp.sum(log_normal(value[..., 1:], mu, sigma), axis=-1)
+        init_lp = self.init_dist.logp(value[..., 0], env, memo)
+        return init_lp + innov
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        if memo is None:
+            memo = {}
+        pars = [evaluate(p, env, memo) for p in self.sde_pars]
+        batch = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        init = jnp.broadcast_to(
+            self.init_dist.sample(k1, batch, env, memo), batch
+        )
+        noise = jax.random.normal(k2, batch + (self.steps,), dtype=floatX())
+
+        def step(x, eps):
+            f, g = self.sde_fn(x, *pars)
+            x_new = x + f * self.dt + eps * jnp.sqrt(
+                jnp.clip(g**2 * self.dt, 1e-30, None)
+            )
+            return x_new, x_new
+
+        _, path = lax.scan(step, init, jnp.moveaxis(noise, -1, 0))
+        path = jnp.moveaxis(path, 0, -1)
+        return jnp.concatenate([init[..., None], path], axis=-1).astype(floatX())
+
+    def support_point(self, env=None, memo=None):
+        if memo is None:
+            memo = {}
+        init = self.init_dist.support_point(env, memo)
+        return jnp.broadcast_to(
+            jnp.asarray(init, floatX())[..., None], self.shape
+        )

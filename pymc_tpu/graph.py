@@ -398,14 +398,21 @@ class ObservedRV(Node):
         self.name = name
         self.dist = dist
         self.observed = observed
-        self.shape = tuple(np.shape(observed))
-        self.dtype = jnp.asarray(observed).dtype
+        if isinstance(observed, Node):
+            # symbolic observed data (e.g. a Minibatch view)
+            self.shape = tuple(observed.shape)
+            self.dtype = observed.dtype
+        else:
+            self.shape = tuple(np.shape(observed))
+            self.dtype = jnp.asarray(observed).dtype
         self.model = model
         self.mask = mask  # boolean mask of MISSING entries (imputation)
 
     def _compute(self, env, memo):
         if self.name in env:
             return env[self.name]
+        if isinstance(self.observed, Node):
+            return self.observed._eval(env, memo)
         return self.observed
 
 

@@ -100,18 +100,31 @@ def make_initial_points_per_chain(
                 out[n] = v
         return out
 
-    def per_chain(k):
-        ks = jax.random.split(k, jitter_max_retries)
-        cands = jax.vmap(candidate)(ks)
-        lps = jax.vmap(logp_fn)(cands)
+    def select(cands, lps):
+        # cands: {name: (chains, retries, ...)}; pick first finite per chain
         finite = jnp.isfinite(lps)
-        idx = jnp.argmax(finite)  # first finite candidate
-        any_finite = jnp.any(finite)
-        # fall back to the unjittered base when all retries failed
-        chosen = {
-            n: jnp.where(any_finite, cands[n][idx], base[n]) for n in names
-        }
-        return chosen
+        idx = jnp.argmax(finite, axis=1)  # (chains,)
+        any_finite = jnp.any(finite, axis=1)
+        out = {}
+        for n in names:
+            picked = jnp.take_along_axis(
+                cands[n],
+                idx.reshape((-1, 1) + (1,) * (cands[n].ndim - 2)),
+                axis=1,
+            )[:, 0]
+            flag = jnp.reshape(any_finite, (-1,) + (1,) * (picked.ndim - 1))
+            out[n] = jnp.where(flag, picked, base[n])
+        return out
 
-    keys = jax.random.split(key, chains)
-    return jax.jit(jax.vmap(per_chain))(keys)
+    # one FLAT vmap over chains*retries (a nested vmap compiles far slower)
+    def build(keys_flat):
+        cands = jax.vmap(candidate)(keys_flat)
+        lps = jax.vmap(logp_fn)(cands)
+        cands = {
+            n: v.reshape((chains, jitter_max_retries) + v.shape[1:])
+            for n, v in cands.items()
+        }
+        return select(cands, lps.reshape(chains, jitter_max_retries))
+
+    keys = jax.random.split(key, chains * jitter_max_retries)
+    return jax.jit(build)(keys)

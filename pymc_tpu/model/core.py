@@ -318,6 +318,19 @@ class Model:
         return rv
 
     def _make_obs_var(self, dist, name, observed, dims, total_size):
+        if is_node(observed):
+            # symbolic observed (Minibatch view): no NaN/shape normalization
+            rv = ObservedRV(name, dist, observed, model=self.root)
+            if total_size is not None:
+                rv.scale = float(np.prod(total_size)) / float(
+                    max(int(np.prod(observed.shape)), 1)
+                )
+            else:
+                rv.scale = 1.0
+            self.observed_RVs.append(rv)
+            self.add_named_variable(rv, dims)
+            self.root._fn_cache.clear()
+            return rv
         arr = self.normalize_observed(observed)
         if dist.is_discrete:
             if not np.issubdtype(arr.dtype, np.integer):
@@ -442,6 +455,9 @@ class Model:
         def fn(value_dict):
             memo = {}
             env = {}
+            mb_key = value_dict.get(("__minibatch_key__",))
+            if mb_key is not None:
+                env[("__minibatch_key__",)] = mb_key
             for rv in free_RVs:
                 v = value_dict[rv.value_name]
                 env[rv.name] = (

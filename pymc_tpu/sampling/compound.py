@@ -1,15 +1,7 @@
-"""Compound / non-NUTS step methods driver (reference
-pymc/step_methods/compound.py + assign_step_methods mcmc.py:256).
+"""Compound step dispatch for pm.sample (reference assign_step_methods).
 
-Implemented in a later milestone this round; this placeholder gives a clear
-error meanwhile.
+The implementation lives in pymc_tpu/step_methods/compound.py; this module
+keeps the import surface the mcmc driver expects.
 """
 
-from __future__ import annotations
-
-
-def sample_with_steps(**kwargs):
-    raise NotImplementedError(
-        "Compound/discrete step methods are not wired into pm.sample yet; "
-        "coming in the Metropolis/Slice milestone."
-    )
+from ..step_methods.compound import sample_with_steps  # noqa: F401

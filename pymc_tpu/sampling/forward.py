@@ -1,0 +1,226 @@
+"""Forward sampling: prior and posterior predictive.
+
+Parity: reference pymc/sampling/forward.py (draw:397,
+sample_prior_predictive:485, sample_posterior_predictive:607,
+compile_forward_sampling_function:262 volatility analysis) and
+sampling/deterministic.py:53 (compute_deterministics).
+
+TPU-native: one jitted, draw-vmapped generative pass over the model DAG in
+registration order — the volatility analysis reduces to "free RVs present in
+the trace are inputs; everything else (missing vars, observed RVs,
+deterministics) is (re)computed."
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..backends.arviz import to_inference_data
+from ..graph import DeterministicNode, FreeRV, ObservedRV, evaluate
+from ..model.core import modelcontext
+
+__all__ = [
+    "sample_prior_predictive",
+    "sample_posterior_predictive",
+    "compute_deterministics",
+    "vectorize_over_posterior",
+]
+
+_log = logging.getLogger("pymc_tpu")
+
+
+def _resolve_key(random_seed):
+    if isinstance(random_seed, jax.Array) and random_seed.dtype == jnp.uint32:
+        return random_seed
+    return jax.random.PRNGKey(
+        int(random_seed) if random_seed is not None
+        else int(np.random.default_rng().integers(2**30))
+    )
+
+
+def _generative_fn(model, given_names=()):
+    """Build fn(key, given: dict) -> {name: value} sampling every free RV not
+    in `given`, every observed RV, and evaluating deterministics."""
+    free_RVs = list(model.free_RVs)
+    observed_RVs = list(model.observed_RVs)
+    deterministics = list(model.deterministics)
+    given_names = set(given_names)
+
+    def fn(key, given):
+        env = dict(given)
+        memo = {}
+        out = {}
+        i = 0
+        for rv in free_RVs:
+            i += 1
+            if rv.name in given_names:
+                env[rv.name] = given[rv.name]
+            else:
+                env[rv.name] = rv.dist.sample(
+                    jax.random.fold_in(key, i), (), env, memo
+                )
+            out[rv.name] = env[rv.name]
+        for orv in observed_RVs:
+            i += 1
+            extra = orv.shape[: len(orv.shape) - orv.dist.ndim] \
+                if orv.dist.ndim <= len(orv.shape) else ()
+            draw = orv.dist.sample(jax.random.fold_in(key, i), extra, env, memo)
+            out[orv.name] = jnp.broadcast_to(draw, orv.shape)
+            env[orv.name] = out[orv.name]
+        for det in deterministics:
+            out[det.name] = evaluate(det, env, memo)
+        return out
+
+    return fn
+
+
+def sample_prior_predictive(
+    draws=500, model=None, var_names=None, random_seed=None, idata_kwargs=None,
+    return_inferencedata=True, compile_kwargs=None, samples=None,
+):
+    """Reference forward.py:485."""
+    model = modelcontext(model)
+    if samples is not None:  # deprecated alias
+        draws = samples
+    key = _resolve_key(random_seed)
+    fn = _generative_fn(model)
+    keys = jax.random.split(key, draws)
+    out = jax.jit(jax.vmap(lambda k: fn(k, {})))(keys)
+    out = {k: np.asarray(jax.device_get(v))[None] for k, v in out.items()}
+
+    obs_names = {orv.name for orv in model.observed_RVs}
+    if var_names is not None:
+        out = {k: v for k, v in out.items() if k in set(var_names)}
+    prior = {k: v for k, v in out.items() if k not in obs_names}
+    prior_pred = {k: v for k, v in out.items() if k in obs_names}
+    if not return_inferencedata:
+        return {k: v[0] for k, v in out.items()}
+    return to_inference_data(
+        model, prior=prior or None, prior_predictive=prior_pred or None
+    )
+
+
+def sample_posterior_predictive(
+    trace, model=None, var_names=None, random_seed=None, progressbar=True,
+    return_inferencedata=True, extend_inferencedata=False, predictions=False,
+    idata_kwargs=None, compile_kwargs=None, sample_dims=None,
+):
+    """Reference forward.py:607. Free RVs present in the posterior are taken
+    from the trace; missing free RVs and all requested observed RVs are
+    resampled (the volatility semantics of forward.py:154)."""
+    model = modelcontext(model)
+    key = _resolve_key(random_seed)
+
+    post = trace.posterior if hasattr(trace, "posterior") else trace
+    traced = {}
+    C = D = None
+    for rv in model.free_RVs:
+        if rv.name in post:
+            vals = np.asarray(post[rv.name].values)
+            C, D = vals.shape[:2]
+            traced[rv.name] = vals
+    if C is None:
+        raise ValueError("No free RV draws found in the posterior trace")
+
+    given_names = list(traced.keys())
+    missing = [rv.name for rv in model.free_RVs if rv.name not in traced]
+    if missing:
+        _log.info(f"Resampling free RVs not in trace: {missing}")
+    fn = _generative_fn(model, given_names=given_names)
+
+    flat = {k: jnp.asarray(v.reshape((C * D,) + v.shape[2:]))
+            for k, v in traced.items()}
+    keys = jax.random.split(key, C * D)
+    out = jax.jit(jax.vmap(fn))(keys, flat)
+
+    obs_names = [orv.name for orv in model.observed_RVs]
+    want = set(var_names) if var_names is not None else set(obs_names)
+    result = {}
+    for name in want:
+        if name not in out:
+            raise KeyError(f"Variable {name} not found in model")
+        v = np.asarray(jax.device_get(out[name]))
+        result[name] = v.reshape((C, D) + v.shape[1:])
+
+    if not return_inferencedata:
+        return result
+    group = "predictions" if predictions else "posterior_predictive"
+    idata = to_inference_data(model, **{
+        "posterior_predictive" if not predictions else "posterior_predictive":
+        result
+    })
+    if predictions:
+        ds = idata.posterior_predictive
+        idata._groups.remove("posterior_predictive")
+        idata.add_group("predictions", ds)
+    if extend_inferencedata and hasattr(trace, "extend"):
+        trace.extend(idata, join="left")
+        for g in idata.groups():
+            if g not in trace.groups():
+                trace.add_group(g, getattr(idata, g))
+        return trace
+    return idata
+
+
+def compute_deterministics(
+    idata, *, var_names=None, model=None, sample_dims=("chain", "draw"),
+    merge_dataset=False, progressbar=True, compile_kwargs=None,
+):
+    """Recompute deterministics from a posterior (reference
+    sampling/deterministic.py:53)."""
+    model = modelcontext(model)
+    post = idata.posterior if hasattr(idata, "posterior") else idata
+    names = [d.name for d in model.deterministics]
+    if var_names is not None:
+        names = [n for n in names if n in set(var_names)]
+
+    traced = {}
+    C = D = None
+    for rv in model.free_RVs:
+        if rv.name in post:
+            vals = np.asarray(post[rv.name].values)
+            C, D = vals.shape[:2]
+            traced[rv.name] = jnp.asarray(
+                vals.reshape((C * D,) + vals.shape[2:])
+            )
+
+    dets = [d for d in model.deterministics if d.name in names]
+
+    def fn(env):
+        memo = {}
+        return {d.name: evaluate(d, env, memo) for d in dets}
+
+    out = jax.jit(jax.vmap(fn))(traced)
+    result = {
+        k: np.asarray(jax.device_get(v)).reshape((C, D) + v.shape[1:])
+        for k, v in out.items()
+    }
+    from ..backends.arviz import dataset_from_draws
+
+    ds = dataset_from_draws(model, result)
+    if merge_dataset and hasattr(idata, "posterior"):
+        for k, v in ds.items():
+            idata.posterior[k] = v
+        return idata.posterior
+    return ds
+
+
+def vectorize_over_posterior(fn, idata, model=None):
+    """Apply fn(env) over every posterior draw (reference forward.py:1337)."""
+    model = modelcontext(model)
+    post = idata.posterior
+    traced = {}
+    C = D = None
+    for rv in model.free_RVs:
+        if rv.name in post:
+            vals = np.asarray(post[rv.name].values)
+            C, D = vals.shape[:2]
+            traced[rv.name] = jnp.asarray(vals.reshape((C * D,) + vals.shape[2:]))
+    out = jax.jit(jax.vmap(fn))(traced)
+    return jax.tree.map(
+        lambda v: np.asarray(jax.device_get(v)).reshape((C, D) + v.shape[1:]), out
+    )

@@ -174,24 +174,25 @@ def _build_subtree(
         )
         p_sum = s.p_sum + p
 
-        # U-turn checks for completed subtrees ending at odd leaf n
+        # U-turn checks for completed subtrees ending at odd leaf n —
+        # vectorized over all checkpoint slots in one batched reduction
+        # (avoids a sequential fori_loop of tiny latency-bound dots)
         t_ones = _popcount(n ^ (n + 1)) - 1  # trailing ones of n
         c_hi = _popcount(n) - 1
         c_lo = _popcount(n) - t_ones
         v_leaf = inv_mass_diag * p
-
-        def check(slot_j, turning):
-            active = jnp.logical_and(slot_j >= c_lo, slot_j <= c_hi)
-            rho = p_sum - psum_ckpt[slot_j]
-            v_start = inv_mass_diag * p_ckpt[slot_j]
-            t = jnp.logical_or(
-                jnp.dot(v_start, rho) <= 0.0, jnp.dot(v_leaf, rho) <= 0.0
-            )
-            return jnp.logical_or(turning, jnp.logical_and(active, t))
-
+        slots = jnp.arange(max_treedepth + 1, dtype=jnp.int32)
+        active = (slots >= c_lo) & (slots <= c_hi)
+        rho_all = p_sum[None, :] - psum_ckpt  # (S, D)
+        v_starts = inv_mass_diag[None, :] * p_ckpt
+        dot_start = jnp.sum(v_starts * rho_all, axis=-1)
+        dot_leaf = rho_all @ v_leaf
+        any_turn = jnp.any(
+            active & ((dot_start <= 0.0) | (dot_leaf <= 0.0))
+        )
         turning = jnp.where(
             jnp.logical_and(~is_even, ~diverging),
-            lax.fori_loop(0, max_treedepth + 1, check, s.turning),
+            jnp.logical_or(s.turning, any_turn),
             s.turning,
         )
 

@@ -1,0 +1,348 @@
+"""Tests for derived-density combinators: Mixture, ZeroInflated/Hurdle,
+Censored, Truncated, timeseries, CustomDist (mirrors reference
+tests/distributions/test_mixture.py, test_censored.py, test_truncated.py,
+test_timeseries.py, test_custom.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.stats as st
+
+import pymc_tpu as pm
+
+
+class TestMixture:
+    def test_logp_list_components(self):
+        w = np.array([0.3, 0.7])
+        d = pm.Mixture.dist(
+            w, [pm.Normal.dist(-2.0, 1.0), pm.Normal.dist(3.0, 0.5)]
+        )
+        x = np.linspace(-4, 5, 11)
+        expected = np.log(
+            0.3 * st.norm.pdf(x, -2, 1) + 0.7 * st.norm.pdf(x, 3, 0.5)
+        )
+        np.testing.assert_allclose(np.asarray(pm.logp(d, x)), expected, rtol=1e-7)
+
+    def test_logp_single_batched_component(self):
+        w = np.array([0.4, 0.6])
+        d = pm.Mixture.dist(w, pm.Normal.dist(np.array([-1.0, 2.0]), 1.0))
+        x = np.array([0.0, 1.0, -2.0])
+        expected = np.log(
+            0.4 * st.norm.pdf(x, -1, 1) + 0.6 * st.norm.pdf(x, 2, 1)
+        )
+        np.testing.assert_allclose(np.asarray(pm.logp(d, x)), expected, rtol=1e-7)
+
+    def test_logcdf(self):
+        w = np.array([0.5, 0.5])
+        d = pm.Mixture.dist(w, [pm.Normal.dist(0.0, 1.0), pm.Normal.dist(2.0, 2.0)])
+        x = np.array([-1.0, 0.5, 3.0])
+        expected = np.log(
+            0.5 * st.norm.cdf(x, 0, 1) + 0.5 * st.norm.cdf(x, 2, 2)
+        )
+        np.testing.assert_allclose(np.asarray(pm.logcdf(d, x)), expected, rtol=1e-6)
+
+    def test_random_moments(self):
+        w = np.array([0.3, 0.7])
+        d = pm.Mixture.dist(
+            w, [pm.Normal.dist(-2.0, 0.5), pm.Normal.dist(4.0, 1.0)],
+            size=(40000,),
+        )
+        draws = np.asarray(d.sample(jax.random.PRNGKey(0)))
+        np.testing.assert_allclose(draws.mean(), 0.3 * -2 + 0.7 * 4, atol=0.05)
+
+    def test_in_model_sampling(self):
+        rng = np.random.default_rng(1)
+        y = np.concatenate([rng.normal(-2, 0.5, 150), rng.normal(3, 0.5, 350)])
+        with pm.Model() as m:
+            w = pm.Dirichlet("w", a=np.ones(2))
+            mu = pm.Normal("mu", np.array([-1.0, 1.0]), 3.0, shape=(2,),
+                           transform=pm.transforms.ordered
+                           if hasattr(pm, "transforms") else None)
+            comps = pm.Normal.dist(mu, 0.5)
+            pm.Mixture("y", w, comps, observed=y)
+        idata = pm.sample(draws=300, tune=300, chains=2, model=m, random_seed=2,
+                          progressbar=False, compute_convergence_checks=False)
+        w_est = idata.posterior["w"].values.mean(axis=(0, 1))
+        np.testing.assert_allclose(sorted(w_est), [0.3, 0.7], atol=0.07)
+
+    def test_normal_mixture(self):
+        d = pm.NormalMixture.dist(
+            np.array([0.5, 0.5]), mu=np.array([0.0, 5.0]), sigma=1.0
+        )
+        x = np.array([2.5])
+        expected = np.log(
+            0.5 * st.norm.pdf(2.5, 0, 1) + 0.5 * st.norm.pdf(2.5, 5, 1)
+        )
+        np.testing.assert_allclose(float(pm.logp(d, x)[0]), expected, rtol=1e-7)
+
+
+class TestZeroInflated:
+    def test_zip_logp(self):
+        psi, mu = 0.7, 3.0
+        d = pm.ZeroInflatedPoisson.dist(psi, mu)
+        ks = np.arange(0, 8)
+        expected = np.where(
+            ks == 0,
+            np.log((1 - psi) + psi * st.poisson.pmf(0, mu)),
+            np.log(psi * st.poisson.pmf(ks, mu)),
+        )
+        np.testing.assert_allclose(np.asarray(pm.logp(d, ks)), expected, rtol=1e-7)
+
+    def test_zib_logp(self):
+        psi, n, p = 0.6, 10, 0.4
+        d = pm.ZeroInflatedBinomial.dist(psi, n, p)
+        ks = np.arange(0, 10)
+        expected = np.where(
+            ks == 0,
+            np.log((1 - psi) + psi * st.binom.pmf(0, n, p)),
+            np.log(psi * st.binom.pmf(ks, n, p)),
+        )
+        np.testing.assert_allclose(np.asarray(pm.logp(d, ks)), expected, rtol=1e-7)
+
+    def test_zinb_random(self):
+        d = pm.ZeroInflatedNegativeBinomial.dist(0.5, mu=4.0, alpha=2.0,
+                                                 size=(20000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(1)))
+        # mean = psi * mu
+        np.testing.assert_allclose(draws.mean(), 0.5 * 4.0, atol=0.1)
+
+    def test_hurdle_poisson_logp(self):
+        psi, mu = 0.8, 2.0
+        d = pm.HurdlePoisson.dist(psi, mu)
+        trunc_norm = 1 - st.poisson.pmf(0, mu)
+        ks = np.arange(0, 7)
+        expected = np.where(
+            ks == 0,
+            np.log(1 - psi),
+            np.log(psi * st.poisson.pmf(ks, mu) / trunc_norm),
+        )
+        np.testing.assert_allclose(np.asarray(pm.logp(d, ks)), expected, rtol=1e-6)
+
+    def test_hurdle_gamma(self):
+        psi, alpha, beta = 0.6, 2.0, 1.5
+        d = pm.HurdleGamma.dist(psi, alpha=alpha, beta=beta)
+        xs = np.array([0.0, 0.5, 2.0])
+        expected = np.where(
+            xs == 0,
+            np.log(1 - psi),
+            np.log(psi) + st.gamma.logpdf(xs, alpha, scale=1 / beta),
+        )
+        np.testing.assert_allclose(np.asarray(pm.logp(d, xs)), expected, rtol=1e-7)
+
+
+class TestCensored:
+    def test_continuous_logp(self):
+        base = pm.Normal.dist(0.0, 2.0)
+        d = pm.Censored.dist(base, lower=-1.0, upper=1.5)
+        xs = np.array([-1.0, 0.0, 1.0, 1.5])
+        expected = np.array([
+            st.norm.logcdf(-1, 0, 2),
+            st.norm.logpdf(0, 0, 2),
+            st.norm.logpdf(1, 0, 2),
+            st.norm.logsf(1.5, 0, 2),
+        ])
+        np.testing.assert_allclose(np.asarray(pm.logp(d, xs)), expected, rtol=1e-7)
+        assert float(pm.logp(d, -1.1)) == -np.inf
+        assert float(pm.logp(d, 1.6)) == -np.inf
+
+    def test_discrete_logp(self):
+        base = pm.Poisson.dist(3.0)
+        d = pm.Censored.dist(base, lower=1, upper=5)
+        expected_lo = st.poisson.logcdf(1, 3)
+        expected_hi = np.log(1 - st.poisson.cdf(4, 3))
+        np.testing.assert_allclose(float(pm.logp(d, 1)), expected_lo, rtol=1e-7)
+        np.testing.assert_allclose(float(pm.logp(d, 5)), expected_hi, rtol=1e-7)
+        np.testing.assert_allclose(
+            float(pm.logp(d, 3)), st.poisson.logpmf(3, 3), rtol=1e-7
+        )
+
+    def test_sampling_clips(self):
+        d = pm.Censored.dist(pm.Normal.dist(0.0, 1.0), lower=-0.5, upper=0.5,
+                             size=(5000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(2)))
+        assert draws.min() >= -0.5 and draws.max() <= 0.5
+        assert (draws == -0.5).mean() > 0.2  # mass at bounds
+
+    def test_censored_observed_model(self):
+        rng = np.random.default_rng(3)
+        latent = rng.normal(1.0, 1.0, 500)
+        y = np.clip(latent, None, 1.5)
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 5)
+            pm.Censored("y", pm.Normal.dist(mu, 1.0), upper=1.5, observed=y)
+        idata = pm.sample(draws=300, tune=300, chains=2, model=m, random_seed=4,
+                          progressbar=False, compute_convergence_checks=False)
+        mu_est = idata.posterior["mu"].values.mean()
+        assert abs(mu_est - 1.0) < 0.15, mu_est
+
+
+class TestTruncated:
+    def test_logp_normal(self):
+        base = pm.Normal.dist(0.5, 1.0)
+        d = pm.Truncated.dist(base, lower=-1.0, upper=2.0)
+        xs = np.array([-0.5, 0.0, 1.5])
+        expected = st.truncnorm.logpdf(xs, -1.5, 1.5, 0.5, 1.0)
+        np.testing.assert_allclose(np.asarray(pm.logp(d, xs)), expected, rtol=1e-6)
+        assert float(pm.logp(d, -1.5)) == -np.inf
+
+    def test_logp_gamma(self):
+        base = pm.Gamma.dist(2.0, 1.0)
+        d = pm.Truncated.dist(base, lower=1.0)
+        x = 2.5
+        norm = st.gamma.sf(1.0, 2.0)
+        expected = st.gamma.logpdf(x, 2.0) - np.log(norm)
+        np.testing.assert_allclose(float(pm.logp(d, x)), expected, rtol=1e-6)
+
+    def test_sampling_continuous(self):
+        d = pm.Truncated.dist(pm.Normal.dist(0.0, 1.0), lower=1.0, size=(4000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(5)))
+        assert draws.min() >= 1.0
+        _, pval = st.kstest(draws, lambda x: st.truncnorm.cdf(x, 1.0, np.inf))
+        assert pval > 0.01
+
+    def test_sampling_discrete(self):
+        d = pm.Truncated.dist(pm.Poisson.dist(3.0), lower=1, upper=6,
+                              size=(8000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(6)))
+        assert draws.min() >= 1 and draws.max() <= 6
+        # frequencies match truncated pmf
+        ks = np.arange(1, 7)
+        pmf = st.poisson.pmf(ks, 3.0)
+        pmf = pmf / pmf.sum()
+        freq = np.array([(draws == k).mean() for k in ks])
+        np.testing.assert_allclose(freq, pmf, atol=0.02)
+
+
+class TestTimeseries:
+    def test_grw_logp(self):
+        d = pm.GaussianRandomWalk.dist(
+            mu=0.2, sigma=0.5, init_dist=pm.Normal.dist(0.0, 1.0), steps=10
+        )
+        x = np.cumsum(np.random.default_rng(7).normal(0.2, 0.5, 11))
+        expected = st.norm.logpdf(x[0], 0, 1) + st.norm.logpdf(
+            np.diff(x), 0.2, 0.5
+        ).sum()
+        np.testing.assert_allclose(float(pm.logp(d, x)), expected, rtol=1e-7)
+
+    def test_grw_random(self):
+        d = pm.GaussianRandomWalk.dist(
+            mu=1.0, sigma=0.1, init_dist=pm.Normal.dist(0.0, 0.1), steps=20,
+            size=(2000,),
+        )
+        draws = np.asarray(d.sample(jax.random.PRNGKey(8)))
+        assert draws.shape == (2000, 21)
+        np.testing.assert_allclose(draws[:, -1].mean(), 20.0, atol=0.1)
+
+    def test_ar_logp(self):
+        rho = np.array([0.5, -0.3])
+        d = pm.AR.dist(rho, sigma=0.2,
+                       init_dist=pm.Normal.dist(0.0, 1.0, shape=(2,)),
+                       steps=8)
+        x = np.random.default_rng(9).normal(size=10)
+        mean = rho[0] * x[1:-1] + rho[1] * x[:-2]
+        expected = (
+            st.norm.logpdf(x[:2], 0, 1).sum()
+            + st.norm.logpdf(x[2:], mean, 0.2).sum()
+        )
+        np.testing.assert_allclose(float(pm.logp(d, x)), expected, rtol=1e-6)
+
+    def test_ar_constant(self):
+        rho = np.array([1.0, 0.5])  # constant + AR(1)
+        d = pm.AR.dist(rho, sigma=0.3, constant=True,
+                       init_dist=pm.Normal.dist(0.0, 1.0, shape=(1,)),
+                       steps=5)
+        x = np.random.default_rng(10).normal(size=6)
+        mean = 1.0 + 0.5 * x[:-1]
+        expected = (
+            st.norm.logpdf(x[0], 0, 1)
+            + st.norm.logpdf(x[1:], mean, 0.3).sum()
+        )
+        np.testing.assert_allclose(float(pm.logp(d, x)), expected, rtol=1e-6)
+
+    def test_ar_stationary_sampling(self):
+        d = pm.AR.dist(np.array([0.8]), sigma=1.0,
+                       init_dist=pm.Normal.dist(0.0, 1.0 / np.sqrt(1 - 0.64),
+                                                shape=(1,)),
+                       steps=200, size=(500,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(11)))
+        # stationary variance = sigma^2/(1-rho^2)
+        np.testing.assert_allclose(
+            draws[:, 100:].var(), 1 / (1 - 0.64), rtol=0.1
+        )
+
+    def test_garch11_logp(self):
+        om, a1, b1, iv = 0.2, 0.3, 0.5, 1.0
+        d = pm.GARCH11.dist(om, a1, b1, iv, steps=4)
+        x = np.array([0.5, -1.0, 0.3, 0.8, -0.2])
+        vols = [iv]
+        for t in range(1, 5):
+            vols.append(np.sqrt(om + a1 * x[t - 1] ** 2 + b1 * vols[-1] ** 2))
+        expected = st.norm.logpdf(x, 0, vols).sum()
+        np.testing.assert_allclose(float(pm.logp(d, x)), expected, rtol=1e-6)
+
+    def test_euler_maruyama(self):
+        # OU process dx = -theta x dt + s dW
+        def sde(x, theta, s):
+            return -theta * x, s
+
+        d = pm.EulerMaruyama.dist(
+            0.1, sde, (0.5, 0.3), init_dist=pm.Normal.dist(0.0, 1.0), steps=6
+        )
+        x = np.random.default_rng(12).normal(size=7)
+        mu = x[:-1] - 0.5 * x[:-1] * 0.1
+        expected = (
+            st.norm.logpdf(x[0], 0, 1)
+            + st.norm.logpdf(x[1:], mu, 0.3 * np.sqrt(0.1)).sum()
+        )
+        np.testing.assert_allclose(float(pm.logp(d, x)), expected, rtol=1e-6)
+
+    def test_grw_in_model(self):
+        rng = np.random.default_rng(13)
+        path = np.cumsum(rng.normal(0.5, 1.0, 30))
+        with pm.Model() as m:
+            drift = pm.Normal("drift", 0, 2)
+            sigma = pm.HalfNormal("sigma", 2)
+            pm.GaussianRandomWalk(
+                "y", mu=drift, sigma=sigma,
+                init_dist=pm.Normal.dist(0.0, 10.0), steps=29, observed=path,
+            )
+        idata = pm.sample(draws=300, tune=300, chains=2, model=m,
+                          random_seed=14, progressbar=False,
+                          compute_convergence_checks=False)
+        d_est = idata.posterior["drift"].values.mean()
+        assert abs(d_est - 0.5) < 0.6
+
+
+class TestCustomDist:
+    def test_logp_and_sampling(self):
+        def logp(value, mu):
+            return -jnp.abs(value - mu)  # laplace-ish up to constant
+
+        def random(mu, rng=None, size=None):
+            return mu + jax.random.laplace(rng, size)
+
+        d = pm.CustomDist.dist(1.0, logp=logp, random=random)
+        np.testing.assert_allclose(float(pm.logp(d, 3.0)), -2.0)
+        draws = pm.CustomDist.dist(
+            1.0, logp=logp, random=random, size=(1000,)
+        ).sample(jax.random.PRNGKey(15))
+        assert np.asarray(draws).shape == (1000,)
+
+    def test_in_model(self):
+        y = np.random.default_rng(16).normal(2.0, 1.0, 100)
+
+        def logp(value, mu):
+            return -0.5 * (value - mu) ** 2 - 0.5 * np.log(2 * np.pi)
+
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 10)
+            pm.CustomDist("y", mu, logp=logp, observed=y)
+        idata = pm.sample(draws=200, tune=200, chains=2, model=m,
+                          random_seed=17, progressbar=False,
+                          compute_convergence_checks=False)
+        assert abs(idata.posterior["mu"].values.mean() - 2.0) < 0.3
+
+    def test_requires_logp(self):
+        with pytest.raises(TypeError, match="requires logp"):
+            pm.CustomDist.dist(1.0, random=lambda mu, rng, size: mu)
