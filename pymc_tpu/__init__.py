@@ -50,6 +50,11 @@ from .variational import ADVI, ASVGD, SVGD, FullRankADVI, KLqp, fit  # noqa: E40
 from .variational.approximations import Empirical, FullRank, MeanField  # noqa: E402
 from .data import Minibatch  # noqa: E402
 from .smc import sample_smc  # noqa: E402
+from . import gp  # noqa: E402
+from .tuning.starting import find_MAP, find_hessian  # noqa: E402
+from .model_graph import model_to_graphviz, model_to_mermaid, model_to_networkx  # noqa: E402
+from .printing import str_for_dist, str_for_model  # noqa: E402
+from .stats.summary import hdi, summary  # noqa: E402
 from .step_methods import (  # noqa: E402
     NUTS,
     HamiltonianMC,
@@ -105,6 +110,16 @@ __all__ = [
     "Empirical",
     "Minibatch",
     "sample_smc",
+    "gp",
+    "find_MAP",
+    "find_hessian",
+    "model_to_graphviz",
+    "model_to_mermaid",
+    "model_to_networkx",
+    "str_for_dist",
+    "str_for_model",
+    "summary",
+    "hdi",
     "NUTS",
     "HamiltonianMC",
     "Metropolis",

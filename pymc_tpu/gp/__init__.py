@@ -1,0 +1,20 @@
+"""Gaussian process module (reference pymc/gp/__init__.py)."""
+
+from . import cov, mean
+from .gp import Latent, LatentKron, Marginal, MarginalApprox, MarginalKron, TP
+from .hsgp_approx import HSGP, HSGPPeriodic, approx_hsgp_hyperparams, set_boundary
+
+__all__ = [
+    "cov",
+    "mean",
+    "Latent",
+    "Marginal",
+    "MarginalApprox",
+    "MarginalKron",
+    "LatentKron",
+    "TP",
+    "HSGP",
+    "HSGPPeriodic",
+    "set_boundary",
+    "approx_hsgp_hyperparams",
+]

@@ -1,0 +1,401 @@
+"""GP model classes.
+
+Parity: reference pymc/gp/gp.py (Latent, Marginal, MarginalApprox
+(FITC/VFE/DTC), LatentKron, MarginalKron, TP). Dense linear algebra
+(Cholesky, triangular solves) is the MXU path — BASELINE config #4.
+
+The reference builds conditionals through stored `givens`; here each GP
+object stores (X, f/y, sigma) at prior/marginal_likelihood time and
+`conditional` registers the closed-form predictive MvNormal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import floatX
+from ..graph import apply, is_node
+from . import cov as gp_cov
+from . import mean as gp_mean
+
+__all__ = ["Latent", "Marginal", "MarginalApprox", "TP", "LatentKron",
+           "MarginalKron"]
+
+_JITTER = 1e-6
+
+
+def _stabilize(K, jitter=_JITTER):
+    return apply(
+        lambda k: k + jitter * jnp.eye(k.shape[-1], dtype=k.dtype), K
+    )
+
+
+class Base:
+    def __init__(self, mean_func=None, cov_func=None):
+        self.mean_func = mean_func if mean_func is not None else gp_mean.Zero()
+        if cov_func is None:
+            raise ValueError("A covariance function is required")
+        self.cov_func = cov_func
+
+    def __add__(self, other):
+        if type(self) is not type(other):
+            raise TypeError("Cannot add GPs of different types")
+        return type(self)(
+            mean_func=self.mean_func + other.mean_func,
+            cov_func=self.cov_func + other.cov_func,
+        )
+
+
+class Latent(Base):
+    """Latent (noise-free) GP prior (reference gp.py Latent)."""
+
+    def __init__(self, mean_func=None, cov_func=None):
+        super().__init__(mean_func, cov_func)
+        self.X = None
+        self.f = None
+
+    def prior(self, name, X, reparameterize=True, jitter=_JITTER, **kwargs):
+        import pymc_tpu as pm
+
+        X = jnp.asarray(X) if not is_node(X) else X
+        n = X.shape[0]
+        mu = self.mean_func(X)
+        K = _stabilize(self.cov_func(X), jitter)
+        chol = apply(jnp.linalg.cholesky, K)
+        if reparameterize:
+            v = pm.Normal(f"{name}_rotated_", 0.0, 1.0, shape=(n,), **kwargs)
+            from ..model.core import Deterministic
+
+            f = Deterministic(
+                name, apply(lambda m, L, vv: m + L @ vv, mu, chol, v)
+            )
+        else:
+            f = pm.MvNormal(name, mu=mu, chol=chol, **kwargs)
+        self.X, self.f, self._jitter = X, f, jitter
+        return f
+
+    def _build_conditional(self, Xnew, jitter):
+        X, f = self.X, self.f
+        Kxx = _stabilize(self.cov_func(X), jitter)
+        Kxs = self.cov_func(X, Xnew)
+        Kss = self.cov_func(Xnew)
+        mu_x = self.mean_func(X)
+        mu_s = self.mean_func(Xnew)
+
+        def cond(kxx, kxs, kss, mx, ms, fv):
+            L = jnp.linalg.cholesky(kxx)
+            from jax.scipy.linalg import solve_triangular
+
+            A = solve_triangular(L, kxs, lower=True)          # (n, m)
+            v = solve_triangular(L, fv - mx, lower=True)      # (n,)
+            mu = ms + A.T @ v
+            cov = kss - A.T @ A
+            return mu, cov + _JITTER * jnp.eye(cov.shape[0], dtype=cov.dtype)
+
+        mu = apply(lambda *a: cond(*a)[0], Kxx, Kxs, Kss, mu_x, mu_s, f)
+        cov = apply(lambda *a: cond(*a)[1], Kxx, Kxs, Kss, mu_x, mu_s, f)
+        return mu, cov
+
+    def conditional(self, name, Xnew, jitter=_JITTER, **kwargs):
+        import pymc_tpu as pm
+
+        Xnew = jnp.asarray(Xnew) if not is_node(Xnew) else Xnew
+        mu, cov = self._build_conditional(Xnew, jitter)
+        return pm.MvNormal(name, mu=mu, cov=cov, **kwargs)
+
+
+class TP(Latent):
+    """Student-t process (reference gp.py TP)."""
+
+    def __init__(self, mean_func=None, scale_func=None, cov_func=None, nu=None):
+        if nu is None:
+            raise ValueError("TP requires nu")
+        super().__init__(mean_func, scale_func if scale_func is not None else cov_func)
+        self.nu = nu
+
+    def prior(self, name, X, reparameterize=True, jitter=_JITTER, **kwargs):
+        import pymc_tpu as pm
+
+        X = jnp.asarray(X) if not is_node(X) else X
+        n = X.shape[0]
+        mu = self.mean_func(X)
+        K = _stabilize(self.cov_func(X), jitter)
+        chol = apply(jnp.linalg.cholesky, K)
+        if reparameterize:
+            chi2 = pm.ChiSquared(f"{name}_chi2_", self.nu)
+            v = pm.Normal(f"{name}_rotated_", 0.0, 1.0, shape=(n,), **kwargs)
+            from ..model.core import Deterministic
+
+            f = Deterministic(
+                name,
+                apply(
+                    lambda m, L, vv, c2, nu: m + jnp.sqrt(nu / c2) * (L @ vv),
+                    mu, chol, v, chi2, self.nu,
+                ),
+            )
+        else:
+            f = pm.MvStudentT(name, nu=self.nu, mu=mu, chol=chol, **kwargs)
+        self.X, self.f, self._jitter = X, f, jitter
+        return f
+
+
+class Marginal(Base):
+    """GP with Gaussian observation noise marginalized analytically
+    (reference gp.py Marginal)."""
+
+    def __init__(self, mean_func=None, cov_func=None):
+        super().__init__(mean_func, cov_func)
+        self.X = None
+        self.y = None
+        self.sigma = None
+
+    def marginal_likelihood(self, name, X, y, sigma=None, noise=None,
+                            jitter=_JITTER, is_observed=True, **kwargs):
+        import pymc_tpu as pm
+
+        if sigma is None:
+            sigma = noise
+        if sigma is None:
+            raise ValueError("Marginal requires sigma (noise level)")
+        X = jnp.asarray(X) if not is_node(X) else X
+        mu = self.mean_func(X)
+        K = self.cov_func(X)
+        cov = apply(
+            lambda k, s: k + (s**2 + _JITTER) * jnp.eye(k.shape[-1], dtype=k.dtype),
+            K, sigma,
+        )
+        self.X, self.y, self.sigma, self._jitter = X, y, sigma, jitter
+        return pm.MvNormal(name, mu=mu, cov=cov, observed=y, **kwargs)
+
+    def _build_conditional(self, Xnew, pred_noise, diag, jitter):
+        X, y, sigma = self.X, self.y, self.sigma
+        Kxx = self.cov_func(X)
+        Kxs = self.cov_func(X, Xnew)
+        mu_x = self.mean_func(X)
+        mu_s = self.mean_func(Xnew)
+        Kss = self.cov_func(Xnew, diag=diag) if diag else self.cov_func(Xnew)
+
+        def cond(kxx, kxs, kss, mx, ms, yv, s):
+            n = kxx.shape[0]
+            Ky = kxx + (s**2 + jitter) * jnp.eye(n, dtype=kxx.dtype)
+            L = jnp.linalg.cholesky(Ky)
+            from jax.scipy.linalg import solve_triangular
+
+            A = solve_triangular(L, kxs, lower=True)
+            v = solve_triangular(L, yv - mx, lower=True)
+            mu = ms + A.T @ v
+            if diag:
+                var = kss - jnp.sum(A**2, axis=0)
+                if pred_noise:
+                    var = var + s**2
+                return mu, var
+            cov = kss - A.T @ A
+            if pred_noise:
+                cov = cov + s**2 * jnp.eye(cov.shape[0], dtype=cov.dtype)
+            return mu, cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+
+        mu = apply(lambda *a: cond(*a)[0], Kxx, Kxs, Kss, mu_x, mu_s, y, sigma)
+        cov = apply(lambda *a: cond(*a)[1], Kxx, Kxs, Kss, mu_x, mu_s, y, sigma)
+        return mu, cov
+
+    def conditional(self, name, Xnew, pred_noise=False, jitter=_JITTER,
+                    **kwargs):
+        import pymc_tpu as pm
+
+        Xnew = jnp.asarray(Xnew) if not is_node(Xnew) else Xnew
+        mu, cov = self._build_conditional(Xnew, pred_noise, False, jitter)
+        return pm.MvNormal(name, mu=mu, cov=cov, **kwargs)
+
+    def predict(self, Xnew, point=None, diag=False, pred_noise=False,
+                jitter=_JITTER, model=None):
+        """Closed-form predictive moments at a point (reference
+        Marginal.predict)."""
+        from ..graph import evaluate
+        from ..model.core import modelcontext
+
+        Xnew = jnp.asarray(Xnew)
+        mu, cov = self._build_conditional(Xnew, pred_noise, diag, jitter)
+        env = dict(point or {})
+        return (
+            np.asarray(jax.device_get(evaluate(mu, env))),
+            np.asarray(jax.device_get(evaluate(cov, env))),
+        )
+
+
+class MarginalApprox(Marginal):
+    """Sparse approximations FITC / VFE / DTC with inducing points Xu
+    (reference gp.py MarginalApprox). The approximate marginal likelihood is
+    added as a Potential (matrix-free Woodbury algebra, O(n m^2))."""
+
+    _available_approx = ("FITC", "VFE", "DTC")
+
+    def __init__(self, approx="VFE", mean_func=None, cov_func=None):
+        if approx not in self._available_approx:
+            raise NotImplementedError(f"approx must be one of {self._available_approx}")
+        self.approx = approx
+        super().__init__(mean_func, cov_func)
+
+    def marginal_likelihood(self, name, X, Xu, y, sigma=None, noise=None,
+                            jitter=_JITTER, is_observed=True, **kwargs):
+        import pymc_tpu as pm
+        from ..model.core import Potential
+
+        if sigma is None:
+            sigma = noise
+        if sigma is None:
+            raise ValueError("MarginalApprox requires sigma")
+        X = jnp.asarray(X) if not is_node(X) else X
+        Xu = jnp.asarray(Xu) if not is_node(Xu) else Xu
+        self.X, self.Xu, self.y, self.sigma = X, Xu, y, sigma
+        self._jitter = jitter
+
+        Kuu = self.cov_func(Xu)
+        Kuf = self.cov_func(Xu, X)
+        Kffd = self.cov_func(X, diag=True)
+        mu_x = self.mean_func(X)
+        approx = self.approx
+
+        def logp(kuu, kuf, kffd, mx, yv, s):
+            from jax.scipy.linalg import solve_triangular
+
+            n = kuf.shape[1]
+            m = kuf.shape[0]
+            Luu = jnp.linalg.cholesky(
+                kuu + jitter * jnp.eye(m, dtype=kuu.dtype)
+            )
+            A = solve_triangular(Luu, kuf, lower=True)       # (m, n)
+            Qffd = jnp.sum(A**2, axis=0)
+            if approx == "FITC":
+                Lamd = jnp.clip(kffd - Qffd, 0.0, None) + s**2
+                trace = 0.0
+            else:  # VFE / DTC
+                Lamd = jnp.full((n,), s**2, dtype=kuu.dtype)
+                trace = (
+                    -0.5 * jnp.sum(jnp.clip(kffd - Qffd, 0.0, None)) / s**2
+                    if approx == "VFE" else 0.0
+                )
+            A_l = A / Lamd
+            L_B = jnp.linalg.cholesky(
+                jnp.eye(m, dtype=kuu.dtype) + A_l @ A.T
+            )
+            r = yv - mx
+            r_l = r / Lamd
+            c = solve_triangular(L_B, A @ r_l, lower=True)
+            constant = 0.5 * n * jnp.log(2.0 * jnp.pi)
+            logdet = jnp.sum(jnp.log(jnp.diagonal(L_B))) + 0.5 * jnp.sum(
+                jnp.log(Lamd)
+            )
+            quad = 0.5 * (jnp.dot(r, r_l) - jnp.dot(c, c))
+            return -constant - logdet - quad + trace
+
+        pot = apply(logp, Kuu, Kuf, Kffd, mu_x, jnp.asarray(y), sigma)
+        return Potential(name, pot)
+
+    def _build_conditional(self, Xnew, pred_noise, diag, jitter):
+        X, Xu, y, sigma = self.X, self.Xu, self.y, self.sigma
+        Kuu = self.cov_func(Xu)
+        Kuf = self.cov_func(Xu, X)
+        Kffd = self.cov_func(X, diag=True)
+        Kus = self.cov_func(Xu, Xnew)
+        Kss = self.cov_func(Xnew, diag=diag) if diag else self.cov_func(Xnew)
+        mu_x = self.mean_func(X)
+        mu_s = self.mean_func(Xnew)
+        approx = self.approx
+
+        def cond(kuu, kuf, kffd, kus, kss, mx, ms, yv, s):
+            from jax.scipy.linalg import solve_triangular
+
+            m = kuf.shape[0]
+            Luu = jnp.linalg.cholesky(kuu + jitter * jnp.eye(m, dtype=kuu.dtype))
+            A = solve_triangular(Luu, kuf, lower=True)
+            Qffd = jnp.sum(A**2, axis=0)
+            if approx == "FITC":
+                Lamd = jnp.clip(kffd - Qffd, 0.0, None) + s**2
+            else:
+                Lamd = jnp.full((kuf.shape[1],), s**2, dtype=kuu.dtype)
+            A_l = A / Lamd
+            L_B = jnp.linalg.cholesky(jnp.eye(m, dtype=kuu.dtype) + A_l @ A.T)
+            r = yv - mx
+            r_l = r / Lamd
+            c = solve_triangular(L_B, A @ r_l, lower=True)
+            As = solve_triangular(Luu, kus, lower=True)
+            mu = ms + As.T @ solve_triangular(
+                L_B.T, c, lower=False
+            )
+            C = solve_triangular(L_B, As, lower=True)
+            if diag:
+                var = kss - jnp.sum(As**2, axis=0) + jnp.sum(C**2, axis=0)
+                if pred_noise:
+                    var = var + s**2
+                return mu, var
+            cov = kss - As.T @ As + C.T @ C
+            if pred_noise:
+                cov = cov + s**2 * jnp.eye(cov.shape[0], dtype=cov.dtype)
+            return mu, cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+
+        args = (Kuu, Kuf, Kffd, Kus, Kss, mu_x, mu_s, jnp.asarray(y), sigma)
+        mu = apply(lambda *a: cond(*a)[0], *args)
+        cov = apply(lambda *a: cond(*a)[1], *args)
+        return mu, cov
+
+
+class LatentKron(Base):
+    """Latent GP over a Kronecker-structured input grid (reference gp.py
+    LatentKron): chol(K1 (x) K2) = chol(K1) (x) chol(K2) — applied as
+    sequential per-factor matmuls, never materializing the full kernel."""
+
+    def __init__(self, mean_func=None, cov_funcs=None):
+        self.cov_funcs = list(cov_funcs)
+        super().__init__(mean_func, self.cov_funcs[0])
+
+    def prior(self, name, Xs, jitter=_JITTER, **kwargs):
+        import pymc_tpu as pm
+        from ..model.core import Deterministic
+
+        self.Xs = [jnp.asarray(X) for X in Xs]
+        ns = [X.shape[0] for X in self.Xs]
+        N = int(np.prod(ns))
+        chols = [
+            apply(
+                lambda k: jnp.linalg.cholesky(
+                    k + jitter * jnp.eye(k.shape[-1], dtype=k.dtype)
+                ),
+                cf(X),
+            )
+            for cf, X in zip(self.cov_funcs, self.Xs)
+        ]
+        v = pm.Normal(f"{name}_rotated_", 0.0, 1.0, shape=(N,), **kwargs)
+
+        def kron_matvec(vv, *Ls):
+            x = vv
+            for n_i, L in zip(ns, Ls):
+                x = x.reshape(n_i, -1)
+                x = L @ x
+                x = x.T.reshape(-1)
+            return x
+
+        f = Deterministic(name, apply(kron_matvec, v, *chols))
+        self.f = f
+        return f
+
+
+class MarginalKron(Base):
+    """Marginal GP on a Kronecker grid with iid noise via the KroneckerNormal
+    distribution (reference gp.py MarginalKron)."""
+
+    def __init__(self, mean_func=None, cov_funcs=None):
+        self.cov_funcs = list(cov_funcs)
+        super().__init__(mean_func, self.cov_funcs[0])
+
+    def marginal_likelihood(self, name, Xs, y, sigma, **kwargs):
+        import pymc_tpu as pm
+
+        self.Xs = [jnp.asarray(X) for X in Xs]
+        covs = [cf(X) for cf, X in zip(self.cov_funcs, self.Xs)]
+        N = int(np.prod([X.shape[0] for X in self.Xs]))
+        mu = jnp.zeros((N,), dtype=floatX())
+        return pm.KroneckerNormal(
+            name, mu=mu, covs=covs, sigma=sigma, observed=y, **kwargs
+        )

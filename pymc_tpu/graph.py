@@ -202,19 +202,35 @@ class Node:
         return apply(lambda x: x[idx], self)
 
     # -- arithmetic ----------------------------------------------------------
+    @staticmethod
+    def _operand_ok(o):
+        """Defer (NotImplemented) for foreign types with their own operator
+        overloads (e.g. gp.cov.Covariance)."""
+        import numbers
+
+        return isinstance(o, (Node, numbers.Number, np.ndarray, list, tuple)) or (
+            hasattr(o, "shape") and hasattr(o, "dtype")
+        )
+
     def __add__(self, o):
+        if not self._operand_ok(o):
+            return NotImplemented
         return apply(jnp.add, self, o)
 
     def __radd__(self, o):
         return apply(jnp.add, o, self)
 
     def __sub__(self, o):
+        if not self._operand_ok(o):
+            return NotImplemented
         return apply(jnp.subtract, self, o)
 
     def __rsub__(self, o):
         return apply(jnp.subtract, o, self)
 
     def __mul__(self, o):
+        if not self._operand_ok(o):
+            return NotImplemented
         return apply(jnp.multiply, self, o)
 
     def __rmul__(self, o):

@@ -1,3 +1,8 @@
 from .convergence import ess, mcse_mean, mcse_sd, rhat, run_convergence_checks
+from .log_density import compute_log_likelihood, compute_log_prior
+from .summary import hdi, summary
 
-__all__ = ["ess", "rhat", "mcse_mean", "mcse_sd", "run_convergence_checks"]
+__all__ = [
+    "ess", "rhat", "mcse_mean", "mcse_sd", "run_convergence_checks",
+    "compute_log_likelihood", "compute_log_prior", "summary", "hdi",
+]

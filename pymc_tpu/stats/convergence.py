@@ -135,17 +135,19 @@ def ess(x, method="bulk", prob=None):
     if method == "sd":
         return np.minimum(_ess_base(x), _ess_base(x**2))
     if method == "tail":
+        # min ESS of the 5%/95% quantile-indicator means (no rank-norm on
+        # binary indicators — ties make ranks meaningless; matches arviz)
         probs = (0.05, 0.95) if prob is None else prob
         esses = []
         for p in probs:
             q = np.quantile(x.reshape(-1, *x.shape[2:]), p, axis=0)
             ind = (x <= q).astype(np.float64)
-            esses.append(_ess_base(_rank_normalize(ind)))
+            esses.append(_ess_base(ind))
         return np.minimum(*esses)
     if method == "quantile":
         q = np.quantile(x.reshape(-1, *x.shape[2:]), prob, axis=0)
         ind = (x <= q).astype(np.float64)
-        return _ess_base(_rank_normalize(ind))
+        return _ess_base(ind)
     raise ValueError(f"Unknown ess method {method}")
 
 

@@ -1,0 +1,63 @@
+"""Diagnostics tests: rhat/ess/mcse behave correctly on synthetic chains."""
+
+import numpy as np
+
+from pymc_tpu.stats.convergence import ess, mcse_mean, rhat
+from pymc_tpu.stats.summary import hdi
+
+
+class TestRhat:
+    def test_iid_chains_near_one(self):
+        x = np.random.default_rng(0).normal(size=(4, 2000))
+        r = rhat(x)
+        assert abs(r - 1.0) < 0.01
+
+    def test_shifted_chains_flagged(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(4, 500))
+        x[0] += 3.0
+        assert rhat(x) > 1.2
+
+    def test_vector_params(self):
+        x = np.random.default_rng(2).normal(size=(4, 800, 3))
+        r = rhat(x)
+        assert r.shape == (3,)
+        assert np.all(np.abs(r - 1.0) < 0.02)
+
+
+class TestEss:
+    def test_iid_close_to_n(self):
+        x = np.random.default_rng(3).normal(size=(4, 2500))
+        e = ess(x)
+        assert 0.75 * 10000 < e < 1.3 * 10000
+
+    def test_correlated_much_smaller(self):
+        rng = np.random.default_rng(4)
+        n = 4000
+        rho = 0.95
+        eps = rng.normal(size=(4, n))
+        x = np.zeros((4, n))
+        for t in range(1, n):
+            x[:, t] = rho * x[:, t - 1] + np.sqrt(1 - rho**2) * eps[:, t]
+        e = ess(x)
+        # AR(1): ESS ~ N (1-rho)/(1+rho) ~ N/39
+        expected = 4 * n * (1 - rho) / (1 + rho)
+        assert 0.4 * expected < e < 2.5 * expected
+
+    def test_tail_reasonable(self):
+        x = np.random.default_rng(5).normal(size=(4, 2500))
+        e = ess(x, "tail")
+        assert e > 2000
+
+    def test_mcse(self):
+        x = np.random.default_rng(6).normal(size=(4, 2500))
+        m = mcse_mean(x)
+        assert abs(m - 1.0 / np.sqrt(10000)) < 0.004
+
+
+class TestHdi:
+    def test_normal_hdi(self):
+        x = np.random.default_rng(7).normal(size=(4, 5000))
+        lo, hi = hdi(x, 0.94)
+        assert abs(lo + 1.88) < 0.1
+        assert abs(hi - 1.88) < 0.1
