@@ -23,6 +23,13 @@ from .distributions import *  # noqa: E402,F401,F403
 from .distributions import __all__ as _dist_all  # noqa: E402
 from .exceptions import *  # noqa: E402,F401,F403
 from .graph import Node, evaluate  # noqa: E402
+from .model.transform import (  # noqa: E402
+    clone_model,
+    do,
+    observe,
+    change_value_transforms,
+    freeze_dims_and_data,
+)
 from .model import (  # noqa: E402
     Data,
     Deterministic,
@@ -55,6 +62,8 @@ from .tuning.starting import find_MAP, find_hessian  # noqa: E402
 from .model_graph import model_to_graphviz, model_to_mermaid, model_to_networkx  # noqa: E402
 from .printing import str_for_dist, str_for_model  # noqa: E402
 from .stats.summary import hdi, summary  # noqa: E402
+from .func_utils import find_constrained_prior  # noqa: E402
+from . import ode  # noqa: E402
 from .step_methods import (  # noqa: E402
     NUTS,
     HamiltonianMC,
@@ -82,6 +91,11 @@ __all__ = [
     "Potential",
     "set_data",
     "compile_fn",
+    "clone_model",
+    "do",
+    "observe",
+    "change_value_transforms",
+    "freeze_dims_and_data",
     "draw",
     "logp",
     "logcdf",
@@ -120,6 +134,8 @@ __all__ = [
     "str_for_model",
     "summary",
     "hdi",
+    "find_constrained_prior",
+    "ode",
     "NUTS",
     "HamiltonianMC",
     "Metropolis",

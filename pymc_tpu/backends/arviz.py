@@ -112,7 +112,14 @@ def to_inference_data(
 
     const = {}
     for dv in model.data_vars:
-        arr = np.asarray(jax.device_get(dv.get_value()))
+        if hasattr(dv, "get_value"):
+            arr = np.asarray(jax.device_get(dv.get_value()))
+        elif hasattr(dv, "value"):
+            arr = np.asarray(jax.device_get(dv.value))
+        else:  # e.g. MinibatchIndexNode: no constant payload
+            continue
+        if dv.name is None:
+            continue
         const[dv.name] = DataVar(
             dv.name, arr, _var_dims(model, dv.name, arr.shape), coords
         )

@@ -9,6 +9,7 @@ from .censored import Censored
 from .truncated import Truncated
 from .timeseries import *  # noqa: F401,F403
 from .custom import CustomDist, DensityDist
+from .simulator import Simulator
 from . import transforms
 from .continuous import __all__ as _cont_all
 from .discrete import __all__ as _disc_all
@@ -32,4 +33,5 @@ __all__ = [
     "Truncated",
     "CustomDist",
     "DensityDist",
+    "Simulator",
 ]

@@ -455,9 +455,10 @@ class Model:
         def fn(value_dict):
             memo = {}
             env = {}
-            mb_key = value_dict.get(("__minibatch_key__",))
-            if mb_key is not None:
-                env[("__minibatch_key__",)] = mb_key
+            for extra in (("__minibatch_key__",), ("__simulator_key__",)):
+                k_extra = value_dict.get(extra)
+                if k_extra is not None:
+                    env[extra] = k_extra
             for rv in free_RVs:
                 v = value_dict[rv.value_name]
                 env[rv.name] = (

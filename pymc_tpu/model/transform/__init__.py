@@ -1,0 +1,14 @@
+from .basic import clone_model, prune_vars_detached_from_observed, remove_minibatched_nodes
+from .conditioning import change_value_transforms, do, observe
+from .optimization import freeze_dims_and_data, freeze_model
+
+__all__ = [
+    "clone_model",
+    "do",
+    "observe",
+    "change_value_transforms",
+    "freeze_dims_and_data",
+    "freeze_model",
+    "prune_vars_detached_from_observed",
+    "remove_minibatched_nodes",
+]

@@ -77,6 +77,9 @@ def sample(
     mass_adapt="per_chain",
     cores=None,
     keep_warning_stat=False,
+    trace=None,
+    resume=False,
+    chunk_size=None,
     **kwargs,
 ):
     """Draw posterior samples with on-device vectorized NUTS.
@@ -222,20 +225,71 @@ def sample(
         f"NUTS warmup: {tune} steps, {chains} chains, {D} parameters "
         f"(init={init}, target_accept={target_accept})"
     )
-    # ---- warmup
     carry = (q0, logp0, grad0, da, wf, inv_mass)
-    tru = jnp.ones((tune,), dtype=bool)
-    warm_xs = (jnp.arange(tune, dtype=jnp.int32), upd_mass, swi_mass, tru)
-    carry, warm_out = scan_fn(carry, warm_xs)
-    if discard_tuned_samples:
-        warm_out = None
-    # ---- sampling
-    fls = jnp.zeros((draws,), dtype=bool)
-    samp_xs = (jnp.arange(tune, tune + draws, dtype=jnp.int32), fls, fls, fls)
+
+    # ---- resume from a durable trace (reference ZarrTrace semantics, §5.4)
+    draws_done = 0
+    if trace is not None and resume:
+        saved = trace.load_state(carry)
+        meta = trace.read_meta()
+        if saved is not None and meta is not None:
+            carry = saved
+            draws_done = int(meta.get("draws_done", 0))
+            _log.info(f"Resuming from {draws_done} stored draws")
+    warmup_needed = draws_done == 0
+
+    # ---- warmup
+    warm_out = None
+    if warmup_needed and tune > 0:
+        tru = jnp.ones((tune,), dtype=bool)
+        warm_xs = (jnp.arange(tune, dtype=jnp.int32), upd_mass, swi_mass, tru)
+        carry, warm_out = scan_fn(carry, warm_xs)
+        if discard_tuned_samples:
+            warm_out = None
+
+    # ---- sampling: chunked scans (progress + durable trace streaming)
+    from .progress import ProgressManager
+
+    chunk = int(chunk_size) if chunk_size else max(1, min(draws, 200))
+    q_chunks, stat_chunks, ss_chunks = [], [], []
     t1 = time.perf_counter()
-    carry, (q_draws, stats, _) = scan_fn(carry, samp_xs)
-    q_draws = jax.block_until_ready(q_draws)
+    pm_bar = ProgressManager(draws - draws_done, chains, enabled=progressbar)
+    i = draws_done
+    while i < draws:
+        m = min(chunk, draws - i)
+        fls = jnp.zeros((m,), dtype=bool)
+        xs = (jnp.arange(tune + i, tune + i + m, dtype=jnp.int32), fls, fls, fls)
+        carry, (q_c, stats_c, ss_c) = scan_fn(carry, xs)
+        q_c = jax.block_until_ready(q_c)
+        q_np = np.asarray(jax.device_get(q_c))
+        stats_np = jax.tree.map(lambda v: np.asarray(jax.device_get(v)), stats_c)
+        q_chunks.append(q_np)
+        stat_chunks.append(stats_np)
+        ss_chunks.append(np.asarray(jax.device_get(ss_c)))
+        if trace is not None:
+            trace.write_chunk(q_np, stats_np._asdict())
+            trace.save_state(carry)
+            trace.write_meta({
+                "draws_done": i + m, "tune": tune, "chains": chains, "D": D,
+            })
+        i += m
+        pm_bar.update(m, divergences=int(stats_np.diverging.sum()))
+    pm_bar.close()
     t2 = time.perf_counter()
+
+    if trace is not None and resume and draws_done > 0:
+        # include previously persisted draws in the returned idata
+        q_all, stats_all = trace.read_draws()
+        q_draws = q_all
+        stats = NutsStats(**{
+            k: stats_all[k] for k in NutsStats._fields
+        })
+    else:
+        q_draws = np.concatenate(q_chunks, axis=0)
+        stats = NutsStats(*[
+            np.concatenate([getattr(c, f) for c in stat_chunks], axis=0)
+            for f in NutsStats._fields
+        ])
     da = carry[3]
     step_size_final = jnp.exp(da.log_step_avg)
     _log.info(

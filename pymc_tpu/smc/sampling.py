@@ -61,12 +61,22 @@ def sample_smc(
     D = info.total_size
     split_logp = model.logp_fn(split=True)
 
-    def prior_like_one(q):
-        varlogp, datalogp = split_logp(unravel_vector(q, info))
+    has_simulator = any(
+        type(orv.dist).__name__ == "Simulator" for orv in model.observed_RVs
+    )
+    sim_key_holder = {"key": jax.random.PRNGKey(0)}
+
+    def prior_like_one(q, sim_key):
+        vals = unravel_vector(q, info)
+        if has_simulator:
+            vals[("__simulator_key__",)] = sim_key
+        varlogp, datalogp = split_logp(vals)
         return varlogp, datalogp
 
     def prior_like_fn(particles):
-        vl, dl = jax.vmap(prior_like_one)(particles)
+        n = particles.shape[0]
+        sim_keys = jax.random.split(sim_key_holder["key"], n)
+        vl, dl = jax.vmap(prior_like_one)(particles, sim_keys)
         # guard: non-finite likelihoods act as -inf (outside support)
         return vl, jnp.where(jnp.isfinite(dl), dl, -jnp.inf)
 
@@ -98,6 +108,7 @@ def sample_smc(
     betas_hist = []
     stage_i = 0
     while stage_i < max_stages:
+        sim_key_holder["key"] = jax.random.fold_in(k_stages, 7919 + stage_i)
         ks = jax.random.split(jax.random.fold_in(k_stages, stage_i), chains)
         state = stage_fn(ks, state)
         betas = np.asarray(jax.device_get(state.beta))

@@ -352,3 +352,39 @@ def discrete_random_tester(
         assert pval > alpha, (
             f"{dist_cls.__name__} chi2 test failed at {params}: p={pval}"
         )
+
+
+def mock_sample(draws=500, *, model=None, chains=1, random_seed=None, **kwargs):
+    """Replace pm.sample with prior-predictive draws so downstream model code
+    can be tested without MCMC (reference testing.py:1200 mock_sample)."""
+    model = pm.modelcontext(model)
+    idata = pm.sample_prior_predictive(
+        draws=draws, model=model, random_seed=random_seed
+    )
+    from pymc_tpu.backends.arviz import to_inference_data
+    from pymc_tpu.backends.inference_data import InferenceData
+
+    posterior = {}
+    for name in idata.prior.keys():
+        vals = idata.prior[name].values  # (1, draws, ...)
+        posterior[name] = np.broadcast_to(
+            vals, (chains,) + vals.shape[1:]
+        ).copy()
+    return to_inference_data(model, posterior=posterior)
+
+
+def mock_sample_setup_and_teardown():
+    """Context manager patching pm.sample -> mock_sample (reference
+    testing.py:1301)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        orig = pm.sample
+        pm.sample = mock_sample
+        try:
+            yield
+        finally:
+            pm.sample = orig
+
+    return ctx()

@@ -276,8 +276,8 @@ def fit(n=10000, method="advi", model=None, random_seed=None, start=None,
         inference = method
     else:
         raise TypeError(f"Bad VI method: {method}")
-    if callbacks is None:
-        callbacks = [CheckParametersConvergence(diff="relative")]
+    # reference fit() attaches no callbacks by default (inference.py:695);
+    # pass CheckParametersConvergence explicitly for early stopping
     return inference.fit(
         n, obj_optimizer=obj_optimizer, callbacks=callbacks,
         progressbar=progressbar, **kwargs,
