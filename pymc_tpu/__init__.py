@@ -64,6 +64,7 @@ from .printing import str_for_dist, str_for_model  # noqa: E402
 from .stats.summary import hdi, summary  # noqa: E402
 from .func_utils import find_constrained_prior  # noqa: E402
 from . import ode  # noqa: E402
+from . import dims  # noqa: E402
 from .step_methods import (  # noqa: E402
     NUTS,
     HamiltonianMC,
@@ -136,6 +137,7 @@ __all__ = [
     "hdi",
     "find_constrained_prior",
     "ode",
+    "dims",
     "NUTS",
     "HamiltonianMC",
     "Metropolis",

@@ -48,14 +48,14 @@ def _round_up(x, m):
 # ---------------------------------------------------------------- leapfrog
 def _kick_drift_kernel(q_ref, p_ref, grad_ref, inv_mass_ref, eps_ref,
                        q_out_ref, p_half_ref):
-    eps = eps_ref[:]  # (C, 1) per-chain step sizes
+    eps = eps_ref[:]  # (TILE_C, TILE_D) per-chain step sizes (broadcast)
     p_half = p_ref[:] + 0.5 * eps * grad_ref[:]
     p_half_ref[:] = p_half
     q_out_ref[:] = q_ref[:] + eps * (inv_mass_ref[:] * p_half)
 
 
-def _final_kick_kernel(p_half_ref, grad_ref, inv_mass_ref, eps_ref,
-                       p_out_ref, ke_out_ref):
+def _final_kick_partial_kernel(p_half_ref, grad_ref, inv_mass_ref, eps_ref,
+                               p_out_ref, ke_out_ref):
     eps = eps_ref[:]
     p_new = p_half_ref[:] + 0.5 * eps * grad_ref[:]
     p_out_ref[:] = p_new
@@ -64,52 +64,78 @@ def _final_kick_kernel(p_half_ref, grad_ref, inv_mass_ref, eps_ref,
     )
 
 
+_TILE_C = 8
+_TILE_D = 128
+
+
+def _aligned(C, D):
+    return C % _TILE_C == 0 and D % _TILE_D == 0
+
+
 def leapfrog_kick_drift(q, p, grad, inv_mass, eps):
     """(q, p) -> (q_new, p_half): fused half-kick + drift over (C, D).
 
-    eps: (C,) per-chain step sizes (sign encodes direction).
+    eps: (C,) per-chain step sizes (sign encodes direction). Falls back to
+    the (XLA-fused) jnp expression off-TPU or at unaligned shapes.
     """
-    if not pallas_available() or q.ndim != 2:
+    if not pallas_available() or q.ndim != 2 or not _aligned(*q.shape):
         p_half = p + 0.5 * eps[:, None] * grad
         return q + eps[:, None] * (inv_mass * p_half), p_half
     C, D = q.shape
-    eps2 = eps[:, None]
+    eps2 = jnp.broadcast_to(eps[:, None], (C, _TILE_D)).astype(q.dtype)
+    grid = (C // _TILE_C, D // _TILE_D)
+    tile = lambda: pl.BlockSpec(  # noqa: E731
+        (_TILE_C, _TILE_D), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    eps_spec = pl.BlockSpec(
+        (_TILE_C, _TILE_D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         _kick_drift_kernel,
+        grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct((C, D), q.dtype),
             jax.ShapeDtypeStruct((C, D), q.dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
+        in_specs=[tile(), tile(), tile(), tile(), eps_spec],
+        out_specs=(tile(), tile()),
     )(q, p, grad, inv_mass, eps2)
     return out
 
 
 def leapfrog_final_kick(p_half, grad, inv_mass, eps):
     """p_half -> (p_new, kinetic): fused final half-kick + kinetic energy."""
-    if not pallas_available() or p_half.ndim != 2:
+    if (
+        not pallas_available()
+        or p_half.ndim != 2
+        or not _aligned(*p_half.shape)
+    ):
         p_new = p_half + 0.5 * eps[:, None] * grad
         ke = 0.5 * jnp.sum(p_new * inv_mass * p_new, axis=-1)
         return p_new, ke
     C, D = p_half.shape
-    eps2 = eps[:, None]
-    p_new, ke = pl.pallas_call(
-        _final_kick_kernel,
+    eps2 = jnp.broadcast_to(eps[:, None], (C, _TILE_D)).astype(p_half.dtype)
+    grid = (C // _TILE_C, D // _TILE_D)
+    tile = lambda: pl.BlockSpec(  # noqa: E731
+        (_TILE_C, _TILE_D), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    eps_spec = pl.BlockSpec(
+        (_TILE_C, _TILE_D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    ke_spec = pl.BlockSpec(
+        (_TILE_C, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    p_new, ke_parts = pl.pallas_call(
+        _final_kick_partial_kernel,
+        grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct((C, D), p_half.dtype),
-            jax.ShapeDtypeStruct((C, 1), p_half.dtype),
+            jax.ShapeDtypeStruct((C, D // _TILE_D), p_half.dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
+        in_specs=[tile(), tile(), tile(), eps_spec],
+        out_specs=(tile(), ke_spec),
     )(p_half, grad, inv_mass, eps2)
-    return p_new, ke[:, 0]
+    return p_new, jnp.sum(ke_parts, axis=-1)
 
 
 # ------------------------------------------------------------- segment sum
