@@ -211,6 +211,10 @@ class InferenceData:
         return "\n".join(lines)
 
     # ------------------------------------------------------- persistence
+    def to_netcdf(self, path):
+        """netcdf-free persistence alias (npz store)."""
+        return self.to_npz(path)
+
     def to_npz(self, path):
         """Persist all groups to a single compressed npz (netcdf stand-in)."""
         payload = {}

@@ -255,25 +255,52 @@ def sample(
     t1 = time.perf_counter()
     pm_bar = ProgressManager(draws - draws_done, chains, enabled=progressbar)
     i = draws_done
+    def _materialize(pend):
+        """Device chunk -> host stats (+ optional durable write). The raw q
+        draws only cross the tunnel when a durable trace needs the bytes —
+        otherwise they stay on device for the fused postprocess."""
+        q_c, packed_c, i0, m0, carry_c = pend
+        q_np = np.asarray(jax.device_get(q_c)) if trace is not None else q_c
+        packed_np = np.asarray(jax.device_get(packed_c))
+        stats_np = NutsStats(
+            *[packed_np[..., j] for j in range(len(NutsStats._fields))]
+        )
+        stats_np = stats_np._replace(
+            depth=stats_np.depth.astype(np.int32),
+            n_steps=stats_np.n_steps.astype(np.int32),
+            diverging=stats_np.diverging.astype(bool),
+        )
+        q_chunks.append(q_np)
+        stat_chunks.append(stats_np)
+        ss_chunks.append(packed_np[..., -1])
+        if trace is not None:
+            trace.write_chunk(q_np, stats_np._asdict())
+            trace.save_state(carry_c)
+            trace.write_meta({
+                "draws_done": i0 + m0, "tune": tune, "chains": chains, "D": D,
+            })
+        pm_bar.update(m0, divergences=int(stats_np.diverging.sum()))
+
+    pending = None
     while i < draws:
         m = min(chunk, draws - i)
         fls = jnp.zeros((m,), dtype=bool)
         xs = (jnp.arange(tune + i, tune + i + m, dtype=jnp.int32), fls, fls, fls)
-        carry, (q_c, stats_c, ss_c) = scan_fn(carry, xs)
-        q_c = jax.block_until_ready(q_c)
-        q_np = np.asarray(jax.device_get(q_c))
-        stats_np = jax.tree.map(lambda v: np.asarray(jax.device_get(v)), stats_c)
-        q_chunks.append(q_np)
-        stat_chunks.append(stats_np)
-        ss_chunks.append(np.asarray(jax.device_get(ss_c)))
-        if trace is not None:
-            trace.write_chunk(q_np, stats_np._asdict())
-            trace.save_state(carry)
-            trace.write_meta({
-                "draws_done": i + m, "tune": tune, "chains": chains, "D": D,
-            })
+        carry, (q_c, stats_c, ss_c) = scan_fn(carry, xs)  # async dispatch
+        # pack stats + step size into ONE device array per chunk (each
+        # device_get is a host round-trip over the TPU tunnel)
+        packed = jnp.concatenate(
+            [jnp.asarray(v, floatX())[..., None] for v in stats_c]
+            + [jnp.asarray(ss_c, floatX())[..., None]],
+            axis=-1,
+        )
+        # materialize the PREVIOUS chunk while this one computes on-device
+        if pending is not None:
+            _materialize(pending)
+        pending = (q_c, packed, i, m, carry)
         i += m
-        pm_bar.update(m, divergences=int(stats_np.diverging.sum()))
+    if pending is not None:
+        _materialize(pending)
     pm_bar.close()
     t2 = time.perf_counter()
 
@@ -285,7 +312,8 @@ def sample(
             k: stats_all[k] for k in NutsStats._fields
         })
     else:
-        q_draws = np.concatenate(q_chunks, axis=0)
+        concat = np.concatenate if isinstance(q_chunks[0], np.ndarray) else jnp.concatenate
+        q_draws = concat(q_chunks, axis=0)
         stats = NutsStats(*[
             np.concatenate([getattr(c, f) for c in stat_chunks], axis=0)
             for f in NutsStats._fields
@@ -344,19 +372,33 @@ def _package(
 
     post_fn = _make_postprocess_fn(model, info)
     flat = q_draws.reshape(S * C, D)
-    # chunk the vmapped postprocess to bound memory
+
+    # pack ALL postprocessed variables into one flat device array so each
+    # chunk costs ONE host transfer (tunnel round-trips dominate otherwise)
+    in_dtype = jnp.asarray(flat[:1]).dtype
+    out_shapes = jax.eval_shape(post_fn, jax.ShapeDtypeStruct((D,), in_dtype))
+    layout = [(n, tuple(v.shape)) for n, v in out_shapes.items()]
+
+    def post_packed(q):
+        out = post_fn(q)
+        parts = [jnp.ravel(jnp.asarray(out[n], floatX())) for n, _ in layout]
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,), floatX())
+
+    pfn = jax.jit(jax.vmap(post_packed))
     chunk = max(1, min(S * C, 65536))
-    outs = []
-    pfn = jax.jit(jax.vmap(post_fn))
+    packed_rows = []
     for i in range(0, S * C, chunk):
-        outs.append(jax.device_get(pfn(flat[i : i + chunk])))
-    names = list(outs[0].keys())
-    posterior = {
-        n: np.concatenate([o[n] for o in outs], axis=0).reshape(
-            (S, C) + outs[0][n].shape[1:]
-        ).swapaxes(0, 1)
-        for n in names
-    }
+        packed_rows.append(
+            np.asarray(jax.device_get(pfn(jnp.asarray(flat[i : i + chunk]))))
+        )
+    packed_all = np.concatenate(packed_rows, axis=0)  # (S*C, total)
+    posterior = {}
+    off = 0
+    for n, shape in layout:
+        size = int(np.prod(shape)) if shape else 1
+        vals = packed_all[:, off : off + size].reshape((S, C) + shape)
+        posterior[n] = vals.swapaxes(0, 1)
+        off += size
 
     stat_arrays = {
         "tree_depth": np.asarray(jax.device_get(stats.depth)).swapaxes(0, 1),
@@ -379,16 +421,23 @@ def _package(
     if warmup is not None:
         wq, wstats, wss = warmup
         Wn = wq.shape[0]
-        wflat = wq.reshape(Wn * C, D)
-        wouts = []
+        wflat = np.asarray(jax.device_get(wq)).reshape(Wn * C, D)
+        wpacked = []
         for i in range(0, Wn * C, chunk):
-            wouts.append(jax.device_get(pfn(wflat[i : i + chunk])))
-        warmup_groups["warmup_posterior"] = {
-            n: np.concatenate([o[n] for o in wouts], axis=0)
-            .reshape((Wn, C) + wouts[0][n].shape[1:])
-            .swapaxes(0, 1)
-            for n in names
-        }
+            wpacked.append(
+                np.asarray(jax.device_get(pfn(jnp.asarray(wflat[i : i + chunk]))))
+            )
+        wpacked = np.concatenate(wpacked, axis=0)
+        wp = {}
+        off = 0
+        for n, shape in layout:
+            size = int(np.prod(shape)) if shape else 1
+            wp[n] = (
+                wpacked[:, off : off + size].reshape((Wn, C) + shape)
+                .swapaxes(0, 1)
+            )
+            off += size
+        warmup_groups["warmup_posterior"] = wp
         warmup_groups["warmup_sample_stats"] = {
             "tree_depth": np.asarray(jax.device_get(wstats.depth)).swapaxes(0, 1),
             "diverging": np.asarray(jax.device_get(wstats.diverging)).swapaxes(0, 1),

@@ -388,3 +388,86 @@ def mock_sample_setup_and_teardown():
             pm.sample = orig
 
     return ctx()
+
+
+# --------------------------------------------------------------------------
+# Sampler statistical fixtures (reference tests/sampler_fixtures.py)
+class KnownMean:
+    """Mixin asserting posterior means (reference sampler_fixtures.py:27)."""
+
+    def test_mean(self):
+        for var, expected in self.means.items():
+            samples = self.samples[var]
+            npt = np.testing
+            npt.assert_allclose(samples.mean(axis=(0, 1)), expected,
+                                atol=self.atol)
+
+
+class KnownVariance:
+    def test_var(self):
+        for var, expected in self.variances.items():
+            np.testing.assert_allclose(
+                self.samples[var].var(axis=(0, 1)), expected, atol=self.atol
+            )
+
+
+class KnownCDF:
+    """KS test against a known marginal CDF."""
+
+    def test_kstest(self):
+        from scipy import stats as st
+
+        for var, cdf in self.cdfs.items():
+            flat = self.samples[var].reshape(-1)
+            _, pval = st.kstest(flat[::7], cdf)
+            assert pval > 0.001, f"{var} KS p={pval}"
+
+
+class BaseSampler:
+    """Run chains once per class, gate on ESS and R-hat
+    (reference sampler_fixtures.py:137-172)."""
+
+    draws = 1000
+    tune = 1000
+    chains = 2
+    min_ess = 200
+    rhat_tol = 0.05
+    atol = 0.05
+    random_seed = 20260816
+    step = None
+
+    @classmethod
+    def setup_class(cls):
+        cls.model = cls.make_model()
+        cls.idata = pm.sample(
+            draws=cls.draws, tune=cls.tune, chains=cls.chains,
+            model=cls.model, random_seed=cls.random_seed, step=cls.step,
+            progressbar=False, compute_convergence_checks=False,
+        )
+        cls.samples = {
+            k: cls.idata.posterior[k].values for k in cls.idata.posterior.keys()
+        }
+
+    def test_neff(self):
+        for var, vals in self.samples.items():
+            if not np.issubdtype(vals.dtype, np.floating):
+                continue
+            e = pm.ess(vals)
+            assert np.nanmin(e) > self.min_ess, f"{var} ess={np.nanmin(e)}"
+
+    def test_rhat(self):
+        for var, vals in self.samples.items():
+            if not np.issubdtype(vals.dtype, np.floating):
+                continue
+            r = pm.rhat(vals)
+            assert np.nanmax(np.abs(r - 1)) < self.rhat_tol, f"{var} rhat={r}"
+
+
+class NutsFixture(BaseSampler):
+    """NUTS acceptance-band check (reference sampler_fixtures.py:174)."""
+
+    target_accept = 0.8
+
+    def test_target_accept(self):
+        accept = self.idata.sample_stats["acceptance_rate"].values
+        assert accept.mean() > self.target_accept - 0.12, accept.mean()

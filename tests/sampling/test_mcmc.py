@@ -1,0 +1,132 @@
+"""MCMC driver statistical tests using the public sampler fixtures
+(mirrors reference tests/sampler_fixtures.py usage + tests/sampling/test_mcmc.py)."""
+
+import numpy as np
+import pytest
+
+import pymc_tpu as pm
+from pymc_tpu.testing import BaseSampler, KnownCDF, KnownMean, KnownVariance, NutsFixture
+
+
+class TestNutsUniform(NutsFixture, KnownMean, KnownVariance):
+    """Reference sampler_fixtures UniformFixture."""
+
+    means = {"x": 0.0}
+    variances = {"x": 4.0 / 3.0}
+    atol = 0.08
+
+    @staticmethod
+    def make_model():
+        with pm.Model() as m:
+            pm.Uniform("x", -2, 2)
+        return m
+
+
+class TestNutsNormal(NutsFixture, KnownMean, KnownVariance, KnownCDF):
+    import scipy.stats as st
+
+    means = {"x": 1.0}
+    variances = {"x": 4.0}
+    cdfs = {"x": st.norm(1.0, 2.0).cdf}
+    atol = 0.12
+    min_ess = 500
+
+    @staticmethod
+    def make_model():
+        with pm.Model() as m:
+            pm.Normal("x", 1.0, 2.0)
+        return m
+
+
+class TestNutsBetaBinomial(NutsFixture, KnownMean):
+    """Reference BetaBinomialFixture: conjugate posterior mean."""
+
+    # prior Beta(2,2); observed k=12 of n=20 -> posterior Beta(14, 10)
+    means = {"p": 14.0 / 24.0}
+    atol = 0.03
+    min_ess = 400
+
+    @staticmethod
+    def make_model():
+        with pm.Model() as m:
+            p = pm.Beta("p", 2, 2)
+            pm.Binomial("k", 20, p, observed=12)
+        return m
+
+
+class TestNutsStudentT(NutsFixture, KnownMean):
+    means = {"x": 0.0}
+    atol = 0.2
+    min_ess = 300
+    draws = 2000
+
+    @staticmethod
+    def make_model():
+        with pm.Model() as m:
+            pm.StudentT("x", nu=4, mu=0.0, sigma=1.0)
+        return m
+
+
+class TestIdataStructure:
+    def test_groups_and_stats(self):
+        with pm.Model() as m:
+            pm.Normal("x", 0, 1)
+        idata = pm.sample(draws=150, tune=150, chains=2, model=m,
+                          random_seed=1, progressbar=False,
+                          compute_convergence_checks=False)
+        assert set(idata.groups()) >= {"posterior", "sample_stats"}
+        ss = idata.sample_stats
+        for stat in ("lp", "energy", "diverging", "tree_depth", "n_steps",
+                     "acceptance_rate", "step_size"):
+            assert stat in ss, stat
+            assert ss[stat].shape == (2, 150)
+
+    def test_seed_reproducibility(self):
+        def run():
+            with pm.Model() as m:
+                pm.Normal("x", 0, 1)
+            return pm.sample(draws=50, tune=50, chains=2, model=m,
+                             random_seed=99, progressbar=False,
+                             compute_convergence_checks=False)
+
+        a = run().posterior["x"].values
+        b = run().posterior["x"].values
+        np.testing.assert_array_equal(a, b)
+
+    def test_initvals(self):
+        with pm.Model() as m:
+            pm.Normal("x", 0, 1, initval=0.5)
+        idata = pm.sample(draws=20, tune=20, chains=2, model=m,
+                          random_seed=2, progressbar=False,
+                          compute_convergence_checks=False)
+        assert np.isfinite(idata.posterior["x"].values).all()
+
+    def test_pooled_mass_adapt(self):
+        with pm.Model() as m:
+            pm.Normal("x", 0, np.array([0.1, 10.0]), shape=(2,))
+        idata = pm.sample(draws=300, tune=400, chains=4, model=m,
+                          random_seed=3, progressbar=False,
+                          mass_adapt="pooled",
+                          compute_convergence_checks=False)
+        std = idata.posterior["x"].values.reshape(-1, 2).std(axis=0)
+        np.testing.assert_allclose(std, [0.1, 10.0], rtol=0.15)
+
+    def test_jax_bridge_aliases(self):
+        from pymc_tpu.sampling.jax import (
+            get_jaxified_logp,
+            sample_numpyro_nuts,
+        )
+        import jax.numpy as jnp
+
+        with pm.Model() as m:
+            pm.Normal("x", 0, 1)
+        neg_logp = get_jaxified_logp(m)
+        import scipy.stats as st
+
+        np.testing.assert_allclose(
+            float(neg_logp(jnp.asarray([0.7]))), -st.norm.logpdf(0.7), rtol=1e-8
+        )
+        idata = sample_numpyro_nuts(draws=50, tune=50, chains=2, model=m,
+                                    progressbar=False, random_seed=4,
+                                    compute_convergence_checks=False)
+        assert idata.posterior["x"].shape == (2, 50)
