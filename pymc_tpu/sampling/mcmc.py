@@ -80,6 +80,7 @@ def sample(
     trace=None,
     resume=False,
     chunk_size=None,
+    mesh=None,
     **kwargs,
 ):
     """Draw posterior samples with on-device vectorized NUTS.
@@ -226,6 +227,28 @@ def sample(
         f"(init={init}, target_accept={target_accept})"
     )
     carry = (q0, logp0, grad0, da, wf, inv_mass)
+
+    # ---- multi-chip: shard the chain axis over a device mesh (replaces the
+    # reference's process-per-chain executor; SURVEY §2.7 TPU mapping). The
+    # jitted scan propagates the sharding; pooled-mass means become ICI
+    # collectives automatically.
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chain_axis = mesh.axis_names[0]
+        if chains % mesh.devices.size != 0:
+            raise ValueError(
+                f"chains ({chains}) must be divisible by the mesh size "
+                f"({mesh.devices.size})"
+            )
+
+        def shard_leaf(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == chains:
+                spec = P(chain_axis, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            return x
+
+        carry = jax.tree.map(shard_leaf, carry)
 
     # ---- resume from a durable trace (reference ZarrTrace semantics, §5.4)
     draws_done = 0
