@@ -95,6 +95,18 @@ def run(chains, draws, tune, seed=0):
 
 
 def main():
+    # persistent XLA compilation cache: repeat bench runs skip the (remote,
+    # highly variable 30-220s) compile entirely
+    try:
+        import jax
+
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     measure_baseline = "--measure-baseline" in sys.argv
 
     if measure_baseline:

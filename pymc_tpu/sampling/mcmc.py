@@ -81,6 +81,7 @@ def sample(
     resume=False,
     chunk_size=None,
     mesh=None,
+    sampler="nuts",
     **kwargs,
 ):
     """Draw posterior samples with on-device vectorized NUTS.
@@ -175,21 +176,63 @@ def sample(
     vmapped_transition = jax.vmap(transition)
     chain_idx = jnp.arange(chains)
 
+    use_chees = str(sampler).lower() == "chees"
+    if use_chees:
+        from .chees import CheesState, chees_step, halton_sequence
+
+        halton = jnp.asarray(
+            halton_sequence(tune + draws) * 0.9 + 0.1, dtype=floatX()
+        )
+        chees_extra0 = (
+            jnp.asarray(np.log(1.0), floatX()),
+            jnp.zeros((), floatX()),
+            jnp.zeros((), floatX()),
+            jnp.zeros((), floatX()),
+        )
+    else:
+        chees_extra0 = (
+            jnp.zeros((), floatX()),
+        ) * 4
+
     def chain_keys(step_key):
         return jax.vmap(lambda i: jax.random.fold_in(step_key, i))(chain_idx)
 
     def step(carry, xs):
         """One draw for warmup AND sampling (adaptation gated by traced flags
-        so the NUTS tree program compiles exactly once)."""
+        so the sampler program compiles exactly once)."""
         step_i, do_update, do_switch, is_warmup = xs
-        q, logp, grad, da, wf, inv_mass = carry
-        keys = chain_keys(jax.random.fold_in(k_warm, step_i))
+        q, logp, grad, da, wf, inv_mass, chees_extra = carry
         step_size = jnp.where(
             is_warmup, jnp.exp(da.log_step), jnp.exp(da.log_step_avg)
         )
-        (q, logp, grad), stats = vmapped_transition(
-            keys, q, logp, grad, step_size, inv_mass
-        )
+        if use_chees:
+            st = CheesState(q, logp, grad, *chees_extra)
+            st, ch = chees_step(
+                logp_grad_fn, jax.random.fold_in(k_warm, step_i), st,
+                step_size, inv_mass, halton[step_i], adapt_T=is_warmup,
+                max_leapfrogs=2**max_treedepth,
+            )
+            q, logp, grad = st.q, st.logp, st.grad
+            chees_extra = (st.log_T, st.adam_m, st.adam_v, st.adam_t)
+            eerr = jnp.where(ch["accepted"], 0.0, -jnp.log(
+                jnp.clip(ch["acceptance_rate"], 1e-30, 1.0)
+            ))
+            stats = NutsStats(
+                depth=jnp.ceil(jnp.log2(ch["n_steps"].astype(floatX()) + 1.0)
+                               ).astype(jnp.int32),
+                n_steps=ch["n_steps"].astype(jnp.int32),
+                diverging=ch["diverging"],
+                energy=ch["energy"],
+                energy_error=eerr,
+                max_energy_error=eerr,
+                acceptance_rate=ch["acceptance_rate"],
+                lp=ch["lp"],
+            )
+        else:
+            keys = chain_keys(jax.random.fold_in(k_warm, step_i))
+            (q, logp, grad), stats = vmapped_transition(
+                keys, q, logp, grad, step_size, inv_mass
+            )
         accept = jnp.clip(stats.acceptance_rate, 0.0, 1.0)
         da_new = jax.vmap(lambda d, a: da_update(d, a, target_accept))(da, accept)
         da = jax.tree.map(
@@ -218,7 +261,7 @@ def sample(
             lambda res, old: jnp.where(_bcast(do_switch, res), res, old),
             da_res, da,
         )
-        carry = (q, logp, grad, da, wf, inv_mass)
+        carry = (q, logp, grad, da, wf, inv_mass, chees_extra)
         return carry, (q, stats, step_size)
 
     scan_fn = jax.jit(lambda c, xs: lax.scan(step, c, xs))
@@ -226,7 +269,7 @@ def sample(
         f"NUTS warmup: {tune} steps, {chains} chains, {D} parameters "
         f"(init={init}, target_accept={target_accept})"
     )
-    carry = (q0, logp0, grad0, da, wf, inv_mass)
+    carry = (q0, logp0, grad0, da, wf, inv_mass, chees_extra0)
 
     # ---- multi-chip: shard the chain axis over a device mesh (replaces the
     # reference's process-per-chain executor; SURVEY §2.7 TPU mapping). The
