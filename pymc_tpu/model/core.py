@@ -618,6 +618,39 @@ class Model:
             print("No problems found")
         return problems
 
+    def profile(self, outs=None, n=1000, point=None):
+        """Time jitted logp and dlogp evaluations (reference core.py:1246
+        delegates to the PyTensor profiler; here: wall timing of the compiled
+        XLA program)."""
+        import time
+
+        if point is None:
+            point = self.initial_point()
+        logp = self.compile_logp()
+        dlogp = self.compile_dlogp()
+        jax.block_until_ready(logp(point))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = logp(point)
+        jax.block_until_ready(out)
+        t_logp = (time.perf_counter() - t0) / n
+        jax.block_until_ready(dlogp(point))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = dlogp(point)
+        jax.tree.map(jax.block_until_ready, out)
+        t_dlogp = (time.perf_counter() - t0) / n
+        report = {
+            "logp_sec_per_call": t_logp,
+            "dlogp_sec_per_call": t_dlogp,
+            "n_calls": n,
+        }
+        print(
+            f"logp: {t_logp*1e6:.1f} us/call; dlogp: {t_dlogp*1e6:.1f} us/call "
+            f"({n} calls)"
+        )
+        return report
+
     # ---------------------------------------------------------------- data
     def set_data(self, name, values, coords=None):
         """Swap the contents of a pm.Data container (reference core.py:949).

@@ -175,15 +175,27 @@ def find_reasonable_step_size(
     acceptance probability crosses 0.5. Jittable; vmap over chains.
     (reference: nutpie / Stan init; pymc uses a fixed formula + jitter)."""
     dtype = q.dtype
-    p = jax.random.normal(key, q.shape, dtype=dtype) / jnp.sqrt(inv_mass_diag)
-    h0 = -logp + 0.5 * jnp.sum(p * inv_mass_diag * p)
+    full = inv_mass_diag.ndim == 2
+
+    def vel(p):
+        return inv_mass_diag @ p if full else inv_mass_diag * p
+
+    xi = jax.random.normal(key, q.shape, dtype=dtype)
+    if full:
+        from jax.scipy.linalg import solve_triangular
+
+        L = jnp.linalg.cholesky(inv_mass_diag)
+        p = solve_triangular(L.T, xi, lower=False)
+    else:
+        p = xi / jnp.sqrt(inv_mass_diag)
+    h0 = -logp + 0.5 * jnp.dot(p, vel(p))
 
     def energy_at(eps):
         p_half = p + 0.5 * eps * grad
-        q_new = q + eps * inv_mass_diag * p_half
+        q_new = q + eps * vel(p_half)
         logp_new, grad_new = logp_grad_fn(q_new)
         p_new = p_half + 0.5 * eps * grad_new
-        return -logp_new + 0.5 * jnp.sum(p_new * inv_mass_diag * p_new)
+        return -logp_new + 0.5 * jnp.dot(p_new, vel(p_new))
 
     eps0 = jnp.asarray(initial, dtype=dtype)
     h1 = energy_at(eps0)
@@ -208,3 +220,19 @@ def find_reasonable_step_size(
 
     eps, _, _ = jax.lax.while_loop(cond, body, (eps0, log_ratio0, jnp.zeros((), jnp.int32)))
     return jnp.clip(eps, 1e-10, 1e3)
+
+
+def welford_update_batch(state: WelfordState, X):
+    """Chan parallel combine of a (C, D) batch into a FULL-covariance Welford
+    state — the batched cross-product is one MXU matmul (reference
+    QuadPotentialFullAdapt quadpotential.py:748, pooled across chains)."""
+    C = X.shape[0]
+    mean_b = jnp.mean(X, axis=0)
+    Xc = X - mean_b
+    m2_b = Xc.T @ Xc
+    n = state.count
+    tot = n + C
+    delta = mean_b - state.mean
+    mean = state.mean + delta * (C / tot)
+    m2 = state.m2 + m2_b + jnp.outer(delta, delta) * (n * C / tot)
+    return WelfordState(count=tot, mean=mean, m2=m2)

@@ -82,6 +82,7 @@ def sample(
     chunk_size=None,
     mesh=None,
     sampler="nuts",
+    mass_matrix=None,
     **kwargs,
 ):
     """Draw posterior samples with on-device vectorized NUTS.
@@ -119,6 +120,11 @@ def sample(
     if nuts:
         target_accept = nuts.get("target_accept", target_accept)
         max_treedepth = nuts.get("max_treedepth", max_treedepth)
+    if mass_matrix is None:
+        mass_matrix = "full" if "adapt_full" in init else "diag"
+    full_mass = mass_matrix == "full"
+    if full_mass and str(sampler).lower() == "chees":
+        raise NotImplementedError("sampler='chees' supports diag mass only")
 
     key = _resolve_seed(random_seed)
     k_init, k_eps, k_warm, k_samp = jax.random.split(key, 4)
@@ -150,18 +156,32 @@ def sample(
             f"chains {bad.tolist()}! Check model.debug() / point_logps()."
         )
 
-    inv_mass = jnp.ones((chains, D), dtype=floatX())
-    eps_keys = jax.random.split(k_eps, chains)
-    eps0 = jax.jit(
-        jax.vmap(
-            lambda q, lp, g, k, im: find_reasonable_step_size(
-                logp_grad_fn, q, lp, g, k, im
+    if full_mass:
+        inv_mass = jnp.eye(D, dtype=floatX())  # Sigma estimate, pooled/shared
+        eps_keys = jax.random.split(k_eps, chains)
+        eps0 = jax.jit(
+            jax.vmap(
+                lambda q, lp, g, k: find_reasonable_step_size(
+                    logp_grad_fn, q, lp, g, k, inv_mass
+                )
             )
+        )(q0, logp0, grad0, eps_keys)
+        wf = welford_init(D, full=True, dtype=floatX())
+    else:
+        inv_mass = jnp.ones((chains, D), dtype=floatX())
+        eps_keys = jax.random.split(k_eps, chains)
+        eps0 = jax.jit(
+            jax.vmap(
+                lambda q, lp, g, k, im: find_reasonable_step_size(
+                    logp_grad_fn, q, lp, g, k, im
+                )
+            )
+        )(q0, logp0, grad0, eps_keys, inv_mass)
+        wf = jax.vmap(lambda _: welford_init(D, dtype=floatX()))(
+            jnp.arange(chains)
         )
-    )(q0, logp0, grad0, eps_keys, inv_mass)
 
     da = jax.vmap(da_init)(eps0)
-    wf = jax.vmap(lambda _: welford_init(D, dtype=floatX()))(jnp.arange(chains))
 
     schedule = build_schedule(tune)
     upd_mass = jnp.asarray(schedule["update_mass"])
@@ -173,7 +193,10 @@ def sample(
         max_treedepth=max_treedepth,
         max_energy_error=1000.0,
     )
-    vmapped_transition = jax.vmap(transition)
+    vmapped_transition = (
+        jax.vmap(transition, in_axes=(0, 0, 0, 0, 0, None)) if full_mass
+        else jax.vmap(transition)
+    )
     chain_idx = jnp.arange(chains)
 
     use_chees = str(sampler).lower() == "chees"
@@ -239,23 +262,39 @@ def sample(
             lambda new, old: jnp.where(_bcast(is_warmup, new), new, old),
             da_new, da,
         )
-        wf_new = jax.vmap(welford_update)(wf, q)
-        wf = jax.tree.map(
-            lambda new, old: jnp.where(_bcast(do_update, new), new, old),
-            wf_new, wf,
-        )
-        # window switch: adopt variance estimate, reset welford + step size
-        new_inv = jax.vmap(welford_variance)(wf)
-        if mass_adapt == "pooled":
-            new_inv = jnp.broadcast_to(
-                jnp.mean(new_inv, axis=0, keepdims=True), new_inv.shape
+        if full_mass:
+            from .adaptation import welford_covariance, welford_update_batch
+
+            wf_new = welford_update_batch(wf, q)
+            wf = jax.tree.map(
+                lambda new, old: jnp.where(_bcast(do_update, new), new, old),
+                wf_new, wf,
             )
-        inv_mass = jnp.where(_bcast(do_switch, inv_mass), new_inv, inv_mass)
-        wf_reset = jax.vmap(lambda _: welford_init(D, dtype=floatX()))(chain_idx)
-        wf = jax.tree.map(
-            lambda res, old: jnp.where(_bcast(do_switch, res), res, old),
-            wf_reset, wf,
-        )
+            new_inv = welford_covariance(wf)
+            inv_mass = jnp.where(_bcast(do_switch, inv_mass), new_inv, inv_mass)
+            wf_reset = welford_init(D, full=True, dtype=floatX())
+            wf = jax.tree.map(
+                lambda res, old: jnp.where(_bcast(do_switch, res), res, old),
+                wf_reset, wf,
+            )
+        else:
+            wf_new = jax.vmap(welford_update)(wf, q)
+            wf = jax.tree.map(
+                lambda new, old: jnp.where(_bcast(do_update, new), new, old),
+                wf_new, wf,
+            )
+            # window switch: adopt variance estimate, reset welford + step size
+            new_inv = jax.vmap(welford_variance)(wf)
+            if mass_adapt == "pooled":
+                new_inv = jnp.broadcast_to(
+                    jnp.mean(new_inv, axis=0, keepdims=True), new_inv.shape
+                )
+            inv_mass = jnp.where(_bcast(do_switch, inv_mass), new_inv, inv_mass)
+            wf_reset = jax.vmap(lambda _: welford_init(D, dtype=floatX()))(chain_idx)
+            wf = jax.tree.map(
+                lambda res, old: jnp.where(_bcast(do_switch, res), res, old),
+                wf_reset, wf,
+            )
         da_res = jax.vmap(da_restart)(da)
         da = jax.tree.map(
             lambda res, old: jnp.where(_bcast(do_switch, res), res, old),

@@ -81,13 +81,21 @@ class _TrajState(NamedTuple):
     diverging: jax.Array
 
 
-def _kinetic(p, inv_mass_diag):
-    return 0.5 * jnp.sum(p * inv_mass_diag * p)
+def _vel(inv_mass, p):
+    """Velocity M^{-1} p — elementwise for a diagonal mass (inv_mass (D,)),
+    one MXU matvec for a full mass (inv_mass = Sigma, (D, D))."""
+    if inv_mass.ndim == 2:
+        return inv_mass @ p
+    return inv_mass * p
 
 
-def _leapfrog(logp_grad_fn, q, p, grad, eps, inv_mass_diag):
+def _kinetic(p, inv_mass):
+    return 0.5 * jnp.dot(p, _vel(inv_mass, p))
+
+
+def _leapfrog(logp_grad_fn, q, p, grad, eps, inv_mass):
     p_half = p + 0.5 * eps * grad
-    q_new = q + eps * (inv_mass_diag * p_half)
+    q_new = q + eps * _vel(inv_mass, p_half)
     logp_new, grad_new = logp_grad_fn(q_new)
     p_new = p_half + 0.5 * eps * grad_new
     return q_new, p_new, grad_new, logp_new
@@ -180,11 +188,14 @@ def _build_subtree(
         t_ones = _popcount(n ^ (n + 1)) - 1  # trailing ones of n
         c_hi = _popcount(n) - 1
         c_lo = _popcount(n) - t_ones
-        v_leaf = inv_mass_diag * p
+        v_leaf = _vel(inv_mass_diag, p)
         slots = jnp.arange(max_treedepth + 1, dtype=jnp.int32)
         active = (slots >= c_lo) & (slots <= c_hi)
         rho_all = p_sum[None, :] - psum_ckpt  # (S, D)
-        v_starts = inv_mass_diag[None, :] * p_ckpt
+        v_starts = (
+            p_ckpt @ inv_mass_diag.T if inv_mass_diag.ndim == 2
+            else inv_mass_diag[None, :] * p_ckpt
+        )
         dot_start = jnp.sum(v_starts * rho_all, axis=-1)
         dot_leaf = rho_all @ v_leaf
         any_turn = jnp.any(
@@ -245,7 +256,15 @@ def nuts_transition(
     D = q.shape[0]
     k_mom, k_dir, k_tree, k_acc = jax.random.split(key, 4)
 
-    p0 = jax.random.normal(k_mom, (D,), dtype=dtype) / jnp.sqrt(inv_mass_diag)
+    xi = jax.random.normal(k_mom, (D,), dtype=dtype)
+    if inv_mass_diag.ndim == 2:
+        # full mass: p ~ N(0, Sigma^{-1}) via p = L^{-T} xi with L = chol(Sigma)
+        from jax.scipy.linalg import solve_triangular
+
+        L = jnp.linalg.cholesky(inv_mass_diag)
+        p0 = solve_triangular(L.T, xi, lower=False)
+    else:
+        p0 = xi / jnp.sqrt(inv_mass_diag)
     h0 = -logp + _kinetic(p0, inv_mass_diag)
 
     init = _TrajState(
@@ -320,13 +339,13 @@ def nuts_transition(
         # full-trajectory U-turn check (generalized criterion) + the
         # cross-subtree checks with boundary momenta (reference
         # nuts.py:454-463 additional checks)
-        v_left = inv_mass_diag * p_left
-        v_right = inv_mass_diag * p_right
+        v_left = _vel(inv_mass_diag, p_left)
+        v_right = _vel(inv_mass_diag, p_right)
         turn_main = _is_turning(v_left, v_right, p_sum)
         # boundary-crossing checks: old trajectory + first leaf of subtree /
         # subtree + adjacent old boundary
-        v_first = inv_mass_diag * p_first
-        v_last = inv_mass_diag * sub.p
+        v_first = _vel(inv_mass_diag, p_first)
+        v_last = _vel(inv_mass_diag, sub.p)
         turn_x1 = _is_turning(
             jnp.where(go_right, v_left, v_last),
             jnp.where(go_right, v_first, v_right),

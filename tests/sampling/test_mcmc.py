@@ -130,3 +130,31 @@ class TestIdataStructure:
                                     progressbar=False, random_seed=4,
                                     compute_convergence_checks=False)
         assert idata.posterior["x"].shape == (2, 50)
+
+
+class TestFullMassMatrix:
+    def test_correlated_gaussian(self):
+        cov = np.array([[1.0, 0.95], [0.95, 1.0]])
+        with pm.Model() as m:
+            pm.MvNormal("x", mu=np.zeros(2), cov=cov)
+        idata = pm.sample(draws=500, tune=500, chains=4, model=m,
+                          random_seed=1, progressbar=False,
+                          compute_convergence_checks=False,
+                          init="jitter+adapt_full")
+        x = idata.posterior["x"].values
+        est = np.cov(x.reshape(-1, 2).T)
+        np.testing.assert_allclose(est, cov, atol=0.12)
+        # full mass should mix much better than unit mass here
+        assert float(np.nanmin(pm.ess(x))) > 600
+
+    def test_full_beats_diag_on_correlation(self):
+        cov = np.array([[1.0, 0.98], [0.98, 1.0]])
+        with pm.Model() as m:
+            pm.MvNormal("x", mu=np.zeros(2), cov=cov)
+        e = {}
+        for init in ("jitter+adapt_diag", "jitter+adapt_full"):
+            idata = pm.sample(draws=400, tune=500, chains=4, model=m,
+                              random_seed=2, progressbar=False,
+                              compute_convergence_checks=False, init=init)
+            e[init] = float(np.nanmin(pm.ess(idata.posterior["x"].values)))
+        assert e["jitter+adapt_full"] > 1.5 * e["jitter+adapt_diag"], e
