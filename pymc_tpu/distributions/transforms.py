@@ -305,30 +305,28 @@ class ZeroSumTransform(Transform):
 
     @staticmethod
     def _extend_axis_rev(x, axis):
-        # R^n zero-sum -> R^{n-1}
+        # zero-sum R^n -> R^{n-1} (reference transforms.py extend_axis_rev)
         n = x.shape[axis]
         nf = float(n)
-        sum_all = jnp.sum(x, axis=axis, keepdims=True)  # ~0
-        norm = sum_all / (jnp.sqrt(nf) + nf)
+        slc_last = [slice(None)] * x.ndim
+        slc_last[axis] = slice(-1, None)
+        last = x[tuple(slc_last)]
+        sum_vals = -last * jnp.sqrt(nf)
+        norm = sum_vals / (jnp.sqrt(nf) + nf)
         slc = [slice(None)] * x.ndim
         slc[axis] = slice(None, -1)
         return x[tuple(slc)] + norm
 
     @staticmethod
     def _extend_axis(v, axis):
-        # R^{n-1} -> R^n zero-sum
+        # R^{n-1} -> zero-sum R^n (reference transforms.py extend_axis)
         n = v.shape[axis] + 1
         nf = float(n)
         sum_v = jnp.sum(v, axis=axis, keepdims=True)
         norm = sum_v / (jnp.sqrt(nf) + nf)
-        fill = norm - sum_v
-        out = jnp.concatenate([v - norm, fill + norm - norm], axis=axis)
-        # last element = -(sum of others): enforce exactly
-        slc = [slice(None)] * v.ndim
-        slc[axis] = slice(None, -1)
-        head = v - norm
-        tail = -jnp.sum(head, axis=axis, keepdims=True)
-        return jnp.concatenate([head, tail], axis=axis)
+        fill = norm - sum_v / jnp.sqrt(nf)
+        out = jnp.concatenate([v, fill], axis=axis)
+        return out - norm
 
     def forward(self, x, env=None):
         v = x
