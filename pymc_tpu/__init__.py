@@ -31,7 +31,9 @@ from .model.transform import (  # noqa: E402
     freeze_dims_and_data,
 )
 from .model import (  # noqa: E402
+    ConstantData,
     Data,
+    MutableData,
     Deterministic,
     Model,
     Potential,
@@ -88,6 +90,8 @@ __all__ = [
     "Model",
     "modelcontext",
     "Data",
+    "ConstantData",
+    "MutableData",
     "Deterministic",
     "Potential",
     "set_data",

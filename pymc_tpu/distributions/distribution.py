@@ -352,10 +352,6 @@ class DiracDelta(Discrete):
             return c.dtype
         return jnp.asarray(c).dtype
 
-    @property
-    def is_discrete_dtype(self):
-        return jnp.issubdtype(self.dtype, jnp.integer)
-
     def _logp(self, value, c):
         match = jnp.isclose(
             jnp.asarray(value, dtype=floatX()), jnp.asarray(c, dtype=floatX())

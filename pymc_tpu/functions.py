@@ -46,11 +46,17 @@ def icdf(rv, q, **kwargs):
 
 
 def draw(rv, draws=1, random_seed=None, **kwargs):
-    """Draw samples from a distribution / RV node (reference forward.py:397)."""
+    """Draw samples from distributions / RV nodes (reference forward.py:397).
+    Accepts a single var or a list of vars (returns a list)."""
     if isinstance(random_seed, jax.Array) and random_seed.dtype == jnp.uint32:
         key = random_seed
     else:
         key = jax.random.PRNGKey(0 if random_seed is None else int(random_seed))
+    if isinstance(rv, (list, tuple)):
+        return [
+            draw(r, draws=draws, random_seed=jax.random.fold_in(key, i), **kwargs)
+            for i, r in enumerate(rv)
+        ]
     dist = _dist_of(rv)
     sample_shape = () if draws == 1 else (draws,)
     return dist.sample(key, sample_shape, **kwargs)

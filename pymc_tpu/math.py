@@ -196,18 +196,7 @@ def kronecker(*Ks):
 
 def kron_dot(krons, m):
     """Efficient (K1 ⊗ K2 ⊗ ...) @ m without materializing the product
-    (reference math.py:333 kron_matrix_op)."""
-    def _kd(mat, *ks):
-        res = mat
-        n = mat.shape[0]
-        for k in reversed(ks):
-            kn = k.shape[0]
-            res = res.reshape(-1, kn, res.shape[-1] if res.ndim > 1 else 1)
-            res = jnp.einsum("ij,kjl->kil", k, res)
-            res = res.reshape(n, -1) if mat.ndim > 1 else res.reshape(n)
-        return res
-
-    # simpler correct implementation: reshape-multiply per factor
+    (reference math.py:333 kron_matrix_op): reshape-multiply per factor."""
     def _kron_vec(mat, *ks):
         sizes = [k.shape[0] for k in ks]
         x = mat
@@ -257,8 +246,6 @@ def expand_packed_triangular(n, packed, lower=True, diagonal_only=False):
     (reference math.py:444)."""
     def _expand(p):
         if diagonal_only:
-            idx = (np.arange(n) * (np.arange(n) + (3 if lower else 1)) // 2
-                   if lower else None)
             if lower:
                 diag_idx = np.cumsum(np.arange(1, n + 1)) - 1
             else:

@@ -1,5 +1,7 @@
 from .core import (
+    ConstantData,
     Data,
+    MutableData,
     Deterministic,
     Model,
     Potential,
@@ -10,6 +12,8 @@ from .core import (
 
 __all__ = [
     "Data",
+    "ConstantData",
+    "MutableData",
     "Deterministic",
     "Model",
     "Potential",

@@ -43,6 +43,8 @@ __all__ = [
     "Deterministic",
     "Potential",
     "Data",
+    "ConstantData",
+    "MutableData",
     "set_data",
     "compile_fn",
 ]
@@ -739,6 +741,16 @@ def Data(name, value, *, dims=None, coords=None, model=None, mutable=None):
     model.add_named_variable(node, dims)
     model.root._fn_cache.clear()
     return node
+
+
+def ConstantData(name, value, *, dims=None, coords=None, model=None, **kwargs):
+    """Alias of Data (reference pm.ConstantData)."""
+    return Data(name, value, dims=dims, coords=coords, model=model)
+
+
+def MutableData(name, value, *, dims=None, coords=None, model=None, **kwargs):
+    """Alias of Data (reference pm.MutableData; mutability via set_data)."""
+    return Data(name, value, dims=dims, coords=coords, model=model)
 
 
 def set_data(new_data, model=None, coords=None):

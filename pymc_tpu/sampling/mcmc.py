@@ -127,7 +127,7 @@ def sample(
         raise NotImplementedError("sampler='chees' supports diag mass only")
 
     key = _resolve_seed(random_seed)
-    k_init, k_eps, k_warm, k_samp = jax.random.split(key, 4)
+    k_init, k_eps, k_warm = jax.random.split(key, 3)
 
     info = model.raveled_info()
     D = info.total_size
@@ -343,19 +343,36 @@ def sample(
             _log.info(f"Resuming from {draws_done} stored draws")
     warmup_needed = draws_done == 0
 
-    # ---- warmup
+    # memory-aware chunk size: a chunk's stacked draws (chunk, C, D) must
+    # not exhaust HBM at large D (the 10k-param x 1024-chain regime)
+    budget_bytes = 1_500_000_000
+    auto_chunk = max(1, min(200, budget_bytes // max(chains * D * 4, 1)))
+    chunk = int(chunk_size) if chunk_size else max(1, min(draws, auto_chunk))
+
+    # ---- warmup: chunked so the stacked (chunk, C, D) buffers are freed
+    # between chunks (a single tune-length scan OOMs at large D)
     warm_out = None
     if warmup_needed and tune > 0:
-        tru = jnp.ones((tune,), dtype=bool)
-        warm_xs = (jnp.arange(tune, dtype=jnp.int32), upd_mass, swi_mass, tru)
-        carry, warm_out = scan_fn(carry, warm_xs)
         if discard_tuned_samples:
-            warm_out = None
+            w = 0
+            while w < tune:
+                mw = min(chunk, tune - w)
+                warm_xs = (
+                    jnp.arange(w, w + mw, dtype=jnp.int32),
+                    upd_mass[w : w + mw], swi_mass[w : w + mw],
+                    jnp.ones((mw,), dtype=bool),
+                )
+                carry, _discard = scan_fn(carry, warm_xs)
+                del _discard
+                w += mw
+            jax.block_until_ready(carry)
+        else:
+            tru = jnp.ones((tune,), dtype=bool)
+            warm_xs = (jnp.arange(tune, dtype=jnp.int32), upd_mass, swi_mass, tru)
+            carry, warm_out = scan_fn(carry, warm_xs)
 
     # ---- sampling: chunked scans (progress + durable trace streaming)
     from .progress import ProgressManager
-
-    chunk = int(chunk_size) if chunk_size else max(1, min(draws, 200))
     q_chunks, stat_chunks, ss_chunks = [], [], []
     t1 = time.perf_counter()
     pm_bar = ProgressManager(draws - draws_done, chains, enabled=progressbar)
@@ -365,7 +382,10 @@ def sample(
         draws only cross the tunnel when a durable trace needs the bytes —
         otherwise they stay on device for the fused postprocess."""
         q_c, packed_c, i0, m0, carry_c = pend
-        q_np = np.asarray(jax.device_get(q_c)) if trace is not None else q_c
+        keep_on_device = (
+            trace is None and draws * chains * D * 4 <= budget_bytes
+        )
+        q_np = q_c if keep_on_device else np.asarray(jax.device_get(q_c))
         packed_np = np.asarray(jax.device_get(packed_c))
         stats_np = NutsStats(
             *[packed_np[..., j] for j in range(len(NutsStats._fields))]
@@ -417,7 +437,10 @@ def sample(
             k: stats_all[k] for k in NutsStats._fields
         })
     else:
-        concat = np.concatenate if isinstance(q_chunks[0], np.ndarray) else jnp.concatenate
+        concat = (
+            np.concatenate if isinstance(q_chunks[0], np.ndarray)
+            else jnp.concatenate
+        )
         q_draws = concat(q_chunks, axis=0)
         stats = NutsStats(*[
             np.concatenate([getattr(c, f) for c in stat_chunks], axis=0)

@@ -208,11 +208,7 @@ def _build_subtree(
         )
 
         abs_bigger = jnp.abs(eerr_safe) > jnp.abs(s.max_eerr)
-        max_eerr = jnp.where(
-            jnp.isfinite(eerr_safe) | True,
-            jnp.where(abs_bigger, eerr_safe, s.max_eerr),
-            s.max_eerr,
-        )
+        max_eerr = jnp.where(abs_bigger, eerr_safe, s.max_eerr)
 
         return _SubtreeState(
             n=n + 1,
