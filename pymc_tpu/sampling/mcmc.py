@@ -206,8 +206,11 @@ def sample(
         halton = jnp.asarray(
             halton_sequence(tune + draws) * 0.9 + 0.1, dtype=floatX()
         )
+        # start T at ~16 leapfrog steps of the found step size; adaptation
+        # grows it (a fixed T=1.0 with a tiny eps would mean max_leapfrogs
+        # leapfrogs per draw during early warmup)
         chees_extra0 = (
-            jnp.asarray(np.log(1.0), floatX()),
+            jnp.log(16.0 * jnp.mean(eps0)).astype(floatX()),
             jnp.zeros((), floatX()),
             jnp.zeros((), floatX()),
             jnp.zeros((), floatX()),
