@@ -213,5 +213,18 @@ class HSGPPeriodic(Base):
             lambda pc, ps, s, bc, bs: pc @ (s * bc) + ps @ (s * bs),
             phi_cos, phi_sin, sqrt_psd, beta_cos, beta_sin,
         )
+        self._beta = (beta_cos, beta_sin)
         mean = self.mean_func(X)
+        return Deterministic(name, apply(jnp.add, mean, f), dims=dims)
+
+    def conditional(self, name, Xnew, dims=None):
+        from ..model.core import Deterministic
+
+        (phi_cos, phi_sin), sqrt_psd = self.prior_linearized(Xnew)
+        beta_cos, beta_sin = self._beta
+        f = apply(
+            lambda pc, ps, s, bc, bs: pc @ (s * bc) + ps @ (s * bs),
+            phi_cos, phi_sin, sqrt_psd, beta_cos, beta_sin,
+        )
+        mean = self.mean_func(Xnew)
         return Deterministic(name, apply(jnp.add, mean, f), dims=dims)

@@ -117,6 +117,14 @@ def sample(
             initvals=initvals,
         )
 
+    nuts_sampler = kwargs.pop("nuts_sampler", None)
+    if nuts_sampler and str(nuts_sampler) not in ("pymc", "pymc_tpu"):
+        # reference external-sampler delegation (mcmc.py:372-550): every
+        # backend maps onto the native on-device sampler here
+        _log.info(
+            f"nuts_sampler={nuts_sampler!r} requested; using the native "
+            "on-device sampler (numpyro/blackjax/nutpie are not needed on TPU)"
+        )
     if nuts:
         target_accept = nuts.get("target_accept", target_accept)
         max_treedepth = nuts.get("max_treedepth", max_treedepth)
