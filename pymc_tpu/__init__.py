@@ -67,6 +67,8 @@ from .stats.summary import hdi, summary  # noqa: E402
 from .func_utils import find_constrained_prior  # noqa: E402
 from . import ode  # noqa: E402
 from . import dims  # noqa: E402
+from . import plots  # noqa: E402
+from . import parallel  # noqa: E402
 from .step_methods import (  # noqa: E402
     NUTS,
     HamiltonianMC,
@@ -142,6 +144,8 @@ __all__ = [
     "find_constrained_prior",
     "ode",
     "dims",
+    "plots",
+    "parallel",
     "NUTS",
     "HamiltonianMC",
     "Metropolis",

@@ -15,7 +15,24 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["chain_mesh", "shard_chains", "sharded_sample_step"]
+__all__ = ["chain_mesh", "shard_chains", "sharded_sample_step",
+           "init_distributed"]
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize the multi-host JAX runtime (the reference's cross-process
+    communication is pipes+shm on one host, SURVEY §2.14; cross-host here is
+    jax.distributed over DCN). No-op when running single-process."""
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def chain_mesh(n_devices=None, devices=None, axis_name="chains"):
