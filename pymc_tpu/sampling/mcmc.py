@@ -85,15 +85,26 @@ def sample(
     mass_matrix=None,
     **kwargs,
 ):
-    """Draw posterior samples with on-device vectorized NUTS.
+    """Draw posterior samples with on-device vectorized samplers.
 
     Mirrors the reference `pm.sample` signature (sampling/mcmc.py:620) where
     meaningful on TPU; process-pool arguments (`cores`, `mp_ctx`) are accepted
     and ignored — chains are a device axis, not processes.
 
-    mass_adapt: "per_chain" (reference behavior) or "pooled" — pool the
-    Welford mass-matrix statistics across chains each window (dramatically
-    faster adaptation at high chain counts; cross-chain option of SURVEY §7.4).
+    TPU-native extensions
+    ---------------------
+    sampler : "nuts" (default) or "chees" — ChEES-HMC runs every chain for
+        the same jittered trajectory length (no max-over-chains tree
+        straggler; ~2x ESS/sec at high chain counts).
+    mass_adapt : "per_chain" (reference behavior) or "pooled" — pool the
+        Welford mass statistics across chains each window (faster adaptation
+        with many chains; SURVEY §7.4).
+    mass_matrix : "diag" (default) or "full" — pooled dense covariance
+        (also selected by init="jitter+adapt_full"/"adapt_full").
+    mesh : jax.sharding.Mesh — shard the chain axis across devices
+        (pm.parallel.chain_mesh); draws are identical to the unsharded run.
+    trace / resume / chunk_size : durable chunked trace streaming with
+        crash-safe checkpoint/resume (backends.checkpoint.FileTrace).
     """
     model = modelcontext(model)
     if step is not None:
@@ -244,7 +255,11 @@ def sample(
             st, ch = chees_step(
                 logp_grad_fn, jax.random.fold_in(k_warm, step_i), st,
                 step_size, inv_mass, halton[step_i], adapt_T=is_warmup,
-                max_leapfrogs=2**max_treedepth,
+                # tighter cap than NUTS max tree size: the ChEES criterion
+                # gradient is weakly positive far past the optimum on some
+                # targets (resonance aliasing) and Adam's normalized steps
+                # would otherwise drift T to the bound
+                max_leapfrogs=2 ** max(max_treedepth - 2, 4),
             )
             q, logp, grad = st.q, st.logp, st.grad
             chees_extra = (st.log_T, st.adam_m, st.adam_v, st.adam_t)
