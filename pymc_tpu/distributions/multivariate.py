@@ -28,7 +28,7 @@ from . import transforms as tr
 
 __all__ = [
     "MvNormal", "MvStudentT", "Dirichlet", "Multinomial",
-    "DirichletMultinomial", "OrderedMultinomial", "Wishart",
+    "DirichletMultinomial", "OrderedMultinomial", "Wishart", "WishartBartlett",
     "LKJCholeskyCov", "LKJCorr", "MatrixNormal", "KroneckerNormal",
     "CAR", "ICAR", "StickBreakingWeights", "ZeroSumNormal",
 ]
@@ -588,9 +588,28 @@ class Wishart(Continuous):
     param_event_ndims = (0, 2)
     event_ndim = 2
 
-    def __dist_init__(self, nu, V):
+    def __dist_init__(self, nu, V=None, scale_chol=None):
         self.nu = as_param(nu)
+        if V is None:
+            if scale_chol is None:
+                raise ValueError("Wishart requires V or scale_chol")
+            from ..graph import Node, apply
+
+            if isinstance(scale_chol, Node):
+                V = apply(
+                    lambda L: jnp.einsum("...ij,...kj->...ik", L, L),
+                    scale_chol,
+                )
+            else:
+                L = jnp.asarray(scale_chol, dtype=floatX())
+                V = jnp.einsum("...ij,...kj->...ik", L, L)
         self.V = as_param(V)
+
+    def default_transform(self):
+        # SPD cone -> unconstrained packed Cholesky (reference's new Wishart
+        # default CholeskyCovTransform) so NUTS/HMC can sample it directly
+        p = int(self.V.shape[-1])
+        return tr.CholeskyCovTransform(p)
 
     def _event_shape(self, nu_shape, V_shape):
         return tuple(V_shape[-2:])
@@ -642,6 +661,38 @@ class Wishart(Continuous):
 
     def _support_point(self, nu, V):
         return jnp.asarray(nu, floatX())[..., None, None] * V
+
+
+def WishartBartlett(name, S, nu, is_cholesky=False, return_cholesky=False,
+                    initval=None):
+    """Bartlett-decomposed Wishart prior — backward-compatibility shim.
+
+    Parity: reference pymc/distributions/multivariate.py:1091. The modern
+    Wishart here is MCMC-usable directly (default CholeskyCovTransform), so
+    this delegates to it; `is_cholesky=True` maps S to `scale_chol`,
+    `return_cholesky=True` wraps the draw's Cholesky in a Deterministic.
+    """
+    import warnings
+
+    warnings.warn(
+        "WishartBartlett is deprecated; use pm.Wishart directly "
+        "(scale_chol= for a Cholesky-parameterized scale).",
+        FutureWarning,
+        stacklevel=2,
+    )
+    if initval is not None:
+        raise NotImplementedError(
+            "initval is not supported by the WishartBartlett shim; pass an "
+            "SPD initval to pm.Wishart directly."
+        )
+    kw = {"scale_chol": S} if is_cholesky else {"V": S}
+    if return_cholesky:
+        from ..graph import apply
+        from ..model.core import Deterministic
+
+        w = Wishart(f"_{name}_wishart", nu=nu, **kw)
+        return Deterministic(name, apply(jnp.linalg.cholesky, w))
+    return Wishart(name, nu=nu, **kw)
 
 
 class MatrixNormal(Continuous):

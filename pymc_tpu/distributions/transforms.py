@@ -34,6 +34,7 @@ __all__ = [
     "CircularTransform",
     "ZeroSumTransform",
     "CholeskyCovPackedTransform",
+    "CholeskyCovTransform",
     "CholeskyCorrTransform",
     "ChainedTransform",
     "log",
@@ -376,6 +377,55 @@ class CholeskyCovPackedTransform(Transform):
 
     def log_jac_det(self, v, env=None):
         return jnp.sum(v[..., self.diag_idxs], axis=-1)
+
+
+class CholeskyCovTransform(Transform):
+    """SPD matrix (..., n, n) <-> unconstrained packed vector (..., n(n+1)/2)
+    via the Cholesky factor with log-transformed diagonal (reference
+    pymc/distributions/transforms.py CholeskyCovTransform, used as the
+    default Wishart transform).
+
+    log|det d backward/dv| combines the X = L L^T Jacobian
+    (n log 2 + sum_i (n-i) log L_ii, 0-indexed rows contributing n-i ... )
+    with the exp on the diagonal: total coefficient (n - i + 1) per
+    0-indexed diagonal entry, plus n log 2.
+    """
+
+    name = "cholesky-cov"
+
+    def __init__(self, n):
+        self.n = int(n)
+        self.tril_rows, self.tril_cols = np.tril_indices(self.n)
+        self.diag_idxs = np.cumsum(np.arange(1, self.n + 1)) - 1
+
+    def value_shape(self, shape):
+        return tuple(shape[:-2]) + (self.n * (self.n + 1) // 2,)
+
+    def constrained_shape(self, value_shape):
+        return tuple(value_shape[:-1]) + (self.n, self.n)
+
+    def forward(self, x, env=None):
+        L = jnp.linalg.cholesky(x)
+        packed = L[..., self.tril_rows, self.tril_cols]
+        return packed.at[..., self.diag_idxs].set(
+            jnp.log(packed[..., self.diag_idxs])
+        )
+
+    def _unpack(self, v):
+        packed = v.at[..., self.diag_idxs].set(jnp.exp(v[..., self.diag_idxs]))
+        L = jnp.zeros(v.shape[:-1] + (self.n, self.n), dtype=v.dtype)
+        return L.at[..., self.tril_rows, self.tril_cols].set(packed)
+
+    def backward(self, v, env=None):
+        L = self._unpack(v)
+        return jnp.einsum("...ij,...kj->...ik", L, L)
+
+    def log_jac_det(self, v, env=None):
+        n = self.n
+        coeff = jnp.asarray(n - np.arange(n) + 1, dtype=v.dtype)
+        return n * jnp.log(2.0) + jnp.sum(
+            coeff * v[..., self.diag_idxs], axis=-1
+        )
 
 
 class CholeskyCorrTransform(Transform):

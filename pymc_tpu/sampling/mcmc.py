@@ -408,8 +408,11 @@ def sample(
         draws only cross the tunnel when a durable trace needs the bytes —
         otherwise they stay on device for the fused postprocess."""
         q_c, packed_c, i0, m0, carry_c = pend
-        keep_on_device = (
-            trace is None and draws * chains * D * 4 <= budget_bytes
+        # keep draws device-resident only when the TOTAL stays small; large
+        # runs stream each chunk to the host here, overlapped with the next
+        # chunk's device compute (one big end-of-run transfer would stall)
+        keep_on_device = trace is None and (
+            draws * chains * D * 4 <= 400_000_000 or var_names is not None
         )
         q_np = q_c if keep_on_device else np.asarray(jax.device_get(q_c))
         packed_np = np.asarray(jax.device_get(packed_c))
@@ -463,11 +466,13 @@ def sample(
             k: stats_all[k] for k in NutsStats._fields
         })
     else:
-        concat = (
-            np.concatenate if isinstance(q_chunks[0], np.ndarray)
-            else jnp.concatenate
-        )
-        q_draws = concat(q_chunks, axis=0)
+        if isinstance(q_chunks[0], np.ndarray):
+            q_draws = np.concatenate(q_chunks, axis=0)
+        else:
+            # device-resident chunks: leave UNSTACKED — at 10k params the
+            # stacked copy doubles HBM use and OOMs; _package streams the
+            # list chunk by chunk
+            q_draws = q_chunks
         stats = NutsStats(*[
             np.concatenate([getattr(c, f) for c in stat_chunks], axis=0)
             for f in NutsStats._fields
@@ -485,6 +490,7 @@ def sample(
         q_draws,
         stats,
         step_size_final,
+        var_names=var_names,
         warmup=(None if discard_tuned_samples else warm_out),
         idata_kwargs=idata_kwargs,
         max_treedepth=max_treedepth,
@@ -516,22 +522,28 @@ def init_nuts(init="jitter+adapt_diag", chains=1, random_seed=None, model=None,
 
 
 def _package(
-    model, info, q_draws, stats, step_size, warmup=None, idata_kwargs=None,
-    max_treedepth=10, sampling_time=None, tuning_time=None,
+    model, info, q_draws, stats, step_size, var_names=None, warmup=None,
+    idata_kwargs=None, max_treedepth=10, sampling_time=None, tuning_time=None,
 ):
     """(draws, chains, D) unconstrained draws -> InferenceData with posterior
     (constrained + deterministics), sample_stats, observed/constant data."""
     idata_kwargs = dict(idata_kwargs or {})
-    S, C, D = q_draws.shape
+    # q_draws: (S, C, D) array, OR a list of (m_i, C, D) device chunks (the
+    # huge-model path — stacking them on device would double HBM use)
+    q_parts = q_draws if isinstance(q_draws, list) else [q_draws]
+    S = sum(int(p.shape[0]) for p in q_parts)
+    C, D = int(q_parts[0].shape[1]), int(q_parts[0].shape[2])
 
     post_fn = _make_postprocess_fn(model, info)
-    flat = q_draws.reshape(S * C, D)
 
-    # pack ALL postprocessed variables into one flat device array so each
-    # chunk costs ONE host transfer (tunnel round-trips dominate otherwise)
-    in_dtype = jnp.asarray(flat[:1]).dtype
+    # pack ALL postprocessed variables into one flat array so each chunk
+    # costs ONE host transfer (tunnel round-trips dominate otherwise)
+    in_dtype = jnp.result_type(q_parts[0].dtype)
     out_shapes = jax.eval_shape(post_fn, jax.ShapeDtypeStruct((D,), in_dtype))
     layout = [(n, tuple(v.shape)) for n, v in out_shapes.items()]
+    if var_names is not None:
+        wanted = set(var_names)
+        layout = [(n, sh) for n, sh in layout if n in wanted]
 
     def post_packed(q):
         out = post_fn(q)
@@ -539,12 +551,37 @@ def _package(
         return jnp.concatenate(parts) if parts else jnp.zeros((0,), floatX())
 
     pfn = jax.jit(jax.vmap(post_packed))
-    chunk = max(1, min(S * C, 65536))
+    chunk = 65536
     packed_rows = []
-    for i in range(0, S * C, chunk):
-        packed_rows.append(
-            np.asarray(jax.device_get(pfn(jnp.asarray(flat[i : i + chunk]))))
-        )
+    on_device = not isinstance(q_parts[0], np.ndarray)
+    if on_device and var_names is not None:
+        # subset requested and draws still on the sampling device: pack and
+        # select THERE, chunk by chunk, so only the selected variables cross
+        # the (slow) host link — the huge-model path
+        for part in q_parts:
+            rows = int(part.shape[0]) * C
+            flat_p = part.reshape(rows, D)
+            for i in range(0, rows, chunk):
+                packed_rows.append(
+                    np.asarray(jax.device_get(pfn(flat_p[i : i + chunk])))
+                )
+    else:
+        # postprocess on the HOST cpu backend: transforms/deterministics are
+        # cheap elementwise work, the full posterior must reach the host
+        # anyway, and this avoids one more (remote, slow) TPU compile
+        cpu_dev = jax.devices("cpu")[0]
+        with jax.default_device(cpu_dev):
+            for part in q_parts:
+                part_np = (
+                    part if isinstance(part, np.ndarray)
+                    else np.asarray(jax.device_get(part))
+                )
+                rows = part_np.shape[0] * C
+                flat_p = part_np.reshape(rows, D)
+                for i in range(0, rows, chunk):
+                    packed_rows.append(
+                        np.asarray(jax.device_get(pfn(flat_p[i : i + chunk])))
+                    )
     packed_all = np.concatenate(packed_rows, axis=0)  # (S*C, total)
     posterior = {}
     off = 0
@@ -577,10 +614,12 @@ def _package(
         Wn = wq.shape[0]
         wflat = np.asarray(jax.device_get(wq)).reshape(Wn * C, D)
         wpacked = []
-        for i in range(0, Wn * C, chunk):
-            wpacked.append(
-                np.asarray(jax.device_get(pfn(jnp.asarray(wflat[i : i + chunk]))))
-            )
+        cpu_dev = jax.devices("cpu")[0]
+        with jax.default_device(cpu_dev):
+            for i in range(0, Wn * C, chunk):
+                wpacked.append(
+                    np.asarray(jax.device_get(pfn(wflat[i : i + chunk])))
+                )
         wpacked = np.concatenate(wpacked, axis=0)
         wp = {}
         off = 0

@@ -33,7 +33,8 @@ if __name__ == "__main__":
     t0 = time.perf_counter()
     idata = pm.sample(draws=draws, tune=200, chains=chains, model=m, random_seed=0,
                       progressbar=False, compute_convergence_checks=False,
-                      mass_adapt="pooled", sampler="chees")
+                      mass_adapt="pooled", sampler="chees",
+                      var_names=["mu_a", "sd_a", "mu_b", "sd_b"])
     st = idata.posterior.attrs["sampling_time"]
     print(f"sampling={st:.1f}s total={time.perf_counter()-t0:.1f}s", flush=True)
     for v in ("mu_a","sd_a","mu_b","sd_b"):

@@ -173,6 +173,44 @@ class TestWishart:
         draws = np.asarray(d.sample(jax.random.PRNGKey(3)))
         np.testing.assert_allclose(draws.mean(0), nu * V, rtol=0.1)
 
+    def test_cholesky_cov_transform_jacobian(self):
+        # analytic log|det d backward/dv| vs autodiff on the tril coords
+        from pymc_tpu.distributions.transforms import CholeskyCovTransform
+
+        n = 3
+        t = CholeskyCovTransform(n)
+        X = _rand_cov(n, 5)
+        v = t.forward(jnp.asarray(X))
+        np.testing.assert_allclose(np.asarray(t.backward(v)), X, rtol=1e-5)
+        rows, cols = np.tril_indices(n)
+        J = jax.jacobian(lambda u: t.backward(u)[rows, cols])(v)
+        _, ld = np.linalg.slogdet(np.asarray(J))
+        np.testing.assert_allclose(float(t.log_jac_det(v)), ld, rtol=1e-5)
+
+    def test_nuts_samples_wishart_prior(self):
+        # default CholeskyCovTransform makes Wishart directly MCMC-usable
+        V = np.array([[1.0, 0.3], [0.3, 1.0]])
+        with pm.Model() as m:
+            pm.Wishart("W", nu=5, V=V)
+        idata = pm.sample(
+            draws=400, tune=400, chains=4, model=m, random_seed=2,
+            progressbar=False, compute_convergence_checks=False,
+        )
+        W = idata.posterior["W"].values.reshape(-1, 2, 2)
+        np.testing.assert_allclose(W.mean(0), 5 * V, rtol=0.15)
+        # every draw stays on the SPD cone
+        assert (np.linalg.eigvalsh(W) > 0).all()
+
+    def test_wishart_bartlett_shim(self):
+        import warnings
+
+        V = np.array([[2.0, 0.5], [0.5, 1.0]])
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            with pm.Model() as m:
+                pm.WishartBartlett("S", V, 5, return_cholesky=True)
+        assert np.isfinite(m.compile_logp()(m.initial_point()))
+
 
 class TestLKJ:
     def test_lkjcorr_n2_matches_closed_form(self):
