@@ -37,6 +37,7 @@ from .model import (  # noqa: E402
     Deterministic,
     Model,
     Potential,
+    compile,
     compile_fn,
     modelcontext,
     set_data,
@@ -97,6 +98,7 @@ __all__ = [
     "Deterministic",
     "Potential",
     "set_data",
+    "compile",
     "compile_fn",
     "clone_model",
     "do",

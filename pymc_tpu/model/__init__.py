@@ -5,6 +5,7 @@ from .core import (
     Deterministic,
     Model,
     Potential,
+    compile,
     compile_fn,
     modelcontext,
     set_data,
@@ -17,6 +18,7 @@ __all__ = [
     "Deterministic",
     "Model",
     "Potential",
+    "compile",
     "compile_fn",
     "modelcontext",
     "set_data",

@@ -762,3 +762,37 @@ def set_data(new_data, model=None, coords=None):
 def compile_fn(outs, model=None, point_fn=True):
     model = modelcontext(model)
     return model.compile_fn(outs, point_fn=point_fn)
+
+
+def compile(inputs, outputs, random_seed=None, mode=None, **kwargs):
+    """Compile a positional function of graph inputs to outputs.
+
+    Parity: reference pymc/pytensorf.py:924 `compile` (pytensor.function with
+    pymc rewrites). TPU-native: inputs name env slots, the Node graph is
+    evaluated under one `jax.jit` — XLA applies every rewrite pass.
+    `mode`/extra kwargs are accepted for signature compatibility and ignored.
+
+    Parameters
+    ----------
+    inputs : list of Nodes (or their string names)
+        Positional arguments of the compiled function; each names an env
+        entry substituted into the graph.
+    outputs : Node or list of Nodes
+    """
+    from ..graph import Node
+
+    in_names = [i.name if isinstance(i, Node) else str(i) for i in inputs]
+    outs_list = outputs if isinstance(outputs, (list, tuple)) else [outputs]
+
+    @jax.jit
+    def fn(*args):
+        if len(args) != len(in_names):
+            raise TypeError(
+                f"expected {len(in_names)} arguments, got {len(args)}"
+            )
+        env = dict(zip(in_names, args))
+        memo = {}
+        vals = [evaluate(o, env, memo) for o in outs_list]
+        return vals if isinstance(outputs, (list, tuple)) else vals[0]
+
+    return fn

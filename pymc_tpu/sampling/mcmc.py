@@ -436,25 +436,48 @@ def sample(
         pm_bar.update(m0, divergences=int(stats_np.diverging.sum()))
 
     pending = None
-    while i < draws:
-        m = min(chunk, draws - i)
-        fls = jnp.zeros((m,), dtype=bool)
-        xs = (jnp.arange(tune + i, tune + i + m, dtype=jnp.int32), fls, fls, fls)
-        carry, (q_c, stats_c, ss_c) = scan_fn(carry, xs)  # async dispatch
-        # pack stats + step size into ONE device array per chunk (each
-        # device_get is a host round-trip over the TPU tunnel)
-        packed = jnp.concatenate(
-            [jnp.asarray(v, floatX())[..., None] for v in stats_c]
-            + [jnp.asarray(ss_c, floatX())[..., None]],
-            axis=-1,
-        )
-        # materialize the PREVIOUS chunk while this one computes on-device
+    interrupted = False
+    try:
+        while i < draws:
+            m = min(chunk, draws - i)
+            fls = jnp.zeros((m,), dtype=bool)
+            xs = (
+                jnp.arange(tune + i, tune + i + m, dtype=jnp.int32),
+                fls, fls, fls,
+            )
+            carry, (q_c, stats_c, ss_c) = scan_fn(carry, xs)  # async dispatch
+            # pack stats + step size into ONE device array per chunk (each
+            # device_get is a host round-trip over the TPU tunnel)
+            packed = jnp.concatenate(
+                [jnp.asarray(v, floatX())[..., None] for v in stats_c]
+                + [jnp.asarray(ss_c, floatX())[..., None]],
+                axis=-1,
+            )
+            # materialize the PREVIOUS chunk while this one computes on-device
+            if pending is not None:
+                prev, pending = pending, None
+                _materialize(prev)
+            pending = (q_c, packed, i, m, carry)
+            i += m
         if pending is not None:
-            _materialize(pending)
-        pending = (q_c, packed, i, m, carry)
-        i += m
-    if pending is not None:
-        _materialize(pending)
+            prev, pending = pending, None
+            _materialize(prev)
+    except KeyboardInterrupt:
+        # reference behavior (sampling/mcmc.py:1688): return the draws
+        # completed so far instead of discarding the run
+        interrupted = True
+        if pending is not None:
+            prev, pending = pending, None
+            try:
+                _materialize(prev)
+            except KeyboardInterrupt:
+                pass
+        if not q_chunks:
+            raise
+        _log.warning(
+            f"Sampling interrupted; returning "
+            f"{sum(c.shape[0] for c in q_chunks)} completed draws"
+        )
     pm_bar.close()
     t2 = time.perf_counter()
 
@@ -498,7 +521,7 @@ def sample(
         tuning_time=t1 - t0,
     )
 
-    if compute_convergence_checks:
+    if compute_convergence_checks and not interrupted:
         warns = run_convergence_checks(idata, model)
         log_warnings(warns)
 
@@ -543,6 +566,13 @@ def _package(
     layout = [(n, tuple(v.shape)) for n, v in out_shapes.items()]
     if var_names is not None:
         wanted = set(var_names)
+        known = {n for n, _ in layout}
+        unknown = wanted - known
+        if unknown:
+            _log.warning(
+                f"var_names {sorted(unknown)} not found in the model "
+                f"(available: {sorted(known)}); they will be omitted"
+            )
         layout = [(n, sh) for n, sh in layout if n in wanted]
 
     def post_packed(q):

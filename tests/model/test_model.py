@@ -161,3 +161,19 @@ class TestImputation:
         np.testing.assert_allclose(est[observed_idx], y[observed_idx])
         # imputed entries near posterior mean of mu
         assert np.all(np.abs(est[~observed_idx] - 2.0) < 0.5)
+
+
+class TestCompile:
+    def test_compile_positional(self):
+        with pm.Model():
+            x = pm.Normal("x", 0, 1)
+            d = pm.Deterministic("d", x * 2.0 + 1.0)
+        f = pm.compile([x], [d])
+        np.testing.assert_allclose(np.asarray(f(np.float32(3.0))[0]), 7.0)
+
+    def test_compile_by_name_single_output(self):
+        with pm.Model():
+            x = pm.Normal("x", 0, 1)
+            d = pm.Deterministic("d", x**2)
+        g = pm.compile(["x"], d)
+        np.testing.assert_allclose(float(g(np.float32(2.0))), 4.0)

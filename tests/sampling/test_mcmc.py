@@ -158,3 +158,61 @@ class TestFullMassMatrix:
                               compute_convergence_checks=False, init=init)
             e[init] = float(np.nanmin(pm.ess(idata.posterior["x"].values)))
         assert e["jitter+adapt_full"] > 1.5 * e["jitter+adapt_diag"], e
+
+
+class TestVarNames:
+    def test_subsets_posterior(self):
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 5)
+            sd = pm.HalfNormal("sd", 2)
+            pm.Normal("y", mu, sd,
+                      observed=np.random.default_rng(0).normal(1, 1, 20))
+        idata = pm.sample(draws=50, tune=50, chains=2, model=m, random_seed=1,
+                          progressbar=False, compute_convergence_checks=False,
+                          var_names=["mu"])
+        assert list(idata.posterior.keys()) == ["mu"]
+        assert idata.posterior["mu"].values.shape == (2, 50)
+
+    def test_unknown_name_warns_and_is_dropped(self, caplog):
+        import logging
+
+        with pm.Model() as m:
+            pm.Normal("mu", 0, 5)
+        with caplog.at_level(logging.WARNING, logger="pymc_tpu"):
+            idata = pm.sample(
+                draws=20, tune=20, chains=2, model=m, random_seed=1,
+                progressbar=False, compute_convergence_checks=False,
+                var_names=["mu", "typo"],
+            )
+        assert list(idata.posterior.keys()) == ["mu"]
+        assert any("typo" in r.message for r in caplog.records)
+
+
+class TestInterrupt:
+    def test_keyboard_interrupt_returns_partial_draws(self):
+        import _thread
+        import threading
+        import time as _time
+
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 5)
+            pm.Normal("y", mu, 1,
+                      observed=np.random.default_rng(0).normal(1, 1, 30))
+        # warm the compile cache so the interrupt lands mid-sampling
+        pm.sample(draws=500, tune=10, chains=2, model=m, random_seed=1,
+                  progressbar=False, compute_convergence_checks=False,
+                  chunk_size=500)
+        timer = threading.Timer(8.0, _thread.interrupt_main)
+        timer.start()
+        try:
+            idata = pm.sample(
+                draws=2_000_000, tune=10, chains=2, model=m, random_seed=1,
+                progressbar=False, compute_convergence_checks=False,
+                chunk_size=500,
+            )
+        except KeyboardInterrupt:
+            pytest.skip("interrupt landed before the first chunk completed")
+        finally:
+            timer.cancel()
+        n = idata.posterior["mu"].values.shape[1]
+        assert 0 < n < 2_000_000
