@@ -53,7 +53,7 @@ from .sampling import (  # noqa: E402
 )
 from .stats.log_density import compute_log_likelihood, compute_log_prior  # noqa: E402
 from . import stats  # noqa: E402
-from .stats import ess, rhat  # noqa: E402
+from .stats import compare, ess, loo, rhat, waic  # noqa: E402
 from .backends import InferenceData  # noqa: E402
 from . import variational  # noqa: E402
 from .variational import ADVI, ASVGD, SVGD, FullRankADVI, KLqp, fit  # noqa: E402
@@ -142,6 +142,9 @@ __all__ = [
     "str_for_dist",
     "str_for_model",
     "summary",
+    "loo",
+    "waic",
+    "compare",
     "hdi",
     "find_constrained_prior",
     "ode",
