@@ -358,3 +358,176 @@ def floatX(x):
     if is_node(x):
         return apply(as_floatx, x)
     return as_floatx(x)
+
+
+# ---------------------------------------------------------------------------
+# numpy-style passthroughs the reference re-exports from pytensor.tensor
+# (pymc/math.py __all__). Node-aware via _wrap; pure-array inputs pass
+# straight through to jnp/jax.scipy.
+
+all = _wrap(jnp.all)
+any = _wrap(jnp.any)
+argmax = _wrap(jnp.argmax)
+argmin = _wrap(jnp.argmin)
+argsort = _wrap(jnp.argsort)
+broadcast_to = _wrap(jnp.broadcast_to)
+diag = _wrap(jnp.diag)
+expand_dims = _wrap(jnp.expand_dims)
+flatten = _wrap(jnp.ravel)
+moveaxis = _wrap(jnp.moveaxis)
+repeat = _wrap(jnp.repeat)
+reshape = _wrap(jnp.reshape)
+sort = _wrap(jnp.sort)
+sqr = _wrap(jnp.square)
+squeeze = _wrap(jnp.squeeze)
+std = _wrap(jnp.std)
+swapaxes = _wrap(jnp.swapaxes)
+take = _wrap(jnp.take)
+tile = _wrap(jnp.tile)
+trace = _wrap(jnp.trace)
+transpose = _wrap(jnp.transpose)
+tril = _wrap(jnp.tril)
+triu = _wrap(jnp.triu)
+unique = _wrap(jnp.unique)
+var = _wrap(jnp.var)
+
+# linalg
+cholesky = _wrap(jnp.linalg.cholesky)
+det = _wrap(jnp.linalg.det)
+slogdet = _wrap(jnp.linalg.slogdet)
+eigh = _wrap(jnp.linalg.eigh)
+solve = _wrap(jnp.linalg.solve)
+kron = _wrap(jnp.kron)
+
+
+def solve_triangular(a, b, lower=False, **kw):
+    from jax.scipy.linalg import solve_triangular as _st
+
+    return apply(lambda A, B: _st(A, B, lower=lower), a, b)
+
+
+def cho_solve(c_and_lower, b, **kw):
+    from jax.scipy.linalg import cho_solve as _cs
+
+    c, lower = c_and_lower
+    return apply(lambda C, B: _cs((C, lower), B), c, b)
+
+
+def block_diag(*mats):
+    from jax.scipy.linalg import block_diag as _bd
+
+    return apply(_bd, *mats)
+
+
+def kron_solve_lower(chols, b):
+    """Solve (kron of lower-tri cholesky factors) x = b (reference
+    math.py kron_solve_lower via kron_matrix_op)."""
+    return _kron_matrix_op(
+        chols, b, lambda L, x: solve_triangular(L, x, lower=True)
+    )
+
+
+def kron_solve_upper(chols, b):
+    return _kron_matrix_op(
+        chols, b,
+        lambda L, x: solve_triangular(swapaxes(L, -1, -2), x, lower=False),
+    )
+
+
+def _kron_matrix_op(mats, b, op):
+    """Apply op(m, .) for each Kronecker factor without forming the full
+    Kronecker product (standard vec-trick recursion)."""
+    def _run(ms, x):
+        total = 1
+        for m_ in ms:
+            total *= m_.shape[-1]
+        x = jnp.reshape(x, (total, -1))
+        for m_ in ms:
+            n = m_.shape[-1]
+            x = jnp.reshape(x, (n, -1))
+            x = op(m_, x)
+            x = jnp.reshape(jnp.swapaxes(jnp.reshape(x, (n, -1)), 0, 1),
+                            (-1,))
+            x = jnp.reshape(x, (total, -1))
+        return x
+
+    return apply(lambda *xs: _run(list(xs[:-1]), xs[-1]), *mats, b)
+
+
+# scipy special
+gammaln = _wrap(jsp_special.gammaln)
+digamma = _wrap(jsp_special.digamma)
+polygamma = _wrap(jsp_special.polygamma)
+betainc = _wrap(jsp_special.betainc)
+gammainc = _wrap(jsp_special.gammainc)
+gammaincc = _wrap(jsp_special.gammaincc)
+i0 = _wrap(jsp_special.i0)
+i1 = _wrap(jsp_special.i1)
+
+
+def iv(v, x):
+    """Modified Bessel of the first kind (integer/half orders via i0/i1 or
+    the series; reference re-exports scipy's)."""
+    from .ops.special import bessel_iv
+
+    return apply(bessel_iv, v, x)
+
+
+def kv(v, x):
+    from .ops.special import bessel_kv
+
+    return apply(bessel_kv, v, x)
+
+
+def gamma(x):
+    return apply(lambda v: jnp.exp(jsp_special.gammaln(v)) * _gamma_sign(v),
+                 x)
+
+
+def _gamma_sign(v):
+    # gamma(x) sign for real x: negative on intervals (-2k-1, -2k)
+    neg = (v < 0) & (jnp.floor(v) % 2 == 1)
+    return jnp.where(neg, -1.0, 1.0)
+
+
+def logbern(log_p, rng_key):
+    """Bernoulli(exp(log_p)) draw in log space (reference math.py logbern
+    semantics; here explicit-key functional RNG)."""
+    u = jax.random.uniform(rng_key)
+    return jnp.log(u) < log_p
+
+
+# constructors (eager arrays — shapes are static under XLA)
+zeros = jnp.zeros
+ones = jnp.ones
+eye = jnp.eye
+arange = jnp.arange
+linspace = jnp.linspace
+broadcast_arrays = jnp.broadcast_arrays
+
+
+def as_tensor(x, *args, **kwargs):
+    """Reference `pt.as_tensor` — here: pass Nodes through, lift everything
+    else to a jnp array."""
+    return x if is_node(x) else jnp.asarray(x)
+
+
+as_tensor_variable = as_tensor
+
+
+def flatten_list(tensors):
+    return concatenate([flatten(t) for t in tensors])
+
+
+__all__ += [
+    "all", "any", "argmax", "argmin", "argsort", "arange", "as_tensor",
+    "as_tensor_variable", "betainc", "block_diag", "broadcast_arrays",
+    "broadcast_to", "cho_solve", "cholesky", "det", "diag", "digamma",
+    "eigh", "expand_dims", "eye", "flatten", "flatten_list", "gamma",
+    "gammainc", "gammaincc", "gammaln", "i0", "i1", "iv", "kron",
+    "kron_solve_lower", "kron_solve_upper", "kv", "linspace", "logbern",
+    "moveaxis", "ones", "polygamma", "repeat", "reshape", "slogdet",
+    "solve", "solve_triangular", "sort", "sqr", "squeeze", "std",
+    "swapaxes", "take", "tile", "trace", "transpose", "tril", "triu",
+    "unique", "var", "zeros",
+]
