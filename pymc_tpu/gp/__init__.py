@@ -1,10 +1,11 @@
 """Gaussian process module (reference pymc/gp/__init__.py)."""
 
-from . import cov, mean
+from . import cov, mean, util
 from .gp import Latent, LatentKron, Marginal, MarginalApprox, MarginalKron, TP
 from .hsgp_approx import HSGP, HSGPPeriodic, approx_hsgp_hyperparams, set_boundary
 
 __all__ = [
+    "util",
     "cov",
     "mean",
     "Latent",

@@ -10,6 +10,7 @@ ParameterValueError) and out-of-support values yield -inf.
 
 from __future__ import annotations
 
+import functools
 import itertools
 
 import numpy as np
@@ -471,3 +472,206 @@ class NutsFixture(BaseSampler):
     def test_target_accept(self):
         accept = self.idata.sample_stats["acceptance_rate"].values
         assert accept.mean() > self.target_accept - 0.12, accept.mean()
+
+
+# --------------------------------------------------------------------------
+# additional reference-parity helpers (reference testing.py)
+
+def Vector(d, n):
+    """Domain of n-vectors whose entries range over domain d."""
+    return Domain([np.stack([np.asarray(v, dtype=float)] * n) for v in d],
+                  edges=(None, None), shape=(n,))
+
+
+def RealMatrix(n, m):
+    rng = np.random.default_rng(9)
+    return Domain([rng.normal(size=(n, m)) for _ in range(4)],
+                  edges=(None, None), shape=(n, m))
+
+
+def UnitSortedVector(n):
+    rng = np.random.default_rng(10)
+    return Domain([np.sort(rng.uniform(size=n)) for _ in range(4)],
+                  edges=(None, None), shape=(n,))
+
+
+def simplex_values(n):
+    """All (coarse) grid points on the n-simplex (reference testing.py)."""
+    if n == 1:
+        yield np.array([1.0])
+    else:
+        for v in Unit.vals:
+            for vals in simplex_values(n - 1):
+                yield np.concatenate([[v], (1 - v) * vals])
+
+
+def MultiSimplex(n_dependent, n_independent):
+    vals = []
+    for simplex_value in itertools.product(
+        simplex_values(n_dependent), repeat=n_independent
+    ):
+        vals.append(np.vstack(simplex_value))
+    return Domain(vals, edges=(None, None),
+                  shape=(n_independent, n_dependent))
+
+
+def ProductDomain(domains):
+    """Stack several domains along a leading axis."""
+    vals = [np.stack(tup) for tup in zip(*[list(d.vals) for d in domains])]
+    return Domain(vals, edges=(None, None))
+
+
+def RandomPdMatrix(n, seed=14):
+    """A random symmetric positive-definite matrix."""
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def build_model(distfam, valuedomain, vardomains, extra_args=None):
+    """Model with one RV of `distfam` whose params are the domain edges'
+    midpoint (reference testing.py build_model)."""
+    from .model.core import Model
+
+    param_vals = {k: np.asarray(list(v)[0]) for k, v in vardomains.items()}
+    param_vals.update(extra_args or {})
+    with Model() as m:
+        distfam("value", **param_vals)
+    return m
+
+
+def seeded_scipy_distribution_builder(dist_name):
+    import scipy.stats as st
+
+    return lambda self, size=None: functools.partial(
+        getattr(st, dist_name).rvs, size=size, random_state=20160911
+    )
+
+
+def seeded_numpy_distribution_builder(dist_name):
+    return lambda self, size=None: functools.partial(
+        getattr(np.random.default_rng(20160911), dist_name), size=size
+    )
+
+
+def find_invalid_scalar_params(paramdomains):
+    """{param: (below-lower, above-upper)} invalid scalar probes, None where
+    a domain edge is unbounded (reference testing.py)."""
+    out = {}
+    for name, dom in paramdomains.items():
+        lo, hi = dom.lower, dom.upper
+        below = None
+        above = None
+        if lo is not None and np.all(np.isfinite(lo)):
+            below = np.asarray(lo) - 1
+        if hi is not None and np.all(np.isfinite(hi)):
+            above = np.asarray(hi) + 1
+        out[name] = (below, above)
+    return out
+
+
+def create_dist_from_paramdomains(dist_cls, paramdomains, extra_args=None):
+    """Unnamed dist with each param at its domain's first interior value."""
+    params = {k: np.asarray(list(v)[0]) for k, v in paramdomains.items()}
+    params.update(extra_args or {})
+    return dist_cls.dist(**params)
+
+
+def check_logccdf(dist_cls, domain, paramdomains, scipy_logccdf,
+                  decimal=None, n_samples=100):
+    """logccdf contract test against a scipy oracle (reference
+    check_logcdf's complementary twin)."""
+    if decimal is None:
+        decimal = select_by_precision(6, 3)
+    for case in product(paramdomains, n_samples=n_samples):
+        d = _build_dist(dist_cls, case)
+        for v in domain:
+            got = float(np.asarray(d.logccdf(np.asarray(v))))
+            want = float(scipy_logccdf(np.asarray(v), **case))
+            np.testing.assert_almost_equal(
+                got, want, decimal=decimal,
+                err_msg=f"{dist_cls.__name__} logccdf at {case}, v={v}",
+            )
+
+
+def check_selfconsistency_icdf(dist_cls, paramdomains, n_samples=50,
+                               decimal=None):
+    """icdf(cdf(x)) == x on random draws (reference
+    check_icdf_selfconsistency)."""
+    if decimal is None:
+        decimal = select_by_precision(6, 3)
+    import jax as _jax
+
+    for i, case in enumerate(product(paramdomains, n_samples=n_samples)):
+        d = _build_dist(dist_cls, case)
+        x = d.sample(_jax.random.PRNGKey(i), sample_shape=(7,))
+        q = np.exp(np.asarray(d.logcdf(x)))
+        q = np.clip(q, 1e-6, 1 - 1e-6)
+        x2 = np.asarray(d.icdf(jnp.asarray(q)))
+        x_cycle = np.exp(np.asarray(d.logcdf(jnp.asarray(x2))))
+        np.testing.assert_almost_equal(
+            x_cycle, q, decimal=decimal,
+            err_msg=f"{dist_cls.__name__} icdf∘cdf at {case}",
+        )
+
+
+class BaseTestDistributionRandom:
+    """Class-based random-draw contract harness (reference testing.py:
+    BaseTestDistributionRandom). Subclass and set:
+
+    pymc_dist, pymc_dist_params, expected_rv_op_params (canonicalized
+    params), reference_dist / reference_dist_params, checks_to_run.
+    """
+
+    pymc_dist = None
+    pymc_dist_params = None
+    expected_rv_op_params = None
+    reference_dist = None
+    reference_dist_params = None
+    size = (15,)
+    decimal = 6
+    checks_to_run = []
+
+    def test_all_checks(self):
+        for check_name in self.checks_to_run:
+            getattr(self, check_name)()
+
+    def check_pymc_params_match_rv_op(self):
+        d = self.pymc_dist.dist(**self.pymc_dist_params)
+        for name, expected in self.expected_rv_op_params.items():
+            got = getattr(d, name)
+            np.testing.assert_almost_equal(
+                np.asarray(got), np.asarray(expected), decimal=self.decimal
+            )
+
+    def check_pymc_draws_match_reference(self):
+        import jax as _jax
+
+        d = self.pymc_dist.dist(**self.pymc_dist_params, size=self.size)
+        draws = np.asarray(d.sample(_jax.random.PRNGKey(0)))
+
+        ref = self.reference_dist()(size=self.size,
+                                    **(self.reference_dist_params or {}))
+        # distributional agreement: compare mean/std loosely
+        np.testing.assert_allclose(
+            draws.mean(), np.asarray(ref).mean(),
+            rtol=0.5, atol=0.5,
+        )
+
+    def check_rv_size(self):
+        for size, expected in [(None, ()), ((5,), (5,)), ((4, 5), (4, 5))]:
+            d = self.pymc_dist.dist(**self.pymc_dist_params, size=size)
+            import jax as _jax
+
+            draws = np.asarray(d.sample(_jax.random.PRNGKey(1)))
+            assert draws.shape[: len(expected)] == expected
+
+
+__all__ += [
+    "Vector", "RealMatrix", "UnitSortedVector", "simplex_values",
+    "MultiSimplex", "ProductDomain", "RandomPdMatrix", "build_model",
+    "seeded_scipy_distribution_builder", "seeded_numpy_distribution_builder",
+    "find_invalid_scalar_params", "create_dist_from_paramdomains",
+    "check_logccdf", "check_selfconsistency_icdf",
+    "BaseTestDistributionRandom",
+]
