@@ -57,6 +57,11 @@ from .stats import compare, ess, loo, rhat, waic  # noqa: E402
 from .backends import InferenceData  # noqa: E402
 from . import variational  # noqa: E402
 from .variational import ADVI, ASVGD, SVGD, FullRankADVI, KLqp, fit  # noqa: E402
+from .variational import (  # noqa: E402
+    Approximation, Group, adadelta, adagrad, adagrad_window, adam, adamax,
+    apply_momentum, apply_nesterov_momentum, momentum, nesterov_momentum,
+    norm_constraint, rmsprop, sample_approx, sgd, total_norm_constraint,
+)
 from .variational.approximations import Empirical, FullRank, MeanField  # noqa: E402
 from .data import Minibatch  # noqa: E402
 from .smc import sample_smc  # noqa: E402
@@ -122,6 +127,10 @@ __all__ = [
     "rhat",
     "InferenceData",
     "variational",
+    "Group", "Approximation", "sample_approx",
+    "sgd", "momentum", "nesterov_momentum", "adagrad", "adagrad_window",
+    "rmsprop", "adadelta", "adam", "adamax", "apply_momentum",
+    "apply_nesterov_momentum", "norm_constraint", "total_norm_constraint",
     "fit",
     "ADVI",
     "FullRankADVI",

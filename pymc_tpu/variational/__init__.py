@@ -1,9 +1,19 @@
-from . import updates
+from . import opvi, updates
+from .opvi import Approximation, Group, sample_approx
+from .updates import (
+    adadelta, adagrad, adagrad_window, adam, adamax, apply_momentum,
+    apply_nesterov_momentum, momentum, nesterov_momentum, norm_constraint,
+    rmsprop, sgd, total_norm_constraint,
+)
 from .approximations import Empirical, FullRank, MeanField
 from .callbacks import CheckParametersConvergence, Tracker
 from .inference import ADVI, ASVGD, SVGD, FullRankADVI, Inference, KLqp, fit
 
 __all__ = [
+    "Group", "Approximation", "sample_approx",
+    "sgd", "momentum", "nesterov_momentum", "adagrad", "adagrad_window",
+    "rmsprop", "adadelta", "adam", "adamax", "apply_momentum",
+    "apply_nesterov_momentum", "norm_constraint", "total_norm_constraint",
     "ADVI",
     "ASVGD",
     "SVGD",

@@ -37,10 +37,26 @@ class Inference:
 
     approx_cls = MeanField
 
-    def __init__(self, model=None, random_seed=None, start=None,
+    def __init__(self, approx=None, model=None, random_seed=None, start=None,
                  start_sigma=None, obj_n_mc=1, **kwargs):
         from ..sampling.mcmc import _resolve_seed
+        from .approximations import Approximation as _ApproxBase
 
+        if approx is not None and not isinstance(approx, _ApproxBase):
+            raise TypeError(
+                f"approx must be an Approximation, got {type(approx).__name__}"
+            )
+        if approx is not None:
+            # adopt an existing (e.g. Group-built) approximation:
+            # reference KLqp(approx) (inference.py:324)
+            self.model = approx.model
+            self.key = _resolve_seed(random_seed)
+            self.info = approx.info
+            self.approx_cls = type(approx)
+            self.params = approx.params
+            self.obj_n_mc = obj_n_mc
+            self._logp_fn = self._build_logp()
+            return
         self.model = modelcontext(model)
         self.key = _resolve_seed(random_seed)
         self.info = self.model.raveled_info()

@@ -118,3 +118,21 @@ def get_optimizer(obj_optimizer=None, default="adagrad_window",
     if callable(obj_optimizer):
         return obj_optimizer()
     raise TypeError(f"Cannot interpret optimizer {obj_optimizer}")
+
+
+def apply_momentum(updates=None, params=None, momentum=0.9, **kwargs):
+    """Add classical momentum to an optax transformation (reference
+    updates.py:apply_momentum, Lasagne-style; here it composes optax
+    transforms rather than mutating an update dict)."""
+    base = updates if updates is not None else optax.identity()
+    return optax.chain(base, optax.trace(decay=momentum, nesterov=False))
+
+
+def apply_nesterov_momentum(updates=None, params=None, momentum=0.9,
+                            **kwargs):
+    """Nesterov variant of apply_momentum (reference updates.py)."""
+    base = updates if updates is not None else optax.identity()
+    return optax.chain(base, optax.trace(decay=momentum, nesterov=True))
+
+
+__all__ += ["apply_momentum", "apply_nesterov_momentum"]
