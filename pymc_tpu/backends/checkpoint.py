@@ -97,6 +97,11 @@ class FileTrace:
             np.savez(tmp, **payload)
             os.replace(tmp, target)
 
+    def close(self):
+        """Flush pending writes and release the async writer (reference
+        trace close semantics: every written chunk is durable after this)."""
+        self.flush()
+
     def flush(self):
         if self._writer is not None:
             self._writer.flush()

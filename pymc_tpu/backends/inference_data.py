@@ -216,28 +216,38 @@ class InferenceData:
         return self.to_npz(path)
 
     def to_npz(self, path):
-        """Persist all groups to a single compressed npz (netcdf stand-in)."""
+        """Persist all groups to a single compressed npz (netcdf stand-in).
+        Stores per-variable dims plus each group's coords so named axes
+        survive the round-trip."""
         payload = {}
         for g in self._groups:
             ds = getattr(self, g)
             for k, v in ds.items():
                 payload[f"{g}/{k}"] = v.values
                 payload[f"{g}/{k}/__dims__"] = np.array(v.dims, dtype="U64")
-        np.savez_compressed(path, **payload)
+            for cname, cvals in getattr(ds, "coords", {}).items():
+                payload[f"{g}/__coord__/{cname}"] = np.asarray(cvals)
+        # write through a file object so the exact path is kept
+        # (np.savez appends ".npz" to bare string paths)
+        with open(path, "wb") as f:
+            np.savez_compressed(f, **payload)
 
     @classmethod
     def from_npz(cls, path):
         raw = np.load(path, allow_pickle=False)
-        groups = {}
+        groups, coords = {}, {}
         for key in raw.files:
             if key.endswith("/__dims__"):
                 continue
             g, name = key.split("/", 1)
+            if name.startswith("__coord__/"):
+                coords.setdefault(g, {})[name.split("/", 1)[1]] = raw[key]
+                continue
             dims = tuple(raw[f"{key}/__dims__"]) if f"{key}/__dims__" in raw.files else None
             groups.setdefault(g, {})[name] = DataVar(name, raw[key], dims)
         idata = cls()
         for g, vars_ in groups.items():
-            idata.add_group(g, Dataset(vars_))
+            idata.add_group(g, Dataset(vars_, coords.get(g, {})))
         return idata
 
 

@@ -14,12 +14,14 @@ from __future__ import annotations
 import functools
 
 import pymc_tpu as _pm
+from . import math
 from ..model.core import Data as _Data
 from ..model.core import Deterministic as _Deterministic
 from ..model.core import Potential as _Potential
 from ..model.core import modelcontext
 
 __all__ = [
+    "math",
     "Data", "Deterministic", "Potential",
     # populated dynamically below with dims-first distribution wrappers
 ]

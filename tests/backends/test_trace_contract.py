@@ -1,0 +1,119 @@
+"""Trace/storage contract tests.
+
+Mirrors the reference's backend contract harness (tests/backends/fixtures.py
+run against NDArray/Zarr): the same behavioral suite exercised over
+FileTrace (durable chunked store), the NDArray/MultiTrace shims, and
+InferenceData persistence.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pymc_tpu as pm
+from pymc_tpu.backends.base import NDArray, MultiTrace, multitrace_from_idata
+from pymc_tpu.backends.checkpoint import FileTrace
+
+
+@pytest.fixture
+def small_idata():
+    with pm.Model(coords={"g": list("abc")}) as m:
+        mu = pm.Normal("mu", 0, 1, dims="g")
+        pm.Normal("y", mu.sum(), 1, observed=2.0)
+    return pm.sample(
+        draws=40, tune=40, chains=2, model=m, random_seed=0,
+        progressbar=False, compute_convergence_checks=False,
+    )
+
+
+class TestFileTraceContract:
+    def _mk(self, tmp_path, use_native):
+        return FileTrace(
+            os.path.join(tmp_path, f"tr_{use_native}"),
+            overwrite=True, use_native_writer=use_native,
+        )
+
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_chunk_roundtrip(self, tmp_path, use_native):
+        tr = self._mk(str(tmp_path), use_native)
+        rng = np.random.default_rng(0)
+        chunks = [rng.normal(size=(5, 3, 4)).astype(np.float32)
+                  for _ in range(3)]
+        for i, c in enumerate(chunks):
+            tr.write_chunk(c, {"lp": np.full((5, 3), float(i))})
+            tr.write_meta({"draws_done": (i + 1) * 5, "chains": 3, "D": 4})
+        tr.close()
+        q, stats = tr.read_draws()
+        np.testing.assert_allclose(q, np.concatenate(chunks, axis=0))
+        assert stats["lp"].shape == (15, 3)
+        np.testing.assert_allclose(stats["lp"][5:10], 1.0)
+        assert tr.read_meta()["draws_done"] == 15
+
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_state_snapshot_roundtrip(self, tmp_path, use_native):
+        tr = self._mk(str(tmp_path), use_native)
+        carry = (
+            jnp.arange(6.0).reshape(2, 3),
+            {"eps": jnp.float32(0.5)},
+            jnp.array([1, 2], dtype=jnp.int32),
+        )
+        tr.save_state(carry)
+        tr.close()
+        back = tr.load_state(carry)
+        assert jnp.allclose(back[0], carry[0])
+        assert float(back[1]["eps"]) == 0.5
+        assert back[2].dtype == jnp.int32
+
+    def test_overwrite_semantics(self, tmp_path):
+        path = os.path.join(str(tmp_path), "tr")
+        tr = FileTrace(path, overwrite=True, use_native_writer=False)
+        tr.write_chunk(np.zeros((2, 1, 1), np.float32), {"lp": np.zeros((2, 1))})
+        tr.close()
+        tr2 = FileTrace(path, overwrite=True, use_native_writer=False)
+        tr2.close()
+        q, stats = tr2.read_draws()
+        assert q is None and stats == {}  # no chunks after overwrite
+
+
+class TestNDArrayMultiTrace:
+    def test_record_and_query(self):
+        t = NDArray(chain=0, varnames=["x"])
+        for i in range(10):
+            t.record({"x": np.float64(i)}, stats={"s": i * 2})
+        assert len(t) == 10
+        np.testing.assert_allclose(
+            t.get_values("x", burn=2, thin=2), [2, 4, 6, 8]
+        )
+        np.testing.assert_allclose(
+            t.get_sampler_stats("s", burn=8), [16, 18]
+        )
+        assert t.point(3)["x"] == 3
+
+    def test_multitrace_from_idata(self, small_idata):
+        mt = multitrace_from_idata(small_idata)
+        assert mt.nchains == 2
+        assert "mu" in mt.varnames
+        vals = mt.get_values("mu")
+        assert vals.shape[-1] == 3  # dims g
+        pt = mt.point(-1, chain=0)
+        assert pt["mu"].shape == (3,)
+
+
+class TestInferenceDataPersistence:
+    def test_npz_roundtrip(self, tmp_path, small_idata):
+        p = os.path.join(str(tmp_path), "idata.npz")
+        small_idata.to_npz(p)
+        back = type(small_idata).from_npz(p)
+        np.testing.assert_allclose(
+            back.posterior["mu"].values, small_idata.posterior["mu"].values
+        )
+        assert list(back.posterior["mu"].dims) == ["chain", "draw", "g"]
+        assert list(back.posterior.coords["g"]) == list("abc")
+
+    def test_netcdf_alias(self, tmp_path, small_idata):
+        p = os.path.join(str(tmp_path), "idata.nc")
+        small_idata.to_netcdf(p)
+        assert os.path.getsize(p) > 0
