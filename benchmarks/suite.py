@@ -1,0 +1,206 @@
+"""Benchmark suite mirroring the reference's asv metrics
+(reference benchmarks/benchmarks/benchmarks.py) on the BASELINE.md configs.
+
+Each case prints one JSON line; `python benchmarks/suite.py [case ...]`
+runs a subset (default: all). Uses the persistent XLA compile cache so
+repeat runs skip the remote compile.
+
+Cases:
+  overhead   sampler overhead: 10k draws, single Normal(0,1)  (:79-98)
+  radon      ESS/sec radon GLM (= bench.py, config #2)        (:180-198)
+  mixture    worst-case ESS/sec, marginalized 3-comp mixture  (:200-226)
+  best       drug-evaluation BEST model wall time             (:107-151)
+  gp         GP latent regression ESS/sec (config #4)
+  smc        SMC mixture log-evidence wall time (config #5)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _setup():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import pymc_tpu as pm
+
+    return jax, pm
+
+
+def _emit(case, **kv):
+    print(json.dumps({"case": case, **{
+        k: (round(v, 3) if isinstance(v, float) else v) for k, v in kv.items()
+    }}), flush=True)
+
+
+def _min_ess_per_sec(pm, idata, names):
+    from pymc_tpu.stats.convergence import ess
+
+    post = idata.posterior
+    vals = [float(np.nanmin(ess(post[n].values))) for n in names]
+    return min(vals), idata.posterior.attrs["sampling_time"]
+
+
+def case_overhead(jax, pm, chains=4):
+    with pm.Model() as m:
+        pm.Normal("x", 0, 1)
+    t0 = time.perf_counter()
+    idata = pm.sample(draws=10_000, tune=1000, chains=chains, model=m,
+                      random_seed=0, progressbar=False,
+                      compute_convergence_checks=False)
+    wall = time.perf_counter() - t0
+    st = idata.posterior.attrs["sampling_time"]
+    _emit("overhead", draws=10_000, chains=chains, sampling_time=float(st),
+          total_wall=wall, us_per_draw_chain=float(st) / (10_000 * chains) * 1e6)
+
+
+def case_radon(jax, pm, chains=None):
+    import bench
+
+    platform = jax.default_backend()
+    chains = chains or (1024 if platform == "tpu" else 64)
+    res = bench.run(chains=chains, draws=256, tune=300)
+    _emit("radon", chains=chains, min_ess=res["min_ess"],
+          sampling_time=res["sampling_time"], ess_per_sec=res["ess_per_sec"])
+
+
+def case_mixture(jax, pm, chains=None):
+    # marginalized 3-component Gaussian mixture (reference :49-77):
+    # worst-case (min over mu components) ESS/sec
+    platform = jax.default_backend()
+    chains = chains or (256 if platform == "tpu" else 16)
+    rng = np.random.default_rng(12345)
+    w_true = np.array([0.35, 0.4, 0.25])
+    mu_true = np.array([0.0, 2.0, -1.0])
+    comp = rng.choice(3, p=w_true, size=1500)
+    y = rng.normal(mu_true[comp], 1.0)
+    with pm.Model(coords={"comp": range(3)}) as m:
+        w = pm.Dirichlet("w", np.ones(3), dims="comp")
+        mu = pm.Normal("mu", 0.0, 5.0,
+                       transform=pm.distributions.transforms.ordered,
+                       initval=np.array([-1.0, 0.0, 1.0]), dims="comp")
+        pm.Mixture("y", w, pm.Normal.dist(mu, 1.0), observed=y)
+    idata = pm.sample(draws=500, tune=500, chains=chains, model=m,
+                      random_seed=0, progressbar=False,
+                      compute_convergence_checks=False,
+                      mass_adapt="pooled" if chains >= 64 else "per_chain")
+    min_ess, st = _min_ess_per_sec(pm, idata, ["mu"])
+    _emit("mixture", chains=chains, min_ess=min_ess, sampling_time=float(st),
+          worst_ess_per_sec=min_ess / float(st))
+
+
+def case_best(jax, pm, chains=None):
+    # BEST drug-evaluation model (reference :107-151): two-group StudentT
+    platform = jax.default_backend()
+    chains = chains or (512 if platform == "tpu" else 8)
+    drug = np.array([101, 100, 102, 104, 102, 97, 105, 105, 98, 101, 100,
+                     123, 105, 103, 100, 95, 102, 106, 109, 102, 82, 102,
+                     100, 102, 102, 101, 102, 102, 103, 103, 97, 97, 103,
+                     101, 97, 104, 96, 103, 124, 101, 101, 100, 101, 101,
+                     104, 100, 101], dtype=float)
+    placebo = np.array([99, 101, 100, 101, 102, 100, 97, 101, 104, 101,
+                        102, 102, 100, 105, 88, 101, 100, 104, 100, 100,
+                        100, 101, 102, 103, 97, 101, 101, 100, 101, 99,
+                        101, 100, 100, 101, 100, 99, 101, 100, 102, 99,
+                        100, 99], dtype=float)
+    yall = np.concatenate([drug, placebo])
+    mu_m, mu_s = yall.mean(), yall.std() * 2
+    with pm.Model() as m:
+        g1m = pm.Normal("group1_mean", mu_m, mu_s)
+        g2m = pm.Normal("group2_mean", mu_m, mu_s)
+        g1s = pm.Uniform("group1_std", 1, 10)
+        g2s = pm.Uniform("group2_std", 1, 10)
+        nu = pm.Exponential("nu_minus_one", 1 / 29.0) + 1
+        pm.StudentT("drug", nu=nu, mu=g1m, lam=g1s**-2, observed=drug)
+        pm.StudentT("placebo", nu=nu, mu=g2m, lam=g2s**-2, observed=placebo)
+        pm.Deterministic("difference of means", g1m - g2m)
+    t0 = time.perf_counter()
+    idata = pm.sample(draws=5000, tune=1000, chains=chains, model=m,
+                      random_seed=0, progressbar=False,
+                      compute_convergence_checks=False,
+                      mass_adapt="pooled" if chains >= 64 else "per_chain")
+    wall = time.perf_counter() - t0
+    min_ess, st = _min_ess_per_sec(
+        pm, idata, ["group1_mean", "group2_mean", "difference of means"]
+    )
+    _emit("best", chains=chains, draws=5000, sampling_time=float(st),
+          total_wall=wall, min_ess=min_ess,
+          ess_per_sec=min_ess / float(st))
+
+
+def case_gp(jax, pm, chains=None):
+    # config #4: GP latent regression — dense Cholesky + MvNormal logp path
+    platform = jax.default_backend()
+    chains = chains or (32 if platform == "tpu" else 8)
+    rng = np.random.default_rng(5)
+    n = 150
+    X = np.sort(rng.uniform(0, 10, n))[:, None]
+    f_true = np.sin(X[:, 0]) * 2
+    y = f_true + rng.normal(0, 0.3, n)
+    with pm.Model() as m:
+        ls = pm.Gamma("ls", 2, 1)
+        eta = pm.HalfNormal("eta", 2)
+        cov = eta**2 * pm.gp.cov.ExpQuad(1, ls=ls)
+        gp = pm.gp.Latent(cov_func=cov)
+        f = gp.prior("f", X=X)
+        sigma = pm.HalfNormal("sigma", 1)
+        pm.Normal("y", f, sigma, observed=y)
+    idata = pm.sample(draws=300, tune=300, chains=chains, model=m,
+                      random_seed=0, progressbar=False,
+                      compute_convergence_checks=False,
+                      mass_adapt="pooled" if chains >= 64 else "per_chain")
+    min_ess, st = _min_ess_per_sec(pm, idata, ["ls", "eta", "sigma"])
+    _emit("gp", chains=chains, n=n, min_ess=min_ess,
+          sampling_time=float(st), ess_per_sec=min_ess / float(st))
+
+
+def case_smc(jax, pm, chains=None):
+    # config #5: tempered SMC on a bimodal mixture (resampling collectives)
+    rng = np.random.default_rng(7)
+    y = np.concatenate([rng.normal(-2, 0.5, 60), rng.normal(2, 0.5, 60)])
+    with pm.Model() as m:
+        w = pm.Dirichlet("w", np.ones(2))
+        mu = pm.Normal("mu", 0, 3, shape=2,
+                       transform=pm.distributions.transforms.ordered,
+                       initval=np.array([-1.0, 1.0]))
+        pm.Mixture("y", w, pm.Normal.dist(mu, 0.5), observed=y)
+    t0 = time.perf_counter()
+    idata = pm.sample_smc(draws=2000, chains=4, model=m, random_seed=0,
+                          progressbar=False)
+    wall = time.perf_counter() - t0
+    lml = idata.sample_stats["log_marginal_likelihood"].values
+    mu_post = idata.posterior["mu"].values.reshape(-1, 2).mean(0)
+    _emit("smc", draws=2000, chains=4, total_wall=wall,
+          log_evidence=float(np.mean(lml[np.isfinite(lml)])),
+          mu_post=[round(float(v), 2) for v in mu_post])
+
+
+CASES = {
+    "overhead": case_overhead, "radon": case_radon, "mixture": case_mixture,
+    "best": case_best, "gp": case_gp, "smc": case_smc,
+}
+
+
+def main():
+    jax, pm = _setup()
+    which = [a for a in sys.argv[1:] if a in CASES] or list(CASES)
+    _emit("platform", backend=jax.default_backend(),
+          device=str(jax.devices()[0]))
+    for name in which:
+        try:
+            CASES[name](jax, pm)
+        except Exception as e:  # keep the suite running
+            _emit(name, error=f"{type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

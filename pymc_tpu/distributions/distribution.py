@@ -143,7 +143,16 @@ class Distribution:
     def dist(cls, *args, shape=None, size=None, **kwargs):
         """Unnamed-distribution path (reference distribution.py:597)."""
         obj = object.__new__(cls)
+        if isinstance(shape, (int, np.integer)):
+            shape = (int(shape),)
+        if isinstance(size, (int, np.integer)):
+            size = (int(size),)
         obj._shape_arg = tuple(shape) if shape is not None else None
+        # shape=x.shape on a pm.Data container stays live: remember the
+        # owning DataNode so forward sampling re-resolves after set_data
+        from ..graph import LiveShape
+
+        obj._shape_node = shape.owner if isinstance(shape, LiveShape) else None
         obj._size_arg = tuple(size) if size is not None else None
         obj.__dist_init__(*args, **kwargs)
         obj._resolve_shapes()
@@ -169,6 +178,9 @@ class Distribution:
         return ()
 
     def _resolve_shapes(self):
+        if getattr(self, "_shape_node", None) is not None:
+            # shape=x.shape on mutable data: refresh from the live container
+            self._shape_arg = tuple(self._shape_node.shape)
         pshapes = [_shape_of(p) for p in self.param_values()]
         pe = self.param_event_ndims or (0,) * len(pshapes)
         batch_shapes = []
@@ -266,6 +278,8 @@ class Distribution:
     def sample(self, key, sample_shape=(), env=None, memo=None):
         if isinstance(sample_shape, int):
             sample_shape = (sample_shape,)
+        if getattr(self, "_shape_node", None) is not None:
+            self._resolve_shapes()  # pick up post-set_data container size
         params = self.resolve_params(env, memo)
         full = tuple(sample_shape) + self.shape
         draw = self._sample(key, full, *params)

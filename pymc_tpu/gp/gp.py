@@ -26,10 +26,25 @@ __all__ = ["Latent", "Marginal", "MarginalApprox", "TP", "LatentKron",
 _JITTER = 1e-6
 
 
-def _stabilize(K, jitter=_JITTER):
-    return apply(
-        lambda k: k + jitter * jnp.eye(k.shape[-1], dtype=k.dtype), K
-    )
+def _stabilize(K, jitter=None):
+    """Diagonal jitter for Cholesky safety (reference gp/util.py:77).
+
+    Default is dtype-aware: the reference's 1e-6 assumes float64; in
+    float32 (the TPU default) kernel matrices with near-duplicate inputs
+    are indefinite at that level, so 1e-4 is used instead."""
+
+    def _f(k):
+        return k + _resolve_jitter(jitter, k.dtype) * jnp.eye(
+            k.shape[-1], dtype=k.dtype
+        )
+
+    return apply(_f, K)
+
+
+def _resolve_jitter(jitter, dtype):
+    if jitter is not None:
+        return jitter
+    return _JITTER if dtype == jnp.float64 else 1e-4
 
 
 class Base:
@@ -56,7 +71,7 @@ class Latent(Base):
         self.X = None
         self.f = None
 
-    def prior(self, name, X, reparameterize=True, jitter=_JITTER, **kwargs):
+    def prior(self, name, X, reparameterize=True, jitter=None, **kwargs):
         import pymc_tpu as pm
 
         X = jnp.asarray(X) if not is_node(X) else X
@@ -98,7 +113,7 @@ class Latent(Base):
         cov = apply(lambda *a: cond(*a)[1], Kxx, Kxs, Kss, mu_x, mu_s, f)
         return mu, cov
 
-    def conditional(self, name, Xnew, jitter=_JITTER, **kwargs):
+    def conditional(self, name, Xnew, jitter=None, **kwargs):
         import pymc_tpu as pm
 
         Xnew = jnp.asarray(Xnew) if not is_node(Xnew) else Xnew
@@ -115,7 +130,7 @@ class TP(Latent):
         super().__init__(mean_func, scale_func if scale_func is not None else cov_func)
         self.nu = nu
 
-    def prior(self, name, X, reparameterize=True, jitter=_JITTER, **kwargs):
+    def prior(self, name, X, reparameterize=True, jitter=None, **kwargs):
         import pymc_tpu as pm
 
         X = jnp.asarray(X) if not is_node(X) else X
@@ -152,7 +167,7 @@ class Marginal(Base):
         self.sigma = None
 
     def marginal_likelihood(self, name, X, y, sigma=None, noise=None,
-                            jitter=_JITTER, is_observed=True, **kwargs):
+                            jitter=None, is_observed=True, **kwargs):
         import pymc_tpu as pm
 
         if sigma is None:
@@ -179,7 +194,8 @@ class Marginal(Base):
 
         def cond(kxx, kxs, kss, mx, ms, yv, s):
             n = kxx.shape[0]
-            Ky = kxx + (s**2 + jitter) * jnp.eye(n, dtype=kxx.dtype)
+            jit_val = _resolve_jitter(jitter, kxx.dtype)
+            Ky = kxx + (s**2 + jit_val) * jnp.eye(n, dtype=kxx.dtype)
             L = jnp.linalg.cholesky(Ky)
             from jax.scipy.linalg import solve_triangular
 
@@ -194,13 +210,14 @@ class Marginal(Base):
             cov = kss - A.T @ A
             if pred_noise:
                 cov = cov + s**2 * jnp.eye(cov.shape[0], dtype=cov.dtype)
-            return mu, cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+            return mu, cov + _resolve_jitter(jitter, cov.dtype) * jnp.eye(
+                cov.shape[0], dtype=cov.dtype)
 
         mu = apply(lambda *a: cond(*a)[0], Kxx, Kxs, Kss, mu_x, mu_s, y, sigma)
         cov = apply(lambda *a: cond(*a)[1], Kxx, Kxs, Kss, mu_x, mu_s, y, sigma)
         return mu, cov
 
-    def conditional(self, name, Xnew, pred_noise=False, jitter=_JITTER,
+    def conditional(self, name, Xnew, pred_noise=False, jitter=None,
                     **kwargs):
         import pymc_tpu as pm
 
@@ -209,7 +226,7 @@ class Marginal(Base):
         return pm.MvNormal(name, mu=mu, cov=cov, **kwargs)
 
     def predict(self, Xnew, point=None, diag=False, pred_noise=False,
-                jitter=_JITTER, model=None):
+                jitter=None, model=None):
         """Closed-form predictive moments at a point (reference
         Marginal.predict)."""
         from ..graph import evaluate
@@ -238,7 +255,7 @@ class MarginalApprox(Marginal):
         super().__init__(mean_func, cov_func)
 
     def marginal_likelihood(self, name, X, Xu, y, sigma=None, noise=None,
-                            jitter=_JITTER, is_observed=True, **kwargs):
+                            jitter=None, is_observed=True, **kwargs):
         import pymc_tpu as pm
         from ..model.core import Potential
 
@@ -263,7 +280,8 @@ class MarginalApprox(Marginal):
             n = kuf.shape[1]
             m = kuf.shape[0]
             Luu = jnp.linalg.cholesky(
-                kuu + jitter * jnp.eye(m, dtype=kuu.dtype)
+                kuu + _resolve_jitter(jitter, kuu.dtype)
+                * jnp.eye(m, dtype=kuu.dtype)
             )
             A = solve_triangular(Luu, kuf, lower=True)       # (m, n)
             Qffd = jnp.sum(A**2, axis=0)
@@ -308,7 +326,10 @@ class MarginalApprox(Marginal):
             from jax.scipy.linalg import solve_triangular
 
             m = kuf.shape[0]
-            Luu = jnp.linalg.cholesky(kuu + jitter * jnp.eye(m, dtype=kuu.dtype))
+            Luu = jnp.linalg.cholesky(
+                kuu + _resolve_jitter(jitter, kuu.dtype)
+                * jnp.eye(m, dtype=kuu.dtype)
+            )
             A = solve_triangular(Luu, kuf, lower=True)
             Qffd = jnp.sum(A**2, axis=0)
             if approx == "FITC":
@@ -333,7 +354,8 @@ class MarginalApprox(Marginal):
             cov = kss - As.T @ As + C.T @ C
             if pred_noise:
                 cov = cov + s**2 * jnp.eye(cov.shape[0], dtype=cov.dtype)
-            return mu, cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+            return mu, cov + _resolve_jitter(jitter, cov.dtype) * jnp.eye(
+                cov.shape[0], dtype=cov.dtype)
 
         args = (Kuu, Kuf, Kffd, Kus, Kss, mu_x, mu_s, jnp.asarray(y), sigma)
         mu = apply(lambda *a: cond(*a)[0], *args)
@@ -350,7 +372,7 @@ class LatentKron(Base):
         self.cov_funcs = list(cov_funcs)
         super().__init__(mean_func, self.cov_funcs[0])
 
-    def prior(self, name, Xs, jitter=_JITTER, **kwargs):
+    def prior(self, name, Xs, jitter=None, **kwargs):
         import pymc_tpu as pm
         from ..model.core import Deterministic
 
@@ -360,7 +382,8 @@ class LatentKron(Base):
         chols = [
             apply(
                 lambda k: jnp.linalg.cholesky(
-                    k + jitter * jnp.eye(k.shape[-1], dtype=k.dtype)
+                    k + _resolve_jitter(jitter, k.dtype)
+                    * jnp.eye(k.shape[-1], dtype=k.dtype)
                 ),
                 cf(X),
             )

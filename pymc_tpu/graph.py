@@ -54,6 +54,10 @@ def as_node(x) -> "Node":
     return ConstantNode(x)
 
 
+# bumped by DataNode.set_value: stale-shape detection for eager shape caches
+_DATA_VERSION = [0]
+
+
 def _aval(x):
     """ShapeDtypeStruct for a node or concrete value."""
     if isinstance(x, Node):
@@ -335,6 +339,23 @@ class ConstantNode(Node):
         return self.value
 
 
+class LiveShape(tuple):
+    """A shape tuple that remembers the DataNode it came from.
+
+    Behaves exactly like the frozen tuple of ints everywhere, but lets
+    `shape=x.shape` (the reference's mutable-data idiom, pymc docs
+    "Prediction" pattern) stay live: consumers that care (Distribution
+    shape specs) keep `owner` and re-resolve after pm.set_data resizes
+    the container."""
+
+    owner = None
+
+    def __new__(cls, vals, owner=None):
+        obj = super().__new__(cls, vals)
+        obj.owner = owner
+        return obj
+
+
 class DataNode(Node):
     """Named data container (pm.Data). Evaluation checks the env first so the
     value can be overridden (set_data swaps the stored array and bumps the
@@ -347,14 +368,18 @@ class DataNode(Node):
         self.name = name
         self.dims = dims
         self._value = jnp.asarray(value)
-        self.shape = tuple(self._value.shape)
         self.dtype = self._value.dtype
         self.model = model
 
+    @property
+    def shape(self):
+        return LiveShape(self._value.shape, owner=self)
+
     def set_value(self, value):
         value = jnp.asarray(value)
+        if tuple(value.shape) != tuple(self._value.shape):
+            _DATA_VERSION[0] += 1
         self._value = value
-        self.shape = tuple(value.shape)
         self.dtype = value.dtype
 
     def get_value(self):
@@ -433,24 +458,38 @@ class ObservedRV(Node):
 
 
 class DeterministicNode(Node):
-    """fn(*args, **kwargs) where any arg may be a Node."""
+    """fn(*args, **kwargs) where any arg may be a Node.
+
+    Shapes are eager (jax.eval_shape at construction) but version-stamped:
+    pm.set_data can RESIZE a DataNode ancestor, so `.shape` recomputes
+    whenever any data container changed since the cached inference."""
 
     def __init__(self, fn, args, kwargs=None, name=None):
         self.fn = fn
         self.args = tuple(args)
         self.kwargs = dict(kwargs or {})
         self.name = name
-        avals = [_aval(a) for a in self.args]
         node_kw = {k: v for k, v in self.kwargs.items() if isinstance(v, Node)}
         if node_kw:
             raise TypeError("Node-valued kwargs are not supported; pass positionally.")
-        out = jax.eval_shape(lambda *xs: fn(*xs, **self.kwargs), *avals)
+        self._infer_shape()
+
+    def _infer_shape(self):
+        avals = [_aval(a) for a in self.args]
+        out = jax.eval_shape(lambda *xs: self.fn(*xs, **self.kwargs), *avals)
         if not isinstance(out, jax.ShapeDtypeStruct):
             raise TypeError(
                 f"Deterministic fn must return a single array, got {type(out)}"
             )
-        self.shape = tuple(out.shape)
+        self._shape = tuple(out.shape)
         self.dtype = out.dtype
+        self._shape_version = _DATA_VERSION[0]
+
+    @property
+    def shape(self):
+        if self._shape_version != _DATA_VERSION[0]:
+            self._infer_shape()
+        return self._shape
 
     def _compute(self, env, memo):
         args = [a._eval(env, memo) if isinstance(a, Node) else a for a in self.args]

@@ -66,10 +66,18 @@ def _generative_fn(model, given_names=()):
             out[rv.name] = env[rv.name]
         for orv in observed_RVs:
             i += 1
-            extra = orv.shape[: len(orv.shape) - orv.dist.ndim] \
-                if orv.dist.ndim <= len(orv.shape) else ()
+            # live shape: `shape=x.shape` on mutable data re-resolves here,
+            # so predictions after pm.set_data get the NEW size
+            # (reference make_obs_var symbolic-shape semantics)
+            shape_node = getattr(orv.dist, "_shape_node", None)
+            target = (
+                tuple(shape_node.shape) if shape_node is not None
+                else tuple(orv.shape)
+            )
+            extra = target[: len(target) - orv.dist.ndim] \
+                if orv.dist.ndim <= len(target) else ()
             draw = orv.dist.sample(jax.random.fold_in(key, i), extra, env, memo)
-            out[orv.name] = jnp.broadcast_to(draw, orv.shape)
+            out[orv.name] = jnp.broadcast_to(draw, target)
             env[orv.name] = out[orv.name]
         for det in deterministics:
             out[det.name] = evaluate(det, env, memo)

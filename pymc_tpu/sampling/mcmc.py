@@ -375,27 +375,67 @@ def sample(
     auto_chunk = max(1, min(200, budget_bytes // max(chains * D * 4, 1)))
     chunk = int(chunk_size) if chunk_size else max(1, min(draws, auto_chunk))
 
+    # duration-aware WARMUP chunk: early warmup explores large step sizes,
+    # so trees hit max depth and one draw can cost 2^max_treedepth gradient
+    # evaluations; a single scan call must stay well under the device/tunnel
+    # per-call limit (observed: multi-minute kernels get killed UNAVAILABLE
+    # on expensive models like 150-point GP logps). Calibrate with one
+    # (already-compiled) blocked gradient evaluation.
+    if chunk_size:
+        warm_chunk = chunk
+    else:
+        # amortize the host<->device round-trip over 10 queued executions
+        # (a single blocked call would over-estimate cheap gradients by the
+        # transport RTT and shrink warmup chunks absurdly)
+        _vg = jax.jit(jax.vmap(logp_grad_fn))
+        jax.block_until_ready(_vg(q0))  # compiled above; warm anyway
+        _tg0 = time.perf_counter()
+        _out = None
+        for _ in range(10):
+            _out = _vg(q0)
+        jax.block_until_ready(_out)
+        t_grad = max((time.perf_counter() - _tg0) / 10.0, 1e-5)
+        worst_leapfrogs = 2 ** min(max_treedepth, 10)
+        warm_chunk = int(
+            np.clip(30.0 / (t_grad * worst_leapfrogs), 1, chunk)
+        )
+
     # ---- warmup: chunked so the stacked (chunk, C, D) buffers are freed
     # between chunks (a single tune-length scan OOMs at large D)
     warm_out = None
     if warmup_needed and tune > 0:
         if discard_tuned_samples:
             w = 0
+            t_perdraw = None
             while w < tune:
-                mw = min(chunk, tune - w)
+                mw = min(warm_chunk, tune - w)
                 warm_xs = (
                     jnp.arange(w, w + mw, dtype=jnp.int32),
                     upd_mass[w : w + mw], swi_mass[w : w + mw],
                     jnp.ones((mw,), dtype=bool),
                 )
+                _tc = time.perf_counter()
                 carry, _discard = scan_fn(carry, warm_xs)
                 del _discard
+                # block per chunk: warmup is serial anyway (carry feeds the
+                # next call) and the timing of the LAST chunk calibrates the
+                # sampling chunk size below
+                jax.block_until_ready(carry)
+                t_perdraw = (time.perf_counter() - _tc) / mw
                 w += mw
-            jax.block_until_ready(carry)
         else:
             tru = jnp.ones((tune,), dtype=bool)
             warm_xs = (jnp.arange(tune, dtype=jnp.int32), upd_mass, swi_mass, tru)
             carry, warm_out = scan_fn(carry, warm_xs)
+
+    # duration-aware SAMPLING chunk: one scan call must finish inside the
+    # device/tunnel per-call limit; the last (step-size-adapted) warmup
+    # chunk's per-draw wall time predicts sampling cost. The first chunk of
+    # a run includes compile, so warmup timing (already compiled) is the
+    # right probe.
+    if not chunk_size and warmup_needed and tune > 0 and discard_tuned_samples:
+        if t_perdraw is not None and t_perdraw > 0:
+            chunk = int(np.clip(45.0 / t_perdraw, 1, chunk))
 
     # ---- sampling: chunked scans (progress + durable trace streaming)
     from .progress import ProgressManager

@@ -137,3 +137,48 @@ class TestDraw:
         draws = pm.draw(d, draws=500, random_seed=15)
         assert np.asarray(draws).shape == (500,)
         assert np.all(np.asarray(draws) > 0)
+
+
+class TestSetDataPredictions:
+    def test_out_of_sample_predictions_resize(self):
+        # the reference's canonical mutable-data prediction pattern:
+        # shape=x.shape keeps the observed RV's size tied to the container
+        rng = np.random.default_rng(0)
+        Xtr, Xte = rng.normal(size=40), rng.normal(size=7)
+        ytr = 2.0 * Xtr + 0.5 + rng.normal(0, 0.3, 40)
+        with pm.Model() as m:
+            x = pm.MutableData("x", Xtr)
+            a = pm.Normal("a", 0, 5)
+            b = pm.Normal("b", 0, 5)
+            sd = pm.HalfNormal("sd", 1)
+            pm.Normal("y", a + b * x, sd, observed=ytr, shape=x.shape)
+        idata = pm.sample(
+            draws=300, tune=300, chains=2, model=m, random_seed=1,
+            progressbar=False, compute_convergence_checks=False,
+        )
+        with m:
+            pm.set_data({"x": Xte})
+            pp = pm.sample_posterior_predictive(
+                idata, predictions=True, progressbar=False
+            )
+        vals = pp.predictions["y"].values
+        assert vals.shape == (2, 300, 7)
+        np.testing.assert_allclose(
+            vals.mean(axis=(0, 1)), 2.0 * Xte + 0.5, atol=0.5
+        )
+
+    def test_same_size_set_data_changes_predictions(self):
+        rng = np.random.default_rng(1)
+        X1, X2 = rng.normal(size=10), rng.normal(size=10) + 10
+        with pm.Model() as m:
+            x = pm.MutableData("x", X1)
+            b = pm.Normal("b", 0, 5)
+            pm.Normal("y", b * x, 0.1, observed=2 * X1, shape=x.shape)
+        idata = pm.sample(draws=200, tune=200, chains=2, model=m,
+                          random_seed=2, progressbar=False,
+                          compute_convergence_checks=False)
+        with m:
+            pm.set_data({"x": X2})
+            pp = pm.sample_posterior_predictive(idata, progressbar=False)
+        mean = pp.posterior_predictive["y"].values.mean(axis=(0, 1))
+        np.testing.assert_allclose(mean, 2 * X2, rtol=0.1)
