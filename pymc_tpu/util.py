@@ -89,3 +89,58 @@ def hashable(a):
         return a
     except TypeError:
         return str(a)
+
+
+def makeiter(a):
+    """Wrap non-list values in a list (reference util.py:makeiter)."""
+    return a if isinstance(a, (list, tuple)) else [a]
+
+
+def get_var_name(var):
+    """Name of a model variable or a string (reference util.py)."""
+    return getattr(var, "name", str(var))
+
+
+def chains_and_samples(data):
+    """(n_chains, n_samples) from an InferenceData posterior
+    (reference util.py:chains_and_samples)."""
+    post = data.posterior if hasattr(data, "posterior") else data
+    for v in post.values():
+        return int(v.values.shape[0]), int(v.values.shape[1])
+    raise ValueError("posterior group has no variables")
+
+
+def drop_warning_stat(idata):
+    """Remove the sampler 'warning' stat (reference util.py:
+    drop_warning_stat; kept for keep_warning_stat=False parity — our
+    sample_stats store no object-dtype warnings, so this only filters the
+    key if present)."""
+    ss = getattr(idata, "sample_stats", None)
+    if ss is not None and "warning" in ss:
+        ss._vars.pop("warning", None)
+    return idata
+
+
+def check_dist_not_registered(dist, model=None):
+    """Raise if an unnamed .dist() object was already registered in a model
+    (reference util.py:check_dist_not_registered)."""
+    from .graph import FreeRV, ObservedRV
+    from .model.core import Model
+
+    if isinstance(dist, (FreeRV, ObservedRV)):
+        raise ValueError(
+            f"The distribution {dist} belongs to a model. Pass an unnamed "
+            "distribution created with `.dist()` instead."
+        )
+
+
+def get_transformed(rv):
+    """The transformed (value-space) name for a free RV (reference
+    util.py:get_transformed)."""
+    return getattr(rv, "value_name", getattr(rv, "name", rv))
+
+
+__all__ += [
+    "makeiter", "get_var_name", "chains_and_samples", "drop_warning_stat",
+    "check_dist_not_registered", "get_transformed",
+]
