@@ -158,13 +158,32 @@ def sample(
     logp_grad_fn = jax.value_and_grad(flat_logp)
 
     # ---- initial points (reference init_nuts :1759; jitter+adapt_diag default)
-    jitter = 1.0 if init.startswith("jitter") else 0.0
     t0 = time.perf_counter()
-    start_points = make_initial_points_per_chain(
-        model, k_init, chains, jitter=jitter, overrides=initvals,
-        logp_fn=logp_dict_fn, jitter_max_retries=jitter_max_retries,
-    )
-    q0 = jax.vmap(lambda pt: ravel_point(pt, info))(start_points)  # (C, D)
+    advi_var = None
+    if "advi" in str(init):
+        # reference init="advi"/"advi+adapt_diag" (mcmc.py:1913-1959): fit
+        # mean-field ADVI, draw the chain starts from q, seed the diagonal
+        # mass with q's variances (windowed adaptation then refines them)
+        from ..variational import fit as vi_fit
+
+        n_init = int(kwargs.pop("n_init", 10_000))
+        if str(init).startswith("advi_map"):
+            raise NotImplementedError("init='advi_map' is not supported")
+        _log.info(f"Initializing NUTS with ADVI ({n_init} iterations)...")
+        approx = vi_fit(
+            n=n_init, method="advi", model=model,
+            random_seed=int(jax.random.randint(k_init, (), 0, 2**30)),
+            progressbar=progressbar,
+        )
+        q0 = approx.sample_q(approx.params, k_init, chains)  # (C, D) flat
+        advi_var = jax.nn.softplus(approx.params["rho"]) ** 2  # (D,)
+    else:
+        jitter = 1.0 if init.startswith("jitter") else 0.0
+        start_points = make_initial_points_per_chain(
+            model, k_init, chains, jitter=jitter, overrides=initvals,
+            logp_fn=logp_dict_fn, jitter_max_retries=jitter_max_retries,
+        )
+        q0 = jax.vmap(lambda pt: ravel_point(pt, info))(start_points)  # (C, D)
     logp0, grad0 = jax.jit(jax.vmap(logp_grad_fn))(q0)
     if not bool(np.all(np.isfinite(jax.device_get(logp0)))):
         bad = np.where(~np.isfinite(jax.device_get(logp0)))[0]
@@ -187,7 +206,12 @@ def sample(
         )(q0, logp0, grad0, eps_keys)
         wf = welford_init(D, full=True, dtype=floatX())
     else:
-        inv_mass = jnp.ones((chains, D), dtype=floatX())
+        if advi_var is not None:
+            inv_mass = jnp.broadcast_to(
+                jnp.asarray(advi_var, floatX()), (chains, D)
+            )
+        else:
+            inv_mass = jnp.ones((chains, D), dtype=floatX())
         eps_keys = jax.random.split(k_eps, chains)
         eps0 = jax.jit(
             jax.vmap(

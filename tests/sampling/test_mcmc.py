@@ -216,3 +216,20 @@ class TestInterrupt:
             timer.cancel()
         n = idata.posterior["mu"].values.shape[1]
         assert 0 < n < 2_000_000
+
+
+class TestAdviInit:
+    def test_advi_adapt_diag_init(self):
+        rng = np.random.default_rng(0)
+        y = rng.normal(3.0, 2.0, 100)
+        with pm.Model() as m:
+            pm.Normal("mu", 0, 10)
+            sd = pm.HalfNormal("sd", 5)
+            pm.Normal("y", m["mu"], sd, observed=y)
+        idata = pm.sample(
+            draws=300, tune=300, chains=2, model=m, random_seed=1,
+            progressbar=False, compute_convergence_checks=False,
+            init="advi+adapt_diag", n_init=3000,
+        )
+        assert abs(float(idata.posterior["mu"].values.mean()) - 3.0) < 0.5
+        assert abs(float(idata.posterior["sd"].values.mean()) - 2.0) < 0.5
