@@ -57,6 +57,20 @@ def as_node(x) -> "Node":
 # bumped by DataNode.set_value: stale-shape detection for eager shape caches
 _DATA_VERSION = [0]
 
+# set by pymc_tpu.parallel.data_sharded(...): a callable(array) -> sharded
+# array (with_sharding_constraint along the data axis), applied to observed
+# and pm.Data values as they enter a traced logp. XLA GSPMD then partitions
+# the pointwise likelihood across devices and inserts the psum for the
+# reduction (SURVEY §2.14.6 data-axis parallelism).
+_DATA_SHARDING_HOOK = [None]
+
+
+def _apply_data_sharding(value):
+    hook = _DATA_SHARDING_HOOK[0]
+    if hook is None:
+        return value
+    return hook(value)
+
 
 def _aval(x):
     """ShapeDtypeStruct for a node or concrete value."""
@@ -386,7 +400,9 @@ class DataNode(Node):
         return self._value
 
     def _compute(self, env, memo):
-        return env.get(("__data__", self.name), self._value)
+        return _apply_data_sharding(
+            env.get(("__data__", self.name), self._value)
+        )
 
 
 class FreeRV(Node):
@@ -453,8 +469,8 @@ class ObservedRV(Node):
         if self.name in env:
             return env[self.name]
         if isinstance(self.observed, Node):
-            return self.observed._eval(env, memo)
-        return self.observed
+            return _apply_data_sharding(self.observed._eval(env, memo))
+        return _apply_data_sharding(self.observed)
 
 
 class DeterministicNode(Node):

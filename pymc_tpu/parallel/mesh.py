@@ -126,3 +126,62 @@ def sharded_sample_step(logp_grad_fn, mesh, *, max_treedepth=10, target_accept=0
         return NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1))))
 
     return jax.jit(step), spec_for
+
+
+def data_mesh(n_chain_devices, n_data_devices, devices=None):
+    """2-D mesh (chains x data): chains are embarrassingly parallel; the
+    data axis shards the observations so each device evaluates its slice of
+    the pointwise log-likelihood and XLA inserts the psum for the total
+    (SURVEY §2.14.6)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_chain_devices * n_data_devices])
+    return Mesh(
+        devices.reshape(n_chain_devices, n_data_devices), ("chains", "data")
+    )
+
+
+class data_sharded:
+    """Context manager: while active, observed values and pm.Data contents
+    entering a traced logp are constrained to be sharded along `axis` of
+    `mesh` (leading array dimension). Use around jit tracing:
+
+        mesh = pm.parallel.data_mesh(2, 4)
+        with jax.sharding.use_mesh(mesh), pm.parallel.data_sharded(mesh):
+            logp = jax.jit(model.logp_fn())
+
+    Arrays whose leading dimension does not divide the data axis are left
+    replicated (e.g. scalars, small side inputs).
+    """
+
+    def __init__(self, mesh, axis="data"):
+        self.mesh = mesh
+        self.axis = axis
+
+    def _hook(self, value):
+        ndim = jnp.ndim(value)
+        if ndim < 1:
+            return value
+        n_shards = self.mesh.shape[self.axis]
+        if jnp.shape(value)[0] % n_shards != 0:
+            return value
+        spec = P(self.axis, *([None] * (ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            jnp.asarray(value), NamedSharding(self.mesh, spec)
+        )
+
+    def __enter__(self):
+        from ..graph import _DATA_SHARDING_HOOK
+
+        self._prev = _DATA_SHARDING_HOOK[0]
+        _DATA_SHARDING_HOOK[0] = self._hook
+        return self
+
+    def __exit__(self, *exc):
+        from ..graph import _DATA_SHARDING_HOOK
+
+        _DATA_SHARDING_HOOK[0] = self._prev
+        return False
+
+
+__all__ += ["data_mesh", "data_sharded"]

@@ -106,3 +106,50 @@ class TestShardedSampling:
         # pooled inv_mass identical across (sharded) chains
         inv = np.asarray(out[5])
         np.testing.assert_allclose(inv, inv[0][None].repeat(chains, 0))
+
+
+class TestDataSharding:
+    def test_data_sharded_logp_matches_replicated(self):
+        import jax.numpy as jnp
+        from pymc_tpu.blocking import ravel_point, unravel_vector
+        from pymc_tpu.parallel import data_mesh, data_sharded
+
+        rng = np.random.default_rng(0)
+        N = 800
+        x = rng.normal(size=N)
+        y = 2.0 * x + 1.0 + rng.normal(0, 0.5, N)
+        with pm.Model() as m:
+            xd = pm.ConstantData("x", x)
+            a = pm.Normal("a", 0, 5)
+            b = pm.Normal("b", 0, 5)
+            sd = pm.HalfNormal("sd", 1)
+            pm.Normal("y", a + b * xd, sd, observed=y)
+        info = m.raveled_info()
+        logp_dict = m.logp_fn()
+
+        def flat_logp(q):
+            return logp_dict(unravel_vector(q, info))
+
+        q = jnp.asarray(ravel_point(m.initial_point(), info))
+        mesh = data_mesh(2, 4)
+        with mesh, data_sharded(mesh):
+            fl = jax.jit(jax.value_and_grad(flat_logp))
+            v_sh, g_sh = fl(q)
+            txt = fl.lower(q).compile().as_text()
+        v_pl, g_pl = jax.jit(jax.value_and_grad(flat_logp))(q)
+        np.testing.assert_allclose(float(v_sh), float(v_pl), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_pl), rtol=1e-4
+        )
+        assert "all-reduce" in txt or "all_reduce" in txt
+
+    def test_indivisible_data_stays_replicated(self):
+        from pymc_tpu.parallel import data_mesh, data_sharded
+
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 1)
+            pm.Normal("y", mu, 1, observed=np.ones(7))  # 7 % 4 != 0
+        mesh = data_mesh(2, 4)
+        with mesh, data_sharded(mesh):
+            lp = float(jax.jit(m.logp_fn())({"mu": 0.5}))
+        assert np.isfinite(lp)
