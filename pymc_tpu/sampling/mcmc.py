@@ -115,7 +115,7 @@ def sample(
             random_seed=random_seed, discard_tuned_samples=discard_tuned_samples,
             compute_convergence_checks=compute_convergence_checks,
             idata_kwargs=idata_kwargs, progressbar=progressbar,
-            initvals=initvals,
+            initvals=initvals, return_inferencedata=return_inferencedata,
         )
     if model.discrete_value_vars:
         from .compound import sample_with_steps
@@ -125,7 +125,7 @@ def sample(
             random_seed=random_seed, discard_tuned_samples=discard_tuned_samples,
             compute_convergence_checks=compute_convergence_checks,
             idata_kwargs=idata_kwargs, progressbar=progressbar,
-            initvals=initvals,
+            initvals=initvals, return_inferencedata=return_inferencedata,
         )
 
     nuts_sampler = kwargs.pop("nuts_sampler", None)
@@ -589,6 +589,11 @@ def sample(
         warns = run_convergence_checks(idata, model)
         log_warnings(warns)
 
+    if not return_inferencedata:
+        # reference parity (mcmc.py return_inferencedata=False -> MultiTrace)
+        from ..backends.base import multitrace_from_idata
+
+        return multitrace_from_idata(idata)
     return idata
 
 

@@ -163,6 +163,7 @@ def sample_with_steps(
     draws=1000, tune=1000, chains=4, model=None, step=None, random_seed=None,
     discard_tuned_samples=True, compute_convergence_checks=True,
     idata_kwargs=None, progressbar=True, initvals=None,
+    return_inferencedata=True,
 ):
     """MCMC driver for compound / non-NUTS step methods: one jitted scan,
     chains batched (replaces the reference's per-chain process loop for
@@ -235,6 +236,10 @@ def sample_with_steps(
     )
     if compute_convergence_checks:
         log_warnings(run_convergence_checks(idata, model))
+    if not return_inferencedata:
+        from ..backends.base import multitrace_from_idata
+
+        return multitrace_from_idata(idata)
     return idata
 
 

@@ -233,3 +233,15 @@ class TestAdviInit:
         )
         assert abs(float(idata.posterior["mu"].values.mean()) - 3.0) < 0.5
         assert abs(float(idata.posterior["sd"].values.mean()) - 2.0) < 0.5
+
+
+def test_return_inferencedata_false_gives_multitrace():
+    with pm.Model() as m:
+        mu = pm.Normal("mu", 0, 5)
+        pm.Normal("y", mu, 1, observed=np.ones(10))
+    out = pm.sample(draws=50, tune=50, chains=2, model=m, random_seed=0,
+                    progressbar=False, compute_convergence_checks=False,
+                    return_inferencedata=False)
+    assert type(out).__name__ == "MultiTrace"
+    assert out.nchains == 2 and len(out) == 50
+    assert np.shape(out.get_values("mu")) == (100,)
