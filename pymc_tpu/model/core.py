@@ -654,6 +654,17 @@ class Model:
         return report
 
     # ---------------------------------------------------------------- data
+    def set_initval(self, rv, value):
+        """Set (or clear, with None) the initial value used by samplers for
+        a free RV (reference model/core.py set_initval)."""
+        name = getattr(rv, "name", str(rv))
+        if name not in {r.name for r in self.free_RVs}:
+            raise KeyError(f"{name!r} is not a free random variable")
+        if value is None:
+            self.rvs_to_initial_values.pop(name, None)
+        else:
+            self.rvs_to_initial_values[name] = value
+
     def set_data(self, name, values, coords=None):
         """Swap the contents of a pm.Data container (reference core.py:949).
         Shapes are static under XLA: downstream jitted functions re-trace

@@ -177,3 +177,14 @@ class TestCompile:
             d = pm.Deterministic("d", x**2)
         g = pm.compile(["x"], d)
         np.testing.assert_allclose(float(g(np.float32(2.0))), 4.0)
+
+
+def test_set_initval():
+    with pm.Model() as m:
+        mu = pm.Normal("mu", 0, 10)
+    m.set_initval(mu, 7.5)
+    assert float(np.asarray(m.initial_point()["mu"])) == 7.5
+    m.set_initval("mu", None)
+    assert float(np.asarray(m.initial_point()["mu"])) == 0.0
+    with pytest.raises(KeyError):
+        m.set_initval("nope", 1.0)
