@@ -25,6 +25,8 @@ __all__ = [
     "Covariance", "Constant", "WhiteNoise", "ExpQuad", "RatQuad", "Matern52",
     "Matern32", "Matern12", "Exponential", "Cosine", "Periodic", "Linear",
     "Polynomial", "WarpedInput", "Gibbs", "ScaledCov", "Coregion", "Kron",
+    "Exponentiated", "Circular", "WrappedPeriodic", "Stationary",
+    "Combination", "Add", "Prod",
 ]
 
 
@@ -565,3 +567,93 @@ class Kron(Covariance):
             Ks.append(f.full(Xf, Xsf))
             off += f.input_dim
         return apply(kron, *Ks)
+
+
+class Exponentiated(Covariance):
+    """kernel ** power (reference cov.py:337)."""
+
+    def __init__(self, kernel, power):
+        super().__init__(kernel.input_dim, kernel.active_dims)
+        self.kernel = kernel
+        self.power = power
+
+    def full(self, X, Xs=None):
+        return apply(lambda k, p: k**p, self.kernel.full(X, Xs), self.power)
+
+    def diag(self, X):
+        return apply(lambda k, p: k**p, self.kernel.diag(X), self.power)
+
+
+class Circular(Covariance):
+    """Weinland-function kernel on a circular domain [0, period)
+    (reference cov.py:432; Padonou & Roustant 2015). 1-D."""
+
+    def __init__(self, input_dim, period, tau=4, active_dims=None):
+        super().__init__(input_dim, active_dims)
+        self.period = period
+        self.tau = tau
+
+    def _param_list(self):
+        return [self.period, self.tau]
+
+    def _full(self, X, Xs, period, tau):
+        Xs_ = X if Xs is None else Xs
+        c = jnp.asarray(period, floatX()) / 2.0
+        d = X[:, None, 0] - Xs_[None, :, 0]
+        t = jnp.abs((d + c) % (2.0 * c) - c)
+        return (1.0 + tau * t / c) * jnp.clip(1.0 - t / c, 0.0, jnp.inf) ** tau
+
+    def _diag(self, X, period, tau):
+        return jnp.ones((X.shape[0],), dtype=floatX())
+
+
+class WrappedPeriodic(Covariance):
+    """Periodic version of any stationary kernel: inputs warped by
+    sin(pi (x-x') / period) (reference cov.py:976; MacKay 1998)."""
+
+    def __init__(self, cov_func, period):
+        if not isinstance(cov_func, _Stationary):
+            raise TypeError("cov_func must be a Stationary covariance")
+        super().__init__(cov_func.input_dim, cov_func.active_dims)
+        self.cov_func = cov_func
+        self.period = period
+
+    def _param_list(self):
+        return [self.cov_func.ls, self.period]
+
+    def _full(self, X, Xs, ls, period):
+        Xs_ = X if Xs is None else Xs
+        diff = X[:, None, :] - Xs_[None, :, :]
+        r = jnp.pi * diff / jnp.asarray(period, floatX())
+        r2 = jnp.sum(
+            (jnp.sin(r) / jnp.asarray(ls, floatX())) ** 2, axis=-1
+        )
+        k = self.cov_func
+        if isinstance(k, ExpQuad):
+            return jnp.exp(-0.5 * r2)
+        if isinstance(k, RatQuad):
+            alpha = k.alpha
+            return (1.0 + r2 / (2.0 * alpha)) ** (-alpha)
+        if isinstance(k, _Matern):
+            rr = jnp.sqrt(r2 + 1e-12)
+            if k.nu == 2.5:
+                s = jnp.sqrt(5.0) * rr
+                return (1.0 + s + 5.0 / 3.0 * r2) * jnp.exp(-s)
+            if k.nu == 1.5:
+                s = jnp.sqrt(3.0) * rr
+                return (1.0 + s) * jnp.exp(-s)
+            return jnp.exp(-rr)
+        raise NotImplementedError(
+            f"WrappedPeriodic does not support {type(k).__name__}"
+        )
+
+    def _diag(self, X, ls, period):
+        return jnp.ones((X.shape[0],), dtype=floatX())
+
+
+# public aliases matching the reference's class names (the algebra normally
+# comes from +, *, ** operators; reference cov.py exposes the classes)
+Stationary = _Stationary
+Combination = _Binary
+Add = _Add
+Prod = _Prod

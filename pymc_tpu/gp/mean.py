@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from ..config import floatX
 from ..graph import apply
 
-__all__ = ["Mean", "Zero", "Constant", "Linear"]
+__all__ = ["Mean", "Zero", "Constant", "Linear", "Add", "Prod"]
 
 
 class Mean:
@@ -67,3 +67,8 @@ class Linear(Mean):
             lambda x, b, a: jnp.atleast_2d(x) @ jnp.atleast_1d(b) + a,
             X, self.coeffs, self.intercept,
         )
+
+
+# public aliases matching reference gp/mean.py class names
+Add = _MeanAdd
+Prod = _MeanProd

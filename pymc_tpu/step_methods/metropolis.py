@@ -27,7 +27,71 @@ __all__ = [
     "CategoricalGibbsMetropolis",
     "DEMetropolis",
     "DEMetropolisZ",
+    "NormalProposal",
+    "UniformProposal",
+    "CauchyProposal",
+    "LaplaceProposal",
+    "PoissonProposal",
+    "MultivariateNormalProposal",
 ]
+
+
+class Proposal:
+    """Base proposal distribution (reference metropolis.py:74): holds the
+    scale `s` (stddev vector, rate, or covariance) and draws perturbations
+    with an explicit JAX key."""
+
+    def __init__(self, s=1.0):
+        self.s = jnp.asarray(s, floatX())
+
+    def __call__(self, key, shape):
+        raise NotImplementedError
+
+
+class NormalProposal(Proposal):
+    def __call__(self, key, shape):
+        return self.s * jax.random.normal(key, shape, dtype=floatX())
+
+
+class UniformProposal(Proposal):
+    def __call__(self, key, shape):
+        return jax.random.uniform(
+            key, shape, minval=-self.s, maxval=self.s, dtype=floatX()
+        )
+
+
+class CauchyProposal(Proposal):
+    def __call__(self, key, shape):
+        return self.s * jax.random.cauchy(key, shape, dtype=floatX())
+
+
+class LaplaceProposal(Proposal):
+    def __call__(self, key, shape):
+        return self.s * jax.random.laplace(key, shape, dtype=floatX())
+
+
+class PoissonProposal(Proposal):
+    """poisson(lam=s) - s: integer-valued, approximately symmetric
+    (reference metropolis.py:110)."""
+
+    def __call__(self, key, shape):
+        lam = jnp.broadcast_to(self.s, shape)
+        return (
+            jax.random.poisson(key, lam, shape).astype(floatX()) - self.s
+        )
+
+
+class MultivariateNormalProposal(Proposal):
+    """s is a full covariance matrix (reference metropolis.py:115)."""
+
+    def __init__(self, s):
+        super().__init__(s)
+        self._chol = jnp.linalg.cholesky(self.s)
+
+    def __call__(self, key, shape):
+        n = self._chol.shape[-1]
+        z = jax.random.normal(key, shape[:-1] + (n,), dtype=floatX())
+        return jnp.einsum("ij,...j->...i", self._chol, z)
 
 
 def _block_info(rvs):
@@ -83,6 +147,15 @@ class Metropolis(BlockedStep):
         self.tune = tune
         self.names, self.shapes, self.sizes, self.discrete = _block_info(self.rvs)
         self.D = sum(self.sizes)
+        if proposal_dist is not None:
+            self.proposal = (
+                proposal_dist if isinstance(proposal_dist, Proposal)
+                else proposal_dist(S if S is not None else 1.0)
+            )
+        elif S is not None:
+            self.proposal = NormalProposal(S)
+        else:
+            self.proposal = NormalProposal(1.0)
         self._disc_mask = jnp.concatenate(
             [jnp.full((sz,), d) for sz, d in zip(self.sizes, self.discrete)]
         ) if self.sizes else jnp.zeros((0,), bool)
@@ -112,7 +185,7 @@ class Metropolis(BlockedStep):
         def one(key, pt, scaling, lp):
             q = _ravel_block(pt, names, shapes, sizes)
             k1, k2 = jax.random.split(key)
-            eps = scaling * jax.random.normal(k1, (self.D,), dtype=floatX())
+            eps = scaling * self.proposal(k1, (self.D,))
             eps = jnp.where(disc_mask, jnp.round(eps), eps)
             q_new = q + eps
             pt_new = _unravel_block(q_new, pt, names, shapes, sizes, discrete)
