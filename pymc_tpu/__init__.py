@@ -42,7 +42,7 @@ from .model import (  # noqa: E402
     modelcontext,
     set_data,
 )
-from .functions import draw, logp, logcdf, icdf  # noqa: E402
+from .functions import draw, logp, logcdf, logccdf, icdf  # noqa: E402
 from .initial_point import make_initial_point  # noqa: E402
 from .sampling import (  # noqa: E402
     sample,
@@ -55,12 +55,19 @@ from .stats.log_density import compute_log_likelihood, compute_log_prior  # noqa
 from . import stats  # noqa: E402
 from .stats import compare, ess, loo, rhat, waic  # noqa: E402
 from .backends import InferenceData  # noqa: E402
+from .backends.arviz import (  # noqa: E402
+    predictions_to_inference_data,
+    to_inference_data,
+)
+from .sampling.forward import compile_forward_sampling_function  # noqa: E402
 from . import variational  # noqa: E402
 from .variational import ADVI, ASVGD, SVGD, FullRankADVI, KLqp, fit  # noqa: E402
 from .variational import (  # noqa: E402
-    Approximation, Group, adadelta, adagrad, adagrad_window, adam, adamax,
-    apply_momentum, apply_nesterov_momentum, momentum, nesterov_momentum,
-    norm_constraint, rmsprop, sample_approx, sgd, total_norm_constraint,
+    KL, KSD, Approximation, Group, ImplicitGradient, ObjectiveFunction,
+    Operator, Stein, TestFunction, adadelta, adagrad, adagrad_window, adam,
+    adamax, apply_momentum, apply_nesterov_momentum, momentum,
+    nesterov_momentum, norm_constraint, rmsprop, sample_approx, sgd,
+    total_norm_constraint,
 )
 from .variational.approximations import Empirical, FullRank, MeanField  # noqa: E402
 from .data import Minibatch  # noqa: E402
@@ -113,6 +120,7 @@ __all__ = [
     "draw",
     "logp",
     "logcdf",
+    "logccdf",
     "icdf",
     "make_initial_point",
     "sample",
@@ -126,8 +134,13 @@ __all__ = [
     "ess",
     "rhat",
     "InferenceData",
+    "predictions_to_inference_data",
+    "to_inference_data",
+    "compile_forward_sampling_function",
     "variational",
     "Group", "Approximation", "sample_approx",
+    "KL", "KSD", "Operator", "ObjectiveFunction", "TestFunction", "Stein",
+    "ImplicitGradient",
     "sgd", "momentum", "nesterov_momentum", "adagrad", "adagrad_window",
     "rmsprop", "adadelta", "adam", "adamax", "apply_momentum",
     "apply_nesterov_momentum", "norm_constraint", "total_norm_constraint",

@@ -132,3 +132,34 @@ def to_inference_data(
         compute_log_likelihood(idata, model=model, extend_inferencedata=True)
 
     return idata
+
+
+def predictions_to_inference_data(
+    predictions, posterior_trace=None, model=None, coords=None, dims=None,
+    idata_orig=None, inplace=False,
+):
+    """Wrap out-of-sample prediction draws into an InferenceData
+    `predictions` group (reference backends/__init__.py re-export of the
+    arviz converter). `predictions`: {name: (chain, draw, ...) array}."""
+    from ..model.core import modelcontext
+    from .inference_data import InferenceData
+
+    model = modelcontext(model)
+    ds = dataset_from_draws(model, {
+        k: np.asarray(v) for k, v in predictions.items()
+    })
+    if idata_orig is not None:
+        idata = idata_orig if inplace else _copy_idata(idata_orig)
+    else:
+        idata = InferenceData()
+    idata.add_group("predictions", ds)
+    return idata
+
+
+def _copy_idata(idata):
+    from .inference_data import InferenceData
+
+    out = InferenceData()
+    for g in idata.groups():
+        out.add_group(g, getattr(idata, g))
+    return out

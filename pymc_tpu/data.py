@@ -93,3 +93,16 @@ def _in_model():
     from .model.core import Model
 
     return Model.get_context(error_if_none=False) is not None
+
+
+def get_data(filename):
+    """Load one of the reference's packaged example datasets
+    (reference data.py:get_data reads from pymc/data/*). This framework
+    ships no bundled datasets; raises with guidance."""
+    raise FileNotFoundError(
+        f"pymc_tpu ships no packaged datasets ({filename!r} requested); "
+        "load your data with numpy/pandas and pass it to pm.Data/observed"
+    )
+
+
+__all__ += ["get_data"]

@@ -1,5 +1,7 @@
 """Distributions subpackage (reference pymc/distributions/__init__.py)."""
 
+from . import moments, shape_utils
+from .distribution import SymbolicRandomVariable  # noqa: F401
 from .distribution import Continuous, Discrete, DiracDelta, Distribution, UNSET
 from .continuous import *  # noqa: F401,F403
 from .discrete import *  # noqa: F401,F403
@@ -18,6 +20,7 @@ from .mixture import __all__ as _mix_all
 from .timeseries import __all__ as _ts_all
 
 __all__ = [
+    "SymbolicRandomVariable", "shape_utils", "moments",
     "Continuous",
     "Discrete",
     "DiracDelta",

@@ -384,3 +384,9 @@ class DiracDelta(Discrete):
 
 # re-export for concrete modules
 as_param = _as_param
+
+
+# reference name-compat: SymbolicRandomVariable is the reference's base for
+# derived/composite RVs (distribution.py SymbolicRandomVariable); here every
+# derived density IS a Distribution subclass (Censored/Truncated/Mixture/...)
+SymbolicRandomVariable = Distribution

@@ -550,3 +550,11 @@ ordered = OrderedTransform()
 sum_to_1 = SumTo1Transform()
 log_exp_m1 = LogExpM1Transform()
 circular = CircularTransform()
+
+
+# reference public alias names (pymc/distributions/transforms.py __all__)
+Chain = ChainedTransform
+CholeskyCovPacked = CholeskyCovPackedTransform
+Interval = IntervalTransform
+
+__all__ += ["Chain", "CholeskyCovPacked", "Interval"]

@@ -71,3 +71,23 @@ class ParameterValueError(ValueError):
 
 class BlockModelAccessError(RuntimeError):
     pass
+
+
+class NotConstantValueError(ValueError):
+    """Raised when a graph value expected to be constant is symbolic
+    (reference exceptions.py)."""
+
+
+class TraceDirectoryError(ValueError):
+    """Trace directory exists but lacks the expected layout
+    (reference exceptions.py; raised by FileTrace misuse)."""
+
+
+class UndefinedMomentException(Exception):
+    """No support point / moment exists for a distribution
+    (reference exceptions.py)."""
+
+
+class ImplicitFreezeWarning(UserWarning):
+    """Dims/data were implicitly frozen by a transformation
+    (reference exceptions.py)."""

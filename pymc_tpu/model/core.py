@@ -770,6 +770,26 @@ def set_data(new_data, model=None, coords=None):
         model.set_data(k, v, coords=coords)
 
 
+def Point(*args, filter_model_vars=False, model=None, **kwargs):
+    """Build a point dict of model variable values (reference core.py:Point).
+    With filter_model_vars, drop keys that are not model variables."""
+    d = dict(*args, **kwargs)
+    if filter_model_vars:
+        model = modelcontext(model)
+        names = set(model.named_vars) | {
+            rv.value_name for rv in model.free_RVs
+        }
+        d = {k: v for k, v in d.items() if k in names}
+    return {k: np.asarray(v) for k, v in d.items()}
+
+
+# reference class-hierarchy aliases (BaseModel/FrozenModel split is a
+# reference implementation detail; freezing here is model_map-based, see
+# model/transform/optimization.py freeze_dims_and_data)
+BaseModel = Model
+FrozenModel = Model
+
+
 def compile_fn(outs, model=None, point_fn=True):
     model = modelcontext(model)
     return model.compile_fn(outs, point_fn=point_fn)

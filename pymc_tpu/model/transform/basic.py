@@ -206,3 +206,33 @@ def remove_minibatched_nodes(model):
         if not isinstance(orv.observed, Node):
             continue
     return new
+
+
+def extract_deterministics(model, vars):
+    """Turn Deterministics back into plain (untracked) expressions
+    (reference transform/basic.py). Returns a clone where the named
+    deterministics are no longer traced."""
+    from .basic import model_map
+
+    names = {getattr(v, "name", str(v)) for v in vars}
+    new = model_map(model)
+    new.deterministics[:] = [
+        d for d in new.deterministics if d.name not in names
+    ]
+    for n in names:
+        new.named_vars.pop(n, None)
+    new._fn_cache.clear()
+    return new
+
+
+def insert_deterministics(model, named_exprs, dims=None):
+    """Track expressions as Deterministics in a model clone
+    (reference transform/basic.py)."""
+    from ..core import Deterministic
+    from .basic import model_map
+
+    new = model_map(model)
+    with new:
+        for name, expr in named_exprs.items():
+            Deterministic(name, expr)
+    return new

@@ -82,3 +82,11 @@ def change_value_transforms(model, vars_to_transforms):
         rv.transform = tr
     new._fn_cache.clear()
     return new
+
+
+def remove_value_transforms(model, vars=None):
+    """Replace value transforms with identity (sample in constrained space;
+    reference conditioning.py:317)."""
+    if vars is None:
+        vars = [rv.name for rv in model.free_RVs]
+    return change_value_transforms(model, {v: None for v in vars})

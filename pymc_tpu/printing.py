@@ -75,3 +75,44 @@ def str_for_model_latex(model):
         rows.append(rf"{pot.name} &\sim \operatorname{{Potential}}")
     body = r" \\ ".join(rows)
     return rf"$$\begin{{aligned}} {body} \end{{aligned}}$$"
+
+
+def str_for_data_var(var, formatting="plain"):
+    """One-line description of a pm.Data container (reference printing.py)."""
+    shape = tuple(getattr(var, "shape", ()))
+    return f"{var.name} = Data(shape={shape}, dtype={getattr(var, 'dtype', '?')})"
+
+
+def str_for_potential_or_deterministic(var, formatting="plain",
+                                       dist_name="Deterministic"):
+    """Reference printing.py: '<name> ~ Deterministic(f(...))'."""
+    name = getattr(var, "name", "<unnamed>")
+    return f"{name} ~ {dist_name}(f(...))"
+
+
+def model_table(model, formatting="plain"):
+    """Tabular model summary: one row per variable
+    (reference printing.py:model_table)."""
+    rows = []
+    for rv in model.free_RVs:
+        rows.append((rv.name, "Free", type(rv.dist).__name__,
+                     str(tuple(rv.shape))))
+    for orv in model.observed_RVs:
+        rows.append((orv.name, "Observed", type(orv.dist).__name__,
+                     str(tuple(orv.shape))))
+    for det in model.deterministics:
+        rows.append((det.name, "Deterministic", "-", str(tuple(det.shape))))
+    for dv in model.data_vars:
+        rows.append((dv.name, "Data", "-", str(tuple(dv.shape))))
+    w = [max(len(r[i]) for r in rows + [("Variable", "Kind", "Distribution",
+                                         "Shape")]) for i in range(4)]
+    header = ("Variable", "Kind", "Distribution", "Shape")
+    lines = ["  ".join(h.ljust(wi) for h, wi in zip(header, w))]
+    lines.append("  ".join("-" * wi for wi in w))
+    for r in rows:
+        lines.append("  ".join(c.ljust(wi) for c, wi in zip(r, w)))
+    return "\n".join(lines)
+
+
+__all__ += ["str_for_data_var", "str_for_potential_or_deterministic",
+            "model_table"]

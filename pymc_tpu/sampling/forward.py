@@ -232,3 +232,32 @@ def vectorize_over_posterior(fn, idata, model=None):
     return jax.tree.map(
         lambda v: np.asarray(jax.device_get(v)).reshape((C, D) + v.shape[1:]), out
     )
+
+
+def compile_forward_sampling_function(
+    outputs=None, vars_in_trace=None, model=None, **kwargs
+):
+    """Jitted generative sampler over the model (reference
+    forward.py:compile_forward_sampling_function). Returns
+    (fn, volatile_names): fn(key, given_dict) draws every requested output;
+    free RVs named in `vars_in_trace` are taken from `given_dict`, everything
+    else (the volatile set) is resampled.
+    """
+    model = modelcontext(model)
+    given = [getattr(v, "name", str(v)) for v in (vars_in_trace or [])]
+    fn = _generative_fn(model, given_names=given)
+    volatile = [
+        rv.name for rv in model.free_RVs if rv.name not in set(given)
+    ] + [orv.name for orv in model.observed_RVs]
+    want = (
+        [getattr(o, "name", str(o)) for o in outputs]
+        if outputs is not None else None
+    )
+
+    def sampler(key, given_values=None):
+        out = fn(key, dict(given_values or {}))
+        if want is not None:
+            out = {k: v for k, v in out.items() if k in set(want)}
+        return out
+
+    return jax.jit(sampler), volatile

@@ -10,6 +10,12 @@ from .metropolis import (
     DEMetropolisZ,
     Metropolis,
 )
+from . import arraystep, quadpotential
+from .arraystep import ArrayStep, ArrayStepShared, metrop_select
+from .quadpotential import (QuadPotentialDiag, QuadPotentialDiagAdapt,
+                            QuadPotentialFull, QuadPotentialFullAdapt,
+                            QuadPotentialFullInv, isquadpotential,
+                            quad_potential)
 from .slicer import Slice
 
 STEP_METHODS = (

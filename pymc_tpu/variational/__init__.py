@@ -7,9 +7,14 @@ from .updates import (
 )
 from .approximations import Empirical, FullRank, MeanField
 from .callbacks import CheckParametersConvergence, Tracker
-from .inference import ADVI, ASVGD, SVGD, FullRankADVI, Inference, KLqp, fit
+from . import operators, test_functions
+from .inference import (ADVI, ASVGD, SVGD, FullRankADVI, ImplicitGradient,
+                        Inference, KLqp, fit)
+from .operators import KL, KSD, ObjectiveFunction, Operator, Stein, TestFunction
 
 __all__ = [
+    "ImplicitGradient", "KL", "KSD", "Operator", "ObjectiveFunction",
+    "TestFunction", "Stein", "operators", "test_functions",
     "Group", "Approximation", "sample_approx",
     "sgd", "momentum", "nesterov_momentum", "adagrad", "adagrad_window",
     "rmsprop", "adadelta", "adam", "adamax", "apply_momentum",

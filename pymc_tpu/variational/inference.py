@@ -187,7 +187,12 @@ class FullRankADVI(KLqp):
     approx_cls = FullRank
 
 
-class SVGD(Inference):
+class ImplicitGradient(Inference):
+    """Base for implicit-gradient (particle) methods
+    (reference inference.py:526); SVGD subclasses it."""
+
+
+class SVGD(ImplicitGradient):
     """Stein variational gradient descent (reference inference.py:542,
     stein.py:27, KSD operator operators.py:104). RBF kernel with the median
     heuristic; the particle update is one fused batched kernel."""

@@ -14,8 +14,10 @@ from __future__ import annotations
 
 from ..model.core import modelcontext
 from .approximations import Empirical, FullRank, MeanField
+from .operators import KL, KSD, ObjectiveFunction, Operator, TestFunction
 
-__all__ = ["Group", "Approximation", "sample_approx"]
+__all__ = ["Group", "Approximation", "sample_approx",
+           "Operator", "ObjectiveFunction", "TestFunction", "KL", "KSD"]
 
 _FAMILIES = {
     "mean_field": MeanField, "mf": MeanField,
