@@ -30,11 +30,27 @@ struct Job {
 struct Writer {
   std::deque<Job> queue;
   std::mutex mu;
-  std::condition_variable cv;
+  std::condition_variable cv;       // signals the worker: new job / stop
+  std::condition_variable done_cv;  // signals waiters: a job finished
   std::thread worker;
   std::atomic<bool> stop{false};
+  std::atomic<long> enqueued{0};
   std::atomic<long> written{0};
   std::atomic<long> errors{0};
+
+  void finish(bool ok) {
+    // Count completion under the lock so tw_flush's predicate check and its
+    // wait cannot race with this update (no missed wakeups).
+    {
+      std::lock_guard<std::mutex> lock(mu);
+      if (ok) {
+        written.fetch_add(1);
+      } else {
+        errors.fetch_add(1);
+      }
+    }
+    done_cv.notify_all();
+  }
 
   void run() {
     for (;;) {
@@ -49,21 +65,31 @@ struct Writer {
         job = std::move(queue.front());
         queue.pop_front();
       }
-      std::string tmp = job.path + ".tmp";
+      // Dot-prefixed temp name so directory scans filtering on the final
+      // chunk prefix (chunk_*.npz) never see an in-progress or crash-orphaned
+      // partial file.
+      std::string tmp;
+      size_t slash = job.path.find_last_of('/');
+      if (slash == std::string::npos) {
+        tmp = "." + job.path + ".tmp";
+      } else {
+        tmp = job.path.substr(0, slash + 1) + "." + job.path.substr(slash + 1) +
+              ".tmp";
+      }
       FILE* f = std::fopen(tmp.c_str(), "wb");
       if (!f) {
-        errors.fetch_add(1);
+        finish(false);
         continue;
       }
       size_t n = std::fwrite(job.data.data(), 1, job.data.size(), f);
       std::fflush(f);
       std::fclose(f);
       if (n != job.data.size() || std::rename(tmp.c_str(), job.path.c_str())) {
-        errors.fetch_add(1);
         std::remove(tmp.c_str());
+        finish(false);
         continue;
       }
-      written.fetch_add(1);
+      finish(true);
     }
   }
 };
@@ -88,6 +114,7 @@ long tw_write(void* handle, const char* path, const void* data, long nbytes) {
   long depth;
   {
     std::lock_guard<std::mutex> lock(w->mu);
+    w->enqueued.fetch_add(1);
     w->queue.push_back(std::move(job));
     depth = static_cast<long>(w->queue.size());
   }
@@ -95,16 +122,15 @@ long tw_write(void* handle, const char* path, const void* data, long nbytes) {
   return depth;
 }
 
-// Block until the queue drains. Returns number of chunks written so far.
+// Block until every enqueued chunk has fully completed (written or errored) —
+// not merely until the queue is empty, which would return while the worker is
+// mid-write on the final chunk. Returns number of chunks written so far.
 long tw_flush(void* handle) {
   Writer* w = static_cast<Writer*>(handle);
-  for (;;) {
-    {
-      std::lock_guard<std::mutex> lock(w->mu);
-      if (w->queue.empty()) break;
-    }
-    std::this_thread::sleep_for(std::chrono::milliseconds(1));
-  }
+  std::unique_lock<std::mutex> lock(w->mu);
+  w->done_cv.wait(lock, [&] {
+    return w->written.load() + w->errors.load() == w->enqueued.load();
+  });
   return w->written.load();
 }
 

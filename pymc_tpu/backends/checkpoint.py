@@ -55,6 +55,12 @@ class FileTrace:
         if overwrite and os.path.isdir(self.path):
             shutil.rmtree(self.path)
         os.makedirs(self.path, exist_ok=True)
+        # Monotonic chunk index, initialized from what's already on disk so
+        # resume appends after the last persisted chunk; never recomputed from
+        # a directory scan mid-run (a scan would double-count chunks that the
+        # background writer has persisted but that are still in _pending).
+        self._next_chunk = self.n_chunks
+        self._errors_seen = 0
         self._writer = None
         if use_native_writer:
             from .native_writer import AsyncChunkWriter
@@ -74,23 +80,27 @@ class FileTrace:
         with open(p) as f:
             return json.load(f)
 
+    @staticmethod
+    def _is_chunk(fname):
+        # Completed chunks only: temp files are dot-prefixed and/or carry a
+        # .tmp suffix, so both predicates exclude in-progress/orphaned writes.
+        return fname.startswith("chunk_") and fname.endswith(".npz")
+
     @property
     def n_chunks(self):
-        return len(
-            [f for f in os.listdir(self.path) if f.startswith("chunk_")]
-        )
+        return len([f for f in os.listdir(self.path) if self._is_chunk(f)])
 
     def write_chunk(self, q_draws, stats):
         """q_draws (S, C, D); stats dict of (S, C) arrays. Atomic per chunk;
         persisted on the background C++ writer thread when available so the
         device loop never blocks on file IO."""
-        i = self.n_chunks + getattr(self, "_pending", 0)
+        i = self._next_chunk
+        self._next_chunk += 1
         payload = {"q": np.asarray(jax.device_get(q_draws))}
         for k, v in stats.items():
             payload[f"stat_{k}"] = np.asarray(jax.device_get(v))
         target = os.path.join(self.path, f"chunk_{i:05d}.npz")
         if self._writer is not None:
-            self._pending = getattr(self, "_pending", 0) + 1
             self._writer.write_npz(target, payload)
         else:
             tmp = os.path.join(self.path, f".tmp_chunk_{i:05d}.npz")
@@ -105,7 +115,15 @@ class FileTrace:
     def flush(self):
         if self._writer is not None:
             self._writer.flush()
-            self._pending = 0
+            errs = self._writer.errors
+            if errs > self._errors_seen:
+                n_new = errs - self._errors_seen
+                self._errors_seen = errs
+                raise IOError(
+                    f"FileTrace background writer failed to persist {n_new} "
+                    f"chunk(s) in {self.path} (total errors {errs}); draws "
+                    "from those chunks were NOT saved (disk full / bad path?)"
+                )
 
     def save_state(self, carry):
         save_pytree(os.path.join(self.path, "state"), carry)
@@ -121,7 +139,7 @@ class FileTrace:
         """Concatenate all chunks -> (S_total, C, D) q + stats dict."""
         self.flush()
         files = sorted(
-            f for f in os.listdir(self.path) if f.startswith("chunk_")
+            f for f in os.listdir(self.path) if self._is_chunk(f)
         )
         qs, stats = [], {}
         for f in files:

@@ -82,8 +82,9 @@ class AsyncChunkWriter:
             self._lib.tw_write(
                 self._handle, path.encode(), payload, len(payload)
             )
-        else:  # sync fallback
-            tmp = path + ".tmp"
+        else:  # sync fallback — dot-prefixed temp so chunk scans never see it
+            d, base = os.path.split(path)
+            tmp = os.path.join(d, f".{base}.tmp")
             with open(tmp, "wb") as f:
                 f.write(payload)
             os.replace(tmp, path)

@@ -67,6 +67,62 @@ class TestFileTraceContract:
         assert float(back[1]["eps"]) == 0.5
         assert back[2].dtype == jnp.int32
 
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_orphaned_tmp_files_ignored(self, tmp_path, use_native):
+        # A crash-orphaned in-progress temp file must not be counted as a
+        # chunk nor np.load'ed on resume (round-1 advisor finding).
+        tr = self._mk(str(tmp_path), use_native)
+        tr.write_chunk(np.ones((2, 1, 1), np.float32), {"lp": np.zeros((2, 1))})
+        tr.close()
+        with open(os.path.join(tr.path, ".chunk_00001.npz.tmp"), "wb") as f:
+            f.write(b"torn partial write")
+        assert tr.n_chunks == 1
+        q, _ = tr.read_draws()
+        assert q.shape == (2, 1, 1)
+        # Resume continues numbering after the last COMPLETED chunk.
+        tr2 = FileTrace(tr.path, use_native_writer=use_native)
+        tr2.write_chunk(np.full((2, 1, 1), 2.0, np.float32),
+                        {"lp": np.zeros((2, 1))})
+        tr2.close()
+        q, _ = tr2.read_draws()
+        assert q.shape == (4, 1, 1)
+        np.testing.assert_allclose(q[2:], 2.0)
+
+    def test_flush_completes_final_chunk(self, tmp_path):
+        # flush() must wait for the in-flight write to finish, not just for
+        # the queue to drain — read_draws right after a large enqueue must see
+        # every chunk (round-1 advisor finding: flush raced the last write).
+        tr = self._mk(str(tmp_path), True)
+        if tr._writer is None:
+            pytest.skip("native writer unavailable")
+        big = np.zeros((64, 32, 128), np.float32)  # ~1MB: write takes a while
+        for _ in range(8):
+            tr.write_chunk(big, {"lp": np.zeros((64, 32))})
+        q, _ = tr.read_draws()  # flushes internally
+        assert q.shape == (8 * 64, 32, 128)
+        assert tr.n_chunks == 8
+
+    def test_monotonic_chunk_numbering(self, tmp_path):
+        tr = self._mk(str(tmp_path), False)
+        for _ in range(4):
+            tr.write_chunk(np.zeros((1, 1, 1), np.float32),
+                           {"lp": np.zeros((1, 1))})
+        tr.close()
+        names = sorted(f for f in os.listdir(tr.path) if f.startswith("chunk_"))
+        assert names == [f"chunk_{i:05d}.npz" for i in range(4)]
+
+    def test_writer_error_surfaces(self, tmp_path):
+        tr = self._mk(str(tmp_path), True)
+        if tr._writer is None:
+            pytest.skip("native writer unavailable")
+        # Point a chunk at a nonexistent directory: background write fails,
+        # flush must raise instead of silently dropping draws.
+        tr.path = os.path.join(str(tmp_path), "does", "not", "exist")
+        with pytest.raises(IOError):
+            tr.write_chunk(np.zeros((1, 1, 1), np.float32),
+                           {"lp": np.zeros((1, 1))})
+            tr.flush()
+
     def test_overwrite_semantics(self, tmp_path):
         path = os.path.join(str(tmp_path), "tr")
         tr = FileTrace(path, overwrite=True, use_native_writer=False)
