@@ -102,7 +102,9 @@ def _gpdfit(x):
     b += 1.0 / x[-1]
     k = np.log1p(-b[:, None] * x[None, :]).mean(axis=1)  # negative
     L = n * (np.log(-(b / k)) - k - 1.0)
-    w = 1.0 / np.exp(L - L[:, None]).sum(axis=1)
+    # softmax of profile likelihoods, logsumexp-stabilized: widely separated
+    # L values overflowed the naive 1/sum(exp(L-L')) form (round-1 weak #8)
+    w = np.exp(L - L.max())
     w /= w.sum()
     b_post = (b * w).sum()
     k_post = np.log1p(-b_post * x).mean()

@@ -85,3 +85,27 @@ class TestLooWaic:
         assert df.loc["good", "weight"] > df.loc["bad", "weight"]
         np.testing.assert_allclose(df["weight"].sum(), 1.0, rtol=1e-6)
         assert df.loc["good", "elpd_diff"] == 0.0
+
+
+class TestStackingStability:
+    def test_widely_separated_elpds_no_overflow(self):
+        # Round-1 weak #8: widely separated pointwise elpds overflowed exp()
+        # in the GPD profile-likelihood softmax. Must run warning-free and
+        # put ~all weight on the dominant model.
+        import warnings
+        from pymc_tpu.stats.model_comparison import _stacking_weights, _gpdfit
+
+        rng = np.random.default_rng(0)
+        N = 200
+        elpd = np.stack(
+            [rng.normal(-1.0, 0.1, N), rng.normal(-400.0, 5.0, N)], axis=1
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            w = _stacking_weights(elpd)
+            # heavy-tailed exceedances with huge dynamic range
+            x = np.sort(rng.pareto(0.5, 500) * 1e6 + 1e-3)
+            k, sigma = _gpdfit(x)
+        assert w[0] > 0.99
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
+        assert np.isfinite(k) and np.isfinite(sigma)
