@@ -8,6 +8,7 @@ from .discrete import *  # noqa: F401,F403
 from .multivariate import *  # noqa: F401,F403
 from .mixture import *  # noqa: F401,F403
 from .censored import Censored
+from .derived import Discretized, OrderStatistic, Max, Min, CumSum, Compared
 from .truncated import Truncated
 from .timeseries import *  # noqa: F401,F403
 from .custom import CustomDist, DensityDist
@@ -33,6 +34,12 @@ __all__ = [
     *_mix_all,
     *_ts_all,
     "Censored",
+    "Discretized",
+    "OrderStatistic",
+    "Max",
+    "Min",
+    "CumSum",
+    "Compared",
     "Truncated",
     "CustomDist",
     "DensityDist",

@@ -346,3 +346,273 @@ class TestCustomDist:
     def test_requires_logp(self):
         with pytest.raises(TypeError, match="requires logp"):
             pm.CustomDist.dist(1.0, random=lambda mu, rng, size: mu)
+
+
+class TestDiscretized:
+    """Reference semantics: pymc/logprob/censoring.py:343-420 (round/floor/
+    ceil/trunc of a continuous RV), scipy as oracle."""
+
+    def _norm_cell(self, k, lo_off, hi_off, mu=0.3, sd=1.7):
+        return np.log(
+            st.norm.cdf(k + hi_off, mu, sd) - st.norm.cdf(k + lo_off, mu, sd)
+        )
+
+    def test_round_logp(self):
+        d = pm.Discretized.dist(pm.Normal.dist(0.3, 1.7), method="round")
+        k = np.arange(-6, 7)
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(d, k)), self._norm_cell(k, -0.5, 0.5), rtol=1e-6
+        )
+
+    def test_floor_ceil_logp(self):
+        base = pm.Normal.dist(0.3, 1.7)
+        k = np.arange(-6, 7)
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(pm.Discretized.dist(base, method="floor"), k)),
+            self._norm_cell(k, 0.0, 1.0), rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(pm.Discretized.dist(base, method="ceil"), k)),
+            self._norm_cell(k, -1.0, 0.0), rtol=1e-6,
+        )
+
+    def test_trunc_logp_pooled_zero_cell(self):
+        d = pm.Discretized.dist(pm.Normal.dist(0.3, 1.7), method="trunc")
+        mu, sd = 0.3, 1.7
+        # zero cell pools (-1, 1)
+        np.testing.assert_allclose(
+            float(pm.logp(d, 0)),
+            np.log(st.norm.cdf(1, mu, sd) - st.norm.cdf(-1, mu, sd)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(pm.logp(d, 2)),
+            np.log(st.norm.cdf(3, mu, sd) - st.norm.cdf(2, mu, sd)), rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(pm.logp(d, -2)),
+            np.log(st.norm.cdf(-2, mu, sd) - st.norm.cdf(-3, mu, sd)),
+            rtol=1e-6,
+        )
+
+    @pytest.mark.parametrize("method", ["round", "floor", "ceil", "trunc"])
+    def test_pmf_sums_to_one(self, method):
+        d = pm.Discretized.dist(pm.Normal.dist(0.0, 1.0), method=method)
+        k = np.arange(-30, 31)
+        total = np.exp(np.asarray(pm.logp(d, k))).sum()
+        np.testing.assert_allclose(total, 1.0, rtol=1e-6)
+
+    def test_logcdf(self):
+        d = pm.Discretized.dist(pm.Normal.dist(0.3, 1.7), method="round")
+        k = np.arange(-6, 7)
+        np.testing.assert_allclose(
+            np.asarray(pm.logcdf(d, k)),
+            st.norm.logcdf(k + 0.5, 0.3, 1.7), rtol=1e-6,
+        )
+
+    def test_sampling_matches_pmf(self):
+        d = pm.Discretized.dist(pm.Exponential.dist(0.7), method="floor",
+                                size=(100_000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(0)))
+        assert draws.dtype.kind == "i"
+        # floor(Exp(lam)) is Geometric-like: P(k) = e^{-lam k}(1 - e^{-lam})
+        for k in range(4):
+            expected = np.exp(-0.7 * k) * (1 - np.exp(-0.7))
+            np.testing.assert_allclose(
+                (draws == k).mean(), expected, atol=0.01
+            )
+
+    def test_rejects_discrete_base(self):
+        with pytest.raises(ValueError, match="continuous"):
+            pm.Discretized.dist(pm.Poisson.dist(3.0))
+
+    def test_observed_in_model(self):
+        rng = np.random.default_rng(0)
+        y = np.round(rng.normal(2.0, 1.0, 200))
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0.0, 10.0)
+            pm.Discretized("y", pm.Normal.dist(mu, 1.0), observed=y)
+        idata = pm.sample(draws=300, tune=300, chains=2, random_seed=0,
+                          model=m, progressbar=False,
+                          compute_convergence_checks=False)
+        post = np.asarray(idata.posterior["mu"]).mean()
+        assert abs(post - y.mean()) < 0.2
+
+
+class TestOrderStatistic:
+    """Reference: pymc/logprob/order.py:142-172 (max/min of iid RVs)."""
+
+    def test_max_continuous(self):
+        n = 5
+        d = pm.Max.dist(pm.Normal.dist(0.5, 2.0), n=n)
+        x = np.linspace(-3, 6, 13)
+        expected = (
+            np.log(n)
+            + (n - 1) * st.norm.logcdf(x, 0.5, 2.0)
+            + st.norm.logpdf(x, 0.5, 2.0)
+        )
+        np.testing.assert_allclose(np.asarray(pm.logp(d, x)), expected,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(pm.logcdf(d, x)), n * st.norm.logcdf(x, 0.5, 2.0),
+            rtol=1e-6,
+        )
+
+    def test_min_continuous(self):
+        n = 7
+        d = pm.Min.dist(pm.Exponential.dist(1.3), n=n)
+        # min of n iid Exp(lam) is Exp(n*lam)
+        x = np.linspace(0.01, 3, 9)
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(d, x)), st.expon.logpdf(x, scale=1 / (7 * 1.3)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pm.logcdf(d, x)),
+            st.expon.logcdf(x, scale=1 / (7 * 1.3)), rtol=1e-5,
+        )
+
+    def test_interior_rank_integrates_to_one(self):
+        from scipy import integrate
+
+        d = pm.OrderStatistic.dist(pm.Normal.dist(0.0, 1.0), n=6, rank=3)
+        total, _ = integrate.quad(
+            lambda x: float(np.exp(pm.logp(d, x))), -10, 10
+        )
+        np.testing.assert_allclose(total, 1.0, rtol=1e-6)
+
+    def test_max_discrete(self):
+        n = 4
+        d = pm.Max.dist(pm.Poisson.dist(3.0), n=n)
+        k = np.arange(0, 15)
+        F = st.poisson.cdf(k, 3.0)
+        F_prev = st.poisson.cdf(k - 1, 3.0)
+        expected = np.log(F**n - F_prev**n)
+        np.testing.assert_allclose(np.asarray(pm.logp(d, k)), expected,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.exp(np.asarray(pm.logp(d, np.arange(0, 60)))).sum(), 1.0,
+            rtol=1e-6,
+        )
+
+    def test_min_discrete(self):
+        n = 3
+        d = pm.Min.dist(pm.Geometric.dist(0.3), n=n)
+        # min of n iid Geometric(p) (support 1,2,...) is Geometric(1-(1-p)^n)
+        p_min = 1 - (1 - 0.3) ** n
+        k = np.arange(1, 12)
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(d, k)), st.geom.logpmf(k, p_min), rtol=1e-5
+        )
+
+    def test_sampling(self):
+        d = pm.Max.dist(pm.Uniform.dist(0.0, 1.0), n=9, size=(50_000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(1)))
+        # E[max of 9 U(0,1)] = 9/10
+        np.testing.assert_allclose(draws.mean(), 0.9, atol=0.005)
+
+    def test_discrete_interior_rank_rejected(self):
+        with pytest.raises(NotImplementedError):
+            pm.OrderStatistic.dist(pm.Poisson.dist(1.0), n=5, rank=2)
+
+    def test_observed_in_model(self):
+        # extreme-value inference: observe only the max of n iid normals
+        rng = np.random.default_rng(2)
+        y = rng.normal(1.0, 1.0, (300, 10)).max(axis=1)
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0.0, 5.0)
+            pm.Max("y", pm.Normal.dist(mu, 1.0), n=10, shape=(300,),
+                   observed=y)
+        idata = pm.sample(draws=300, tune=300, chains=2, random_seed=0,
+                          model=m, progressbar=False,
+                          compute_convergence_checks=False)
+        post = np.asarray(idata.posterior["mu"]).mean()
+        assert abs(post - 1.0) < 0.25
+
+
+class TestCumSum:
+    """Reference: pymc/logprob/cumsum.py:53-75."""
+
+    def test_logp_matches_diff(self):
+        d = pm.CumSum.dist(pm.Normal.dist(1.0, 0.5, shape=(6,)))
+        v = np.array([1.0, 2.5, 3.0, 4.8, 5.0, 7.2])
+        diffs = np.concatenate([[v[0]], np.diff(v)])
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(d, v)), st.norm.logpdf(diffs, 1.0, 0.5),
+            rtol=1e-6,
+        )
+
+    def test_equals_gaussian_random_walk(self):
+        # cumsum of iid normals == GRW with zero init (up to init handling)
+        d = pm.CumSum.dist(pm.Normal.dist(0.0, 1.0, shape=(5,)))
+        v = np.array([0.3, 0.1, -0.5, 0.2, 1.0])
+        lp = float(np.asarray(pm.logp(d, v)).sum())
+        diffs = np.concatenate([[v[0]], np.diff(v)])
+        np.testing.assert_allclose(lp, st.norm.logpdf(diffs).sum(), rtol=1e-6)
+
+    def test_axis(self):
+        d = pm.CumSum.dist(pm.Normal.dist(0.0, 1.0, shape=(3, 4)), axis=0)
+        v = np.arange(12, dtype=float).reshape(3, 4)
+        first = v[:1]
+        diffs = np.concatenate([first, np.diff(v, axis=0)], axis=0)
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(d, v)), st.norm.logpdf(diffs), rtol=1e-6
+        )
+
+    def test_sampling(self):
+        d = pm.CumSum.dist(pm.Normal.dist(0.0, 1.0, shape=(4,)))
+        draws = np.asarray(
+            d.sample(jax.random.PRNGKey(0), sample_shape=(20_000,))
+        )
+        np.testing.assert_allclose(
+            draws.var(axis=0), [1.0, 2.0, 3.0, 4.0], rtol=0.05
+        )
+
+
+class TestCompared:
+    """Reference: pymc/logprob/binary.py:92-122."""
+
+    def test_continuous_gt(self):
+        d = pm.Compared.dist(pm.Normal.dist(1.0, 2.0), 0.5, op=">")
+        np.testing.assert_allclose(
+            float(pm.logp(d, 1)), st.norm.logsf(0.5, 1.0, 2.0), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(pm.logp(d, 0)), st.norm.logcdf(0.5, 1.0, 2.0), rtol=1e-6
+        )
+        assert float(pm.logp(d, 2)) == -np.inf
+
+    @pytest.mark.parametrize("op,true_p", [
+        (">",  lambda c: st.poisson.sf(c, 3.0)),
+        (">=", lambda c: st.poisson.sf(c - 1, 3.0)),
+        ("<",  lambda c: st.poisson.cdf(c - 1, 3.0)),
+        ("<=", lambda c: st.poisson.cdf(c, 3.0)),
+    ])
+    def test_discrete_boundaries(self, op, true_p):
+        c = 2
+        d = pm.Compared.dist(pm.Poisson.dist(3.0), c, op=op)
+        p = true_p(c)
+        np.testing.assert_allclose(float(np.exp(pm.logp(d, 1))), p, rtol=1e-6)
+        np.testing.assert_allclose(float(np.exp(pm.logp(d, 0))), 1 - p,
+                                   rtol=1e-6)
+
+    def test_sampling(self):
+        d = pm.Compared.dist(pm.Normal.dist(0.0, 1.0), 1.0, op="<",
+                             size=(50_000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(0)))
+        np.testing.assert_allclose(draws.mean(), st.norm.cdf(1.0), atol=0.01)
+
+    def test_observed_in_model(self):
+        # probit-style: observe threshold crossings of a latent normal
+        rng = np.random.default_rng(3)
+        latent = rng.normal(0.7, 1.0, 400)
+        y = (latent > 0.0).astype(int)
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0.0, 5.0)
+            pm.Compared("y", pm.Normal.dist(mu, 1.0), 0.0, op=">",
+                        shape=(400,), observed=y)
+        idata = pm.sample(draws=300, tune=300, chains=2, random_seed=0,
+                          model=m, progressbar=False,
+                          compute_convergence_checks=False)
+        post = np.asarray(idata.posterior["mu"]).mean()
+        assert abs(post - 0.7) < 0.25
