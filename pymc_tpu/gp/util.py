@@ -21,9 +21,11 @@ __all__ = ["stabilize", "kmeans_inducing_points", "plot_gp_dist",
            "replace_with_values", "JITTER_DEFAULT"]
 
 
-def stabilize(K, jitter=JITTER_DEFAULT):
+def stabilize(K, jitter=None):
     """Add `jitter` to the diagonal of a covariance for Cholesky safety
-    (reference gp/util.py:77)."""
+    (reference gp/util.py:77). Default is dtype-aware: JITTER_DEFAULT (1e-6)
+    in float64, 1e-4 in float32 where kernel matrices go indefinite at the
+    reference's float64 value."""
     from .gp import _stabilize
 
     return _stabilize(K, jitter)

@@ -28,6 +28,11 @@ __all__ = [
     "welford_update",
     "welford_variance",
     "welford_covariance",
+    "ExpWeightedState",
+    "expw_init",
+    "expw_seed",
+    "expw_update",
+    "expw_inv_mass",
     "build_schedule",
     "find_reasonable_step_size",
 ]
@@ -134,6 +139,50 @@ def welford_covariance(state: WelfordState, regularize=True):
         dim = cov.shape[-1]
         cov = w * cov + 1e-3 * (1.0 - w) * jnp.eye(dim, dtype=cov.dtype)
     return cov
+
+
+class ExpWeightedState(NamedTuple):
+    """Exponentially-weighted mean/variance of draws AND gradients — the
+    grad-based diag mass estimator behind init="jitter+adapt_diag_grad"
+    (reference quadpotential.py:458-580, QuadPotentialDiagAdaptExp with
+    use_grads=True). Arrays carry any leading batch (chain) axes."""
+
+    mean_q: jax.Array
+    var_q: jax.Array
+    mean_g: jax.Array
+    var_g: jax.Array
+
+
+def expw_init(shape, dtype=jnp.float32):
+    z = jnp.zeros(shape, dtype=dtype)
+    return ExpWeightedState(z, z, z, z)
+
+
+def expw_seed(q, g):
+    """Anchor the estimator at the first post-discard-window draw
+    (reference quadpotential.py:545-558: init_mean=sample, init_var=0)."""
+    return ExpWeightedState(q, jnp.zeros_like(q), g, jnp.zeros_like(g))
+
+
+def expw_update(state: ExpWeightedState, q, g, alpha=0.02):
+    """One _ExpWeightedVariance.add_sample step for draws and grads
+    (reference quadpotential.py:466-470)."""
+    dq = q - state.mean_q
+    mean_q = state.mean_q + alpha * dq
+    var_q = (1.0 - alpha) * (state.var_q + alpha * dq * dq)
+    dg = g - state.mean_g
+    mean_g = state.mean_g + alpha * dg
+    var_g = (1.0 - alpha) * (state.var_g + alpha * dg * dg)
+    return ExpWeightedState(mean_q, var_q, mean_g, var_g)
+
+
+def expw_inv_mass(state: ExpWeightedState):
+    """Diagonal inverse-mass estimate sqrt(var_q / var_grad)
+    (reference quadpotential.py:575-580 _update_from_variances)."""
+    var = jnp.sqrt(
+        jnp.maximum(state.var_q, 1e-20) / jnp.maximum(state.var_g, 1e-20)
+    )
+    return jnp.clip(var, 1e-12, 1e12)
 
 
 def build_schedule(tune, init_buffer=75, term_buffer=50, base_window=25):

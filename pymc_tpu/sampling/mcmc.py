@@ -43,6 +43,20 @@ __all__ = ["sample", "init_nuts"]
 
 _log = logging.getLogger("pymc_tpu")
 
+# The reference's full init-strategy family (pymc/sampling/mcmc.py:1759-2020);
+# every string either works or sample()/init_nuts() raises loudly.
+SUPPORTED_INITS = frozenset({
+    "adapt_diag",
+    "jitter+adapt_diag",
+    "jitter+adapt_diag_grad",
+    "advi+adapt_diag",
+    "advi",
+    "advi_map",
+    "map",
+    "adapt_full",
+    "jitter+adapt_full",
+})
+
 
 def _resolve_seed(random_seed):
     if random_seed is None:
@@ -128,6 +142,13 @@ def sample(
             initvals=initvals, return_inferencedata=return_inferencedata,
         )
 
+    init = str(init)
+    if init == "auto":
+        init = "jitter+adapt_diag"
+    if init not in SUPPORTED_INITS:
+        raise ValueError(
+            f"Unknown initializer: {init!r}. Valid: {sorted(SUPPORTED_INITS)}"
+        )
     nuts_sampler = kwargs.pop("nuts_sampler", None)
     if nuts_sampler and str(nuts_sampler) not in ("pymc", "pymc_tpu"):
         # reference external-sampler delegation (mcmc.py:372-550): every
@@ -140,8 +161,16 @@ def sample(
         target_accept = nuts.get("target_accept", target_accept)
         max_treedepth = nuts.get("max_treedepth", max_treedepth)
     if mass_matrix is None:
-        mass_matrix = "full" if "adapt_full" in init else "diag"
+        mass_matrix = "full" if ("adapt_full" in init or init == "map") else "diag"
     full_mass = mass_matrix == "full"
+    # static-potential inits: the reference builds a non-adapting
+    # QuadPotentialDiag/Full for these (mcmc.py:1959-1989), so windowed mass
+    # adaptation is disabled; grad_mass uses the continuous exp-weighted
+    # grad-based estimator instead of windows (quadpotential.py:493).
+    static_mass = init in ("advi", "advi_map", "map")
+    grad_mass = init == "jitter+adapt_diag_grad"
+    if init == "map" and str(sampler).lower() == "chees":
+        raise NotImplementedError("sampler='chees' supports diag mass only")
     if full_mass and str(sampler).lower() == "chees":
         raise NotImplementedError("sampler='chees' supports diag mass only")
 
@@ -160,23 +189,62 @@ def sample(
     # ---- initial points (reference init_nuts :1759; jitter+adapt_diag default)
     t0 = time.perf_counter()
     advi_var = None
-    if "advi" in str(init):
-        # reference init="advi"/"advi+adapt_diag" (mcmc.py:1913-1959): fit
-        # mean-field ADVI, draw the chain starts from q, seed the diagonal
-        # mass with q's variances (windowed adaptation then refines them)
+    map_cov = None
+    if "advi" in init:
+        # reference init="advi"/"advi+adapt_diag"/"advi_map" (mcmc.py:1913-1989):
+        # fit mean-field ADVI (advi_map: started at the MAP point), draw the
+        # chain starts from q, seed the diagonal mass with q's variances
+        # (windowed adaptation then refines them for advi+adapt_diag; for
+        # advi/advi_map the potential stays static as in QuadPotentialDiag)
         from ..variational import fit as vi_fit
 
         n_init = int(kwargs.pop("n_init", 10_000))
-        if str(init).startswith("advi_map"):
-            raise NotImplementedError("init='advi_map' is not supported")
+        seed_int = int(jax.random.randint(k_init, (), 0, 2**30))
+        vi_start = None
+        if init == "advi_map":
+            from ..tuning.starting import find_MAP
+
+            _log.info("Initializing NUTS with MAP-started ADVI...")
+            map_pt = find_MAP(
+                model=model, include_transformed=False, seed=seed_int,
+                progressbar=False,
+            )
+            vi_start = {
+                rv.name: map_pt[rv.name]
+                for rv in model.free_RVs
+                if rv.name in map_pt
+            }
         _log.info(f"Initializing NUTS with ADVI ({n_init} iterations)...")
         approx = vi_fit(
-            n=n_init, method="advi", model=model,
-            random_seed=int(jax.random.randint(k_init, (), 0, 2**30)),
+            n=n_init, method="advi", model=model, start=vi_start,
+            random_seed=seed_int,
             progressbar=progressbar,
         )
         q0 = approx.sample_q(approx.params, k_init, chains)  # (C, D) flat
         advi_var = jax.nn.softplus(approx.params["rho"]) ** 2  # (D,)
+    elif init == "map":
+        # reference init="map" (mcmc.py:1985-1989): all chains start at the
+        # MAP point with a STATIC full potential from the Hessian there
+        from ..tuning.starting import find_MAP, find_hessian
+
+        _log.info("Initializing NUTS at the MAP point...")
+        seed_int = int(jax.random.randint(k_init, (), 0, 2**30))
+        map_pt = find_MAP(
+            model=model, include_transformed=True, seed=seed_int,
+            progressbar=False,
+        )
+        q_map = ravel_point(
+            {n: jnp.asarray(map_pt[n]) for n in info.names}, info
+        )
+        q0 = jnp.tile(q_map[None, :], (chains, 1)).astype(floatX())
+        prec = np.asarray(find_hessian(point=map_pt, model=model))  # -H(logp)
+        # Sigma = inv(precision), regularized for non-PD Hessians away from
+        # an interior optimum
+        prec = 0.5 * (prec + prec.T)
+        eigmin = float(np.linalg.eigvalsh(prec).min())
+        if eigmin <= 1e-10:
+            prec = prec + (1e-6 - min(eigmin, 0.0)) * np.eye(prec.shape[0])
+        map_cov = jnp.asarray(np.linalg.inv(prec), dtype=floatX())
     else:
         jitter = 1.0 if init.startswith("jitter") else 0.0
         start_points = make_initial_points_per_chain(
@@ -195,7 +263,8 @@ def sample(
         )
 
     if full_mass:
-        inv_mass = jnp.eye(D, dtype=floatX())  # Sigma estimate, pooled/shared
+        # Sigma estimate, pooled/shared (init="map": static Hessian inverse)
+        inv_mass = map_cov if map_cov is not None else jnp.eye(D, dtype=floatX())
         eps_keys = jax.random.split(k_eps, chains)
         eps0 = jax.jit(
             jax.vmap(
@@ -226,9 +295,15 @@ def sample(
 
     da = jax.vmap(da_init)(eps0)
 
-    schedule = build_schedule(tune)
-    upd_mass = jnp.asarray(schedule["update_mass"])
-    swi_mass = jnp.asarray(schedule["switch_mass"])
+    if static_mass or grad_mass:
+        # no windowed Welford adaptation: static potentials keep their seed;
+        # grad_mass updates continuously via the exp-weighted estimator below
+        upd_mass = jnp.zeros((tune,), dtype=bool)
+        swi_mass = jnp.zeros((tune,), dtype=bool)
+    else:
+        schedule = build_schedule(tune)
+        upd_mass = jnp.asarray(schedule["update_mass"])
+        swi_mass = jnp.asarray(schedule["switch_mass"])
 
     transition = partial(
         nuts_transition,
@@ -270,7 +345,7 @@ def sample(
         """One draw for warmup AND sampling (adaptation gated by traced flags
         so the sampler program compiles exactly once)."""
         step_i, do_update, do_switch, is_warmup = xs
-        q, logp, grad, da, wf, inv_mass, chees_extra = carry
+        q, logp, grad, da, wf, inv_mass, chees_extra, ew = carry
         step_size = jnp.where(
             is_warmup, jnp.exp(da.log_step), jnp.exp(da.log_step_avg)
         )
@@ -312,7 +387,32 @@ def sample(
             lambda new, old: jnp.where(_bcast(is_warmup, new), new, old),
             da_new, da,
         )
-        if full_mass:
+        if grad_mass:
+            # init="jitter+adapt_diag_grad": continuous exp-weighted variance
+            # of draws AND grads, inv_mass = sqrt(var_q/var_grad), applied
+            # every warmup step after a 2x50-draw discard window (reference
+            # QuadPotentialDiagAdaptExp, quadpotential.py:493-580)
+            from .adaptation import expw_inv_mass, expw_seed, expw_update
+
+            disc = 50
+            stop_adapt = (tune - 50) if tune > 250 else tune + 1
+            at_seed = jnp.logical_and(step_i == disc, is_warmup)
+            seeded = expw_seed(q, grad)
+            ew = jax.tree.map(
+                lambda s, o: jnp.where(_bcast(at_seed, s), s, o), seeded, ew
+            )
+            in_win = (step_i > disc) & (step_i < stop_adapt) & is_warmup
+            ew_new = expw_update(ew, q, grad)
+            ew = jax.tree.map(
+                lambda n, o: jnp.where(_bcast(in_win, n), n, o), ew_new, ew
+            )
+            apply_mass = jnp.logical_and(step_i > 2 * disc, is_warmup)
+            inv_mass = jnp.where(
+                _bcast(apply_mass, inv_mass), expw_inv_mass(ew), inv_mass
+            )
+        elif static_mass:
+            pass  # potential fixed by the init (advi/advi_map/map)
+        elif full_mass:
             from .adaptation import welford_covariance, welford_update_batch
 
             wf_new = welford_update_batch(wf, q)
@@ -350,7 +450,7 @@ def sample(
             lambda res, old: jnp.where(_bcast(do_switch, res), res, old),
             da_res, da,
         )
-        carry = (q, logp, grad, da, wf, inv_mass, chees_extra)
+        carry = (q, logp, grad, da, wf, inv_mass, chees_extra, ew)
         return carry, (q, stats, step_size)
 
     scan_fn = jax.jit(lambda c, xs: lax.scan(step, c, xs))
@@ -358,7 +458,13 @@ def sample(
         f"NUTS warmup: {tune} steps, {chains} chains, {D} parameters "
         f"(init={init}, target_accept={target_accept})"
     )
-    carry = (q0, logp0, grad0, da, wf, inv_mass, chees_extra0)
+    if grad_mass:
+        from .adaptation import expw_init
+
+        ew0 = expw_init((chains, D), dtype=floatX())
+    else:
+        ew0 = ()
+    carry = (q0, logp0, grad0, da, wf, inv_mass, chees_extra0, ew0)
 
     # ---- multi-chip: shard the chain axis over a device mesh (replaces the
     # reference's process-per-chain executor; SURVEY §2.7 TPU mapping). The
@@ -603,13 +709,57 @@ def _bcast(flag, arr):
 
 
 def init_nuts(init="jitter+adapt_diag", chains=1, random_seed=None, model=None,
-              **kwargs):
-    """Reference-compatible helper (mcmc.py:1759): returns initial points and
-    a description of the adaptation config."""
+              initvals=None, **kwargs):
+    """Reference-compatible helper (mcmc.py:1759): resolves the init strategy
+    to actual per-chain starting points (batched {value_name: (chains, ...)})
+    plus the resolved strategy string. Unknown strategies raise ValueError;
+    advi*/map strategies really run ADVI / MAP optimization."""
+    init = str(init)
+    if init == "auto":
+        init = "jitter+adapt_diag"
+    if init not in SUPPORTED_INITS:
+        raise ValueError(
+            f"Unknown initializer: {init!r}. Valid: {sorted(SUPPORTED_INITS)}"
+        )
     model = modelcontext(model)
     key = _resolve_seed(random_seed)
-    jitter = 1.0 if init.startswith("jitter") else 0.0
-    pts = make_initial_points_per_chain(model, key, chains, jitter=jitter)
+    info = model.raveled_info()
+    if "advi" in init:
+        from ..variational import fit as vi_fit
+
+        n_init = int(kwargs.get("n_init", 10_000))
+        seed_int = int(jax.random.randint(key, (), 0, 2**30))
+        start = None
+        if init == "advi_map":
+            from ..tuning.starting import find_MAP
+
+            mp = find_MAP(model=model, include_transformed=False,
+                          seed=seed_int, progressbar=False)
+            start = {
+                rv.name: mp[rv.name]
+                for rv in model.free_RVs if rv.name in mp
+            }
+        approx = vi_fit(n=n_init, method="advi", model=model, start=start,
+                        random_seed=seed_int, progressbar=False)
+        q0 = approx.sample_q(approx.params, key, chains)
+        pts = jax.vmap(lambda q: unravel_vector(q, info))(q0)
+    elif init == "map":
+        from ..tuning.starting import find_MAP
+
+        seed_int = int(jax.random.randint(key, (), 0, 2**30))
+        mp = find_MAP(model=model, include_transformed=True, seed=seed_int,
+                      progressbar=False)
+        pts = {
+            n: jnp.tile(
+                jnp.asarray(mp[n], floatX())[None, ...], (chains,) + (1,) * np.ndim(mp[n])
+            )
+            for n in info.names
+        }
+    else:
+        jitter = 1.0 if init.startswith("jitter") else 0.0
+        pts = make_initial_points_per_chain(
+            model, key, chains, jitter=jitter, overrides=initvals,
+        )
     return pts, init
 
 

@@ -1,0 +1,157 @@
+"""Float32 test leg — the production TPU dtype.
+
+tests/conftest.py forces x64 for scipy-tolerance oracles; everything here
+re-runs a representative slice at float32 with `select_by_precision`
+tolerances (reference pymc/testing.py:234 and tests/conftest.py:37-49
+float32 fixtures): distribution logp contracts, one end-to-end NUTS run,
+VI, and the GP jitter discipline (float32 kernel matrices need ~1e-4).
+"""
+
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import jax
+import jax.numpy as jnp
+
+import pymc_tpu as pm
+from pymc_tpu.testing import (
+    Domain,
+    Nat,
+    R,
+    Rplus,
+    Rplusbig,
+    Unit,
+    check_logp,
+    select_by_precision,
+)
+
+
+@pytest.fixture(autouse=True)
+def f32_mode():
+    """Run the module at float32 (the TPU production dtype); restore x64."""
+    jax.config.update("jax_enable_x64", False)
+    yield
+    jax.config.update("jax_enable_x64", True)
+
+
+def test_floatx_follows_mode():
+    from pymc_tpu.config import floatX, intX
+
+    assert floatX() == jnp.float32
+    assert intX() == jnp.int32
+    assert select_by_precision(6, 3) == 3
+
+
+class TestLogpContractsF32:
+    """check_logp picks decimal=3 at f32 via select_by_precision."""
+
+    def test_normal(self):
+        check_logp(
+            pm.Normal, R, {"mu": R, "sigma": Rplus},
+            lambda value, mu, sigma: st.norm.logpdf(value, mu, sigma),
+            n_samples=30,
+        )
+
+    def test_gamma(self):
+        check_logp(
+            pm.Gamma, Rplus, {"alpha": Rplusbig, "beta": Rplusbig},
+            lambda value, alpha, beta: st.gamma.logpdf(
+                value, alpha, scale=1.0 / beta
+            ),
+            n_samples=30,
+        )
+
+    def test_beta(self):
+        check_logp(
+            pm.Beta, Unit, {"alpha": Rplusbig, "beta": Rplusbig},
+            lambda value, alpha, beta: st.beta.logpdf(value, alpha, beta),
+            n_samples=30,
+        )
+
+    def test_studentt(self):
+        check_logp(
+            pm.StudentT, R, {"nu": Rplusbig, "mu": R, "sigma": Rplus},
+            lambda value, nu, mu, sigma: st.t.logpdf(value, nu, mu, sigma),
+            n_samples=30,
+        )
+
+    def test_poisson(self):
+        check_logp(
+            pm.Poisson, Nat, {"mu": Rplus},
+            lambda value, mu: st.poisson.logpmf(value, mu),
+            n_samples=30,
+        )
+
+    def test_mvnormal(self):
+        cov = np.array([[2.0, 0.5], [0.5, 1.0]])
+        d = pm.MvNormal.dist(mu=np.array([1.0, -1.0]), cov=cov)
+        x = np.array([[0.0, 0.0], [1.0, -1.0], [2.5, 0.5]])
+        expected = st.multivariate_normal.logpdf(x, [1.0, -1.0], cov)
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(d, x)), expected, rtol=1e-3, atol=1e-3
+        )
+
+
+class TestEndToEndF32:
+    def test_nuts_radon_like(self):
+        rng = np.random.default_rng(0)
+        g = np.repeat(np.arange(8), 20)
+        true_a = rng.normal(0, 0.5, 8)
+        y = true_a[g] + rng.normal(0, 1.0, g.size)
+        with pm.Model() as m:
+            mu_a = pm.Normal("mu_a", 0, 1)
+            sigma_a = pm.HalfNormal("sigma_a", 1)
+            a = pm.Normal("a", mu_a, sigma_a, shape=(8,))
+            sd = pm.HalfNormal("sd", 1)
+            pm.Normal("y", a[g], sd, observed=y)
+        idata = pm.sample(draws=400, tune=400, chains=2, model=m,
+                          random_seed=0, progressbar=False,
+                          compute_convergence_checks=False)
+        post = idata.posterior
+        assert post["mu_a"].values.dtype == np.float32
+        assert abs(float(post["sd"].values.mean()) - 1.0) < 0.2
+        rhat = pm.rhat(post["mu_a"].values)
+        assert float(np.nanmax(rhat)) < 1.05
+        assert float(idata.sample_stats["diverging"].values.mean()) < 0.05
+
+    def test_advi_f32(self):
+        rng = np.random.default_rng(1)
+        y = rng.normal(2.0, 1.0, 200)
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 10)
+            pm.Normal("y", mu, 1.0, observed=y)
+        approx = pm.fit(n=10_000, model=m, progressbar=False, random_seed=0)
+        assert abs(float(approx.mean["mu"]) - y.mean()) < 0.15
+
+    def test_forward_sampling_dtype(self):
+        with pm.Model() as m:
+            x = pm.Normal("x", 0, 1)
+            pm.Deterministic("y", 2.0 * x)
+        pri = pm.sample_prior_predictive(draws=50, model=m, random_seed=0)
+        assert pri.prior["x"].values.dtype == np.float32
+
+
+class TestGPJitterF32:
+    def test_marginal_gp_cholesky_stable(self):
+        # float32 kernel matrices need jitter ~1e-4 (1e-6 is float64 lore);
+        # gp._stabilize is dtype-aware — this guards that discipline in CI.
+        rng = np.random.default_rng(0)
+        X = np.linspace(0, 10, 60)[:, None]
+        y = np.sin(X[:, 0]) + rng.normal(0, 0.3, 60)
+        with pm.Model() as m:
+            ell = pm.Gamma("ell", 2, 1)
+            eta = pm.HalfNormal("eta", 1)
+            cov = eta**2 * pm.gp.cov.ExpQuad(1, ls=ell)
+            gp = pm.gp.Marginal(cov_func=cov)
+            gp.marginal_likelihood("y", X=X, y=y, sigma=0.3)
+            mp = pm.find_MAP(progressbar=False)
+        assert np.isfinite(mp["ell"])
+
+    def test_stabilize_jitter_scales_with_dtype(self):
+        from pymc_tpu.gp.util import stabilize
+
+        K = jnp.eye(4, dtype=jnp.float32)
+        Ks = stabilize(K)
+        added = float(Ks[0, 0] - 1.0)
+        assert added >= 1e-5  # f32 jitter, not the 1e-6 f64 value
