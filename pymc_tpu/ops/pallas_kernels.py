@@ -36,9 +36,15 @@ __all__ = [
     "pallas_available",
 ]
 
+# Test hook: force interpret-mode pallas_call on CPU so the ACTUAL kernel
+# bodies (not the jnp fallbacks) are exercised in CI (tests/ops/test_pallas.py)
+_INTERPRET = False
+
 
 def pallas_available():
-    return _HAS_PALLAS and jax.default_backend() == "tpu"
+    if not _HAS_PALLAS:
+        return False
+    return _INTERPRET or jax.default_backend() == "tpu"
 
 
 def _round_up(x, m):
@@ -99,6 +105,7 @@ def leapfrog_kick_drift(q, p, grad, inv_mass, eps):
         ),
         in_specs=[tile(), tile(), tile(), tile(), eps_spec],
         out_specs=(tile(), tile()),
+        interpret=_INTERPRET,
     )(q, p, grad, inv_mass, eps2)
     return out
 
@@ -134,6 +141,7 @@ def leapfrog_final_kick(p_half, grad, inv_mass, eps):
         ),
         in_specs=[tile(), tile(), tile(), eps_spec],
         out_specs=(tile(), ke_spec),
+        interpret=_INTERPRET,
     )(p_half, grad, inv_mass, eps2)
     return p_new, jnp.sum(ke_parts, axis=-1)
 

@@ -72,15 +72,15 @@ def sharded_sample_step(logp_grad_fn, mesh, *, max_treedepth=10, target_accept=0
         welford_update,
         welford_variance,
     )
-    from ..sampling.nuts import nuts_transition
+    from ..sampling.nuts import nuts_transition_batched
 
-    def transition(key, q, logp, grad, step_size, inv_mass):
-        return nuts_transition(
-            logp_grad_fn, key, q, logp, grad, step_size, inv_mass,
-            max_treedepth=max_treedepth,
+    def vtrans(keys, q, logp, grad, step_size, inv_mass):
+        # explicit chain axis: shards along `axis_name` with no vmap tricks;
+        # draws are bit-identical to the vmapped scalar kernel
+        return nuts_transition_batched(
+            logp_grad_fn, keys, q, logp, grad, step_size, inv_mass,
+            max_treedepth=max_treedepth, full_mass=False,
         )
-
-    vtrans = jax.vmap(transition)
 
     def step(keys, q, logp, grad, da, wf, inv_mass, do_update, do_switch):
         step_size = jnp.exp(da.log_step)

@@ -37,7 +37,7 @@ from .adaptation import (
     welford_update,
     welford_variance,
 )
-from .nuts import NutsStats, nuts_transition
+from .nuts import NutsStats, nuts_transition, nuts_transition_batched
 
 __all__ = ["sample", "init_nuts"]
 
@@ -305,15 +305,16 @@ def sample(
         upd_mass = jnp.asarray(schedule["update_mass"])
         swi_mass = jnp.asarray(schedule["switch_mass"])
 
-    transition = partial(
-        nuts_transition,
+    # Batched NUTS: the chain axis is explicit (C, D), so the leapfrog
+    # bandwidth chain runs through the fused Pallas TPU kernels and full-mass
+    # velocities are one MXU matmul; draws are bit-identical to the vmapped
+    # scalar kernel (tests/sampling/test_nuts_batched.py).
+    batched_transition = partial(
+        nuts_transition_batched,
         logp_grad_fn,
         max_treedepth=max_treedepth,
         max_energy_error=1000.0,
-    )
-    vmapped_transition = (
-        jax.vmap(transition, in_axes=(0, 0, 0, 0, 0, None)) if full_mass
-        else jax.vmap(transition)
+        full_mass=full_mass,
     )
     chain_idx = jnp.arange(chains)
 
@@ -378,7 +379,7 @@ def sample(
             )
         else:
             keys = chain_keys(jax.random.fold_in(k_warm, step_i))
-            (q, logp, grad), stats = vmapped_transition(
+            (q, logp, grad), stats = batched_transition(
                 keys, q, logp, grad, step_size, inv_mass
             )
         accept = jnp.clip(stats.acceptance_rate, 0.0, 1.0)
@@ -530,6 +531,13 @@ def sample(
             np.clip(30.0 / (t_grad * worst_leapfrogs), 1, chunk)
         )
 
+    from .progress import ProgressManager
+    pm_bar = ProgressManager(
+        draws - draws_done, chains,
+        tune=(tune if warmup_needed and discard_tuned_samples else 0),
+        enabled=progressbar,
+    )
+
     # ---- warmup: chunked so the stacked (chunk, C, D) buffers are freed
     # between chunks (a single tune-length scan OOMs at large D)
     warm_out = None
@@ -545,13 +553,26 @@ def sample(
                     jnp.ones((mw,), dtype=bool),
                 )
                 _tc = time.perf_counter()
-                carry, _discard = scan_fn(carry, warm_xs)
-                del _discard
+                carry, (_, wstats_c, wss_c) = scan_fn(carry, warm_xs)
+                # tiny on-device chunk summary -> ONE host transfer: live
+                # warmup feedback (reference progress stat columns)
+                summ = jnp.stack([
+                    wstats_c.diverging.sum().astype(floatX()),
+                    wstats_c.depth.astype(floatX()).mean(),
+                    jnp.clip(wstats_c.acceptance_rate, 0.0, 1.0).mean(),
+                    wss_c.mean().astype(floatX()),
+                ])
+                del wstats_c, wss_c
                 # block per chunk: warmup is serial anyway (carry feeds the
                 # next call) and the timing of the LAST chunk calibrates the
                 # sampling chunk size below
                 jax.block_until_ready(carry)
                 t_perdraw = (time.perf_counter() - _tc) / mw
+                s_np = np.asarray(jax.device_get(summ))
+                pm_bar.update_warmup(
+                    mw, divergences=int(s_np[0]), depth=float(s_np[1]),
+                    accept=float(s_np[2]), step_size=float(s_np[3]),
+                )
                 w += mw
         else:
             tru = jnp.ones((tune,), dtype=bool)
@@ -568,10 +589,8 @@ def sample(
             chunk = int(np.clip(45.0 / t_perdraw, 1, chunk))
 
     # ---- sampling: chunked scans (progress + durable trace streaming)
-    from .progress import ProgressManager
     q_chunks, stat_chunks, ss_chunks = [], [], []
     t1 = time.perf_counter()
-    pm_bar = ProgressManager(draws - draws_done, chains, enabled=progressbar)
     i = draws_done
     def _materialize(pend):
         """Device chunk -> host stats (+ optional durable write). The raw q
@@ -603,7 +622,13 @@ def sample(
             trace.write_meta({
                 "draws_done": i0 + m0, "tune": tune, "chains": chains, "D": D,
             })
-        pm_bar.update(m0, divergences=int(stats_np.diverging.sum()))
+        pm_bar.update(
+            m0,
+            divergences=int(stats_np.diverging.sum()),
+            depth=float(stats_np.depth.mean()),
+            accept=float(np.clip(stats_np.acceptance_rate, 0, 1).mean()),
+            step_size=float(packed_np[..., -1].mean()),
+        )
 
     pending = None
     interrupted = False

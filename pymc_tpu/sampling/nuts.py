@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["NutsStats", "nuts_transition"]
+__all__ = ["NutsStats", "nuts_transition", "nuts_transition_batched"]
 
 
 class NutsStats(NamedTuple):
@@ -369,6 +369,342 @@ def nuts_transition(
             ),
             turning=jnp.logical_or(turning, sub.turning),
             diverging=sub.diverging,
+        )
+
+    out = lax.while_loop(cond, body, init)
+
+    n = jnp.maximum(out.n_leaves, 1)
+    stats = NutsStats(
+        depth=out.depth,
+        n_steps=out.n_leaves,
+        diverging=out.diverging,
+        energy=out.prop_energy,
+        energy_error=out.prop_energy - h0,
+        max_energy_error=out.max_eerr,
+        acceptance_rate=out.sum_accept / n.astype(dtype),
+        lp=out.prop_logp,
+    )
+    return (out.prop_q, out.prop_logp, out.prop_grad), stats
+
+
+# =====================================================================
+# Batched NUTS: the chain axis is explicit (C, D) instead of vmapped.
+#
+# Same tree semantics as nuts_transition (finished chains are masked, the
+# whole batch advances in lock-step — exactly what vmap-of-while lowers to),
+# but with the chain axis visible the leapfrog bandwidth chain runs through
+# the fused Pallas TPU kernels (ops/pallas_kernels.py), the full-mass
+# velocity is one (C, D) @ (D, D) MXU matmul, and chain-axis sharding needs
+# no vmap-of-collective tricks. This is the role the reference delegates to
+# nutpie/nuts-rs (pymc/sampling/mcmc.py:945-971): the native hot path.
+# =====================================================================
+
+
+def _w(mask, new, old):
+    """Masked update: where(mask, new, old) with mask (C,) broadcast over
+    the trailing dims of new/old."""
+    return jnp.where(
+        jnp.reshape(mask, mask.shape + (1,) * (jnp.ndim(new) - 1)), new, old
+    )
+
+
+def _vel_b(inv_mass, p, full):
+    """Batched velocity: p (C, D); diag inv_mass (C, D) or full Sigma (D, D)
+    (symmetric, shared across chains) -> one MXU matmul."""
+    if full:
+        return p @ inv_mass
+    return inv_mass * p
+
+
+def _kinetic_b(p, inv_mass, full):
+    return 0.5 * jnp.sum(p * _vel_b(inv_mass, p, full), axis=-1)
+
+
+def _leapfrog_b(logp_grad_b, q, p, grad, eps, inv_mass, full, use_pallas):
+    """One batched leapfrog over (C, D); returns (q, p, grad, logp, kinetic).
+
+    Diag path: fused Pallas half-kick+drift and final-kick+kinetic kernels
+    (ops/pallas_kernels.py; jnp fallback off-TPU/unaligned)."""
+    if full or not use_pallas:
+        p_half = p + 0.5 * eps[:, None] * grad
+        q_new = q + eps[:, None] * _vel_b(inv_mass, p_half, full)
+        logp_new, grad_new = logp_grad_b(q_new)
+        p_new = p_half + 0.5 * eps[:, None] * grad_new
+        ke = _kinetic_b(p_new, inv_mass, full)
+        return q_new, p_new, grad_new, logp_new, ke
+    from ..ops.pallas_kernels import leapfrog_final_kick, leapfrog_kick_drift
+
+    q_new, p_half = leapfrog_kick_drift(q, p, grad, inv_mass, eps)
+    logp_new, grad_new = logp_grad_b(q_new)
+    p_new, ke = leapfrog_final_kick(p_half, grad_new, inv_mass, eps)
+    return q_new, p_new, grad_new, logp_new, ke
+
+
+def _uniform_b(keys, counters, dtype):
+    """Per-chain uniforms at per-chain fold counters (matches the scalar
+    kernel's fold_in(key, n) stream chain by chain)."""
+    return jax.vmap(
+        lambda k, c: jax.random.uniform(jax.random.fold_in(k, c), dtype=dtype)
+    )(keys, counters)
+
+
+def _build_subtree_b(
+    logp_grad_b, keys, depth, active0, q0, p0, grad0, logp0, eps_signed,
+    inv_mass, h0, max_treedepth, max_energy_error, full, use_pallas,
+):
+    """Batched subtree builder: 2**depth leaves per active chain, chains that
+    turn/diverge (or were inactive) are masked. All leaves carry a leading
+    chain axis; the checkpoint stacks are (C, S, D)."""
+    C, D = q0.shape
+    dtype = q0.dtype
+    S = max_treedepth + 1
+    n_target = jnp.left_shift(jnp.ones((), jnp.int32), depth)  # (C,)
+    neg_inf = jnp.full((C,), -jnp.inf, dtype)
+
+    init = _SubtreeState(
+        n=jnp.zeros((C,), jnp.int32),
+        q=q0, p=p0, grad=grad0, logp=logp0,
+        prop_q=q0, prop_p=p0, prop_grad=grad0, prop_logp=logp0,
+        prop_energy=h0,
+        log_size=neg_inf,
+        sum_accept=jnp.zeros((C,), dtype),
+        max_eerr=jnp.zeros((C,), dtype),
+        p_sum=jnp.zeros((C, D), dtype),
+        p_ckpt=jnp.zeros((C, S, D), dtype),
+        psum_ckpt=jnp.zeros((C, S, D), dtype),
+        turning=jnp.zeros((C,), jnp.bool_),
+        diverging=jnp.zeros((C,), jnp.bool_),
+    )
+
+    def stepping(s: _SubtreeState):
+        return active0 & (s.n < n_target) & ~s.turning & ~s.diverging
+
+    def cond(s: _SubtreeState):
+        return jnp.any(stepping(s))
+
+    def body(s: _SubtreeState):
+        act = stepping(s)
+        q, p, grad, logp, ke = _leapfrog_b(
+            logp_grad_b, s.q, s.p, s.grad, eps_signed, inv_mass, full,
+            use_pallas,
+        )
+        energy = -logp + ke
+        eerr = energy - h0
+        eerr_ok = jnp.isfinite(eerr)
+        diverging = act & (~eerr_ok | (eerr > max_energy_error))
+        eerr_safe = jnp.where(eerr_ok, eerr, jnp.asarray(jnp.inf, dtype))
+
+        log_w = -eerr_safe
+        log_size_new = jnp.logaddexp(s.log_size, log_w)
+        accept_prob = jnp.exp(jnp.minimum(log_w, 0.0))
+        u = _uniform_b(keys, s.n, dtype)
+        take = act & ~diverging & (jnp.log(u) < log_w - log_size_new)
+
+        prop_q = _w(take, q, s.prop_q)
+        prop_p = _w(take, p, s.prop_p)
+        prop_grad = _w(take, grad, s.prop_grad)
+        prop_logp = _w(take, logp, s.prop_logp)
+        prop_energy = _w(take, energy, s.prop_energy)
+
+        n = s.n
+        is_even = (n & 1) == 0
+        slot = _popcount(n)  # (C,)
+        slots = jnp.arange(S, dtype=jnp.int32)
+        sel = (slots[None, :] == slot[:, None]) & (is_even & act)[:, None]
+        p_ckpt = jnp.where(sel[..., None], p[:, None, :], s.p_ckpt)
+        psum_ckpt = jnp.where(sel[..., None], s.p_sum[:, None, :], s.psum_ckpt)
+        p_sum = _w(act & ~diverging, s.p_sum + p, s.p_sum)
+
+        # U-turn checks for completed subtrees ending at odd leaves,
+        # vectorized over chains AND checkpoint slots
+        t_ones = _popcount(n ^ (n + 1)) - 1
+        c_hi = _popcount(n) - 1
+        c_lo = _popcount(n) - t_ones
+        v_leaf = _vel_b(inv_mass, p, full)  # (C, D)
+        slot_active = (slots[None, :] >= c_lo[:, None]) & (
+            slots[None, :] <= c_hi[:, None]
+        )
+        rho_all = p_sum[:, None, :] - psum_ckpt  # (C, S, D)
+        if full:
+            v_starts = p_ckpt @ inv_mass  # (C, S, D) x (D, D)
+        else:
+            v_starts = inv_mass[:, None, :] * p_ckpt
+        dot_start = jnp.sum(v_starts * rho_all, axis=-1)  # (C, S)
+        dot_leaf = jnp.sum(rho_all * v_leaf[:, None, :], axis=-1)
+        any_turn = jnp.any(
+            slot_active & ((dot_start <= 0.0) | (dot_leaf <= 0.0)), axis=-1
+        )
+        turning = jnp.where(
+            act & ~is_even & ~diverging, s.turning | any_turn, s.turning
+        )
+
+        abs_bigger = jnp.abs(eerr_safe) > jnp.abs(s.max_eerr)
+        max_eerr = jnp.where(act & abs_bigger, eerr_safe, s.max_eerr)
+
+        return _SubtreeState(
+            n=jnp.where(act, n + 1, n),
+            q=_w(act, q, s.q), p=_w(act, p, s.p),
+            grad=_w(act, grad, s.grad), logp=jnp.where(act, logp, s.logp),
+            prop_q=prop_q, prop_p=prop_p, prop_grad=prop_grad,
+            prop_logp=prop_logp, prop_energy=prop_energy,
+            log_size=jnp.where(act & ~diverging, log_size_new, s.log_size),
+            sum_accept=jnp.where(act, s.sum_accept + accept_prob, s.sum_accept),
+            max_eerr=max_eerr,
+            p_sum=p_sum,
+            p_ckpt=p_ckpt,
+            psum_ckpt=psum_ckpt,
+            turning=turning,
+            diverging=jnp.where(act, diverging, s.diverging),
+        )
+
+    out = lax.while_loop(cond, body, init)
+    return out, out.p_ckpt[:, 0]
+
+
+def nuts_transition_batched(
+    logp_grad_fn,
+    keys,
+    q,
+    logp,
+    grad,
+    step_size,
+    inv_mass,
+    *,
+    max_treedepth=10,
+    max_energy_error=1000.0,
+    full_mass=None,
+    use_pallas=True,
+):
+    """One NUTS draw for ALL chains: (q (C,D), logp (C,), grad (C,D)) -> new
+    batched state + batched NutsStats.
+
+    keys: (C,) per-chain PRNG keys. inv_mass: (C, D) per-chain diagonal, or
+    (D, D) shared full Sigma (set full_mass explicitly if C == D). The
+    semantics match jax.vmap(nuts_transition) — lock-step doubling with
+    finished chains masked — but the explicit chain axis routes the leapfrog
+    through the Pallas kernels and makes chain sharding/collectives direct.
+    """
+    C, D = q.shape
+    dtype = q.dtype
+    if full_mass is None:
+        full_mass = inv_mass.shape != q.shape
+    full = bool(full_mass)
+
+    logp_grad_b = jax.vmap(logp_grad_fn)
+
+    ks = jax.vmap(lambda k: jax.random.split(k, 4))(keys)  # (C, 4, 2)
+    k_mom, k_dir, k_tree, k_acc = (ks[:, i] for i in range(4))
+
+    xi = jax.vmap(lambda k: jax.random.normal(k, (D,), dtype=dtype))(k_mom)
+    if full:
+        from jax.scipy.linalg import solve_triangular
+
+        L = jnp.linalg.cholesky(inv_mass)
+        p0 = solve_triangular(L.T, xi.T, lower=False).T
+    else:
+        p0 = xi / jnp.sqrt(inv_mass)
+    h0 = -logp + _kinetic_b(p0, inv_mass, full)
+
+    init = _TrajState(
+        depth=jnp.zeros((C,), jnp.int32),
+        q_left=q, p_left=p0, grad_left=grad, logp_left=logp,
+        q_right=q, p_right=p0, grad_right=grad, logp_right=logp,
+        p_sum=p0,
+        prop_q=q, prop_p=p0, prop_grad=grad, prop_logp=logp,
+        prop_energy=h0,
+        log_size=jnp.zeros((C,), dtype),
+        sum_accept=jnp.zeros((C,), dtype),
+        n_leaves=jnp.zeros((C,), jnp.int32),
+        max_eerr=jnp.zeros((C,), dtype),
+        turning=jnp.zeros((C,), jnp.bool_),
+        diverging=jnp.zeros((C,), jnp.bool_),
+    )
+
+    def chain_active(s: _TrajState):
+        return (s.depth < max_treedepth) & ~s.turning & ~s.diverging
+
+    def cond(s: _TrajState):
+        return jnp.any(chain_active(s))
+
+    def body(s: _TrajState):
+        act = chain_active(s)
+        go_right = jax.vmap(
+            lambda k, d: jax.random.bernoulli(jax.random.fold_in(k, d))
+        )(k_dir, s.depth)
+        eps_signed = jnp.where(go_right, step_size, -step_size)
+        q_start = _w(go_right, s.q_right, s.q_left)
+        p_start = _w(go_right, s.p_right, s.p_left)
+        grad_start = _w(go_right, s.grad_right, s.grad_left)
+        logp_start = jnp.where(go_right, s.logp_right, s.logp_left)
+
+        tree_keys = jax.vmap(jax.random.fold_in)(k_tree, s.depth)
+        sub, p_first = _build_subtree_b(
+            logp_grad_b, tree_keys, s.depth, act,
+            q_start, p_start, grad_start, logp_start,
+            eps_signed, inv_mass, h0, max_treedepth, max_energy_error,
+            full, use_pallas,
+        )
+
+        incomplete = sub.turning | sub.diverging
+
+        u = jax.vmap(
+            lambda k, d: jax.random.uniform(jax.random.fold_in(k, d), dtype=dtype)
+        )(k_acc, s.depth)
+        take_new = act & ~incomplete & (jnp.log(u) < sub.log_size - s.log_size)
+        prop_q = _w(take_new, sub.prop_q, s.prop_q)
+        prop_p = _w(take_new, sub.prop_p, s.prop_p)
+        prop_grad = _w(take_new, sub.prop_grad, s.prop_grad)
+        prop_logp = jnp.where(take_new, sub.prop_logp, s.prop_logp)
+        prop_energy = jnp.where(take_new, sub.prop_energy, s.prop_energy)
+
+        ok = act & ~incomplete
+        q_right = _w(ok & go_right, sub.q, s.q_right)
+        p_right = _w(ok & go_right, sub.p, s.p_right)
+        grad_right = _w(ok & go_right, sub.grad, s.grad_right)
+        logp_right = jnp.where(ok & go_right, sub.logp, s.logp_right)
+        q_left = _w(ok & ~go_right, sub.q, s.q_left)
+        p_left = _w(ok & ~go_right, sub.p, s.p_left)
+        grad_left = _w(ok & ~go_right, sub.grad, s.grad_left)
+        logp_left = jnp.where(ok & ~go_right, sub.logp, s.logp_left)
+
+        p_sum = _w(ok, s.p_sum + sub.p_sum, s.p_sum)
+
+        v_left = _vel_b(inv_mass, p_left, full)
+        v_right = _vel_b(inv_mass, p_right, full)
+        turn_main = (
+            jnp.sum(v_left * p_sum, -1) <= 0.0
+        ) | (jnp.sum(v_right * p_sum, -1) <= 0.0)
+        v_first = _vel_b(inv_mass, p_first, full)
+        v_last = _vel_b(inv_mass, sub.p, full)
+        x_lo = _w(go_right, v_left, v_last)
+        x_hi = _w(go_right, v_first, v_right)
+        x_rho = _w(go_right, s.p_sum + p_first, sub.p_sum + s.p_sum)
+        turn_x1 = (
+            jnp.sum(x_lo * x_rho, -1) <= 0.0
+        ) | (jnp.sum(x_hi * x_rho, -1) <= 0.0)
+        turning_new = ok & (turn_main | turn_x1)
+
+        return _TrajState(
+            depth=jnp.where(act, s.depth + 1, s.depth),
+            q_left=q_left, p_left=p_left, grad_left=grad_left,
+            logp_left=logp_left,
+            q_right=q_right, p_right=p_right, grad_right=grad_right,
+            logp_right=logp_right,
+            p_sum=p_sum,
+            prop_q=prop_q, prop_p=prop_p, prop_grad=prop_grad,
+            prop_logp=prop_logp, prop_energy=prop_energy,
+            log_size=jnp.where(
+                ok, jnp.logaddexp(s.log_size, sub.log_size), s.log_size
+            ),
+            sum_accept=jnp.where(act, s.sum_accept + sub.sum_accept,
+                                 s.sum_accept),
+            n_leaves=jnp.where(act, s.n_leaves + sub.n, s.n_leaves),
+            max_eerr=jnp.where(
+                act & (jnp.abs(sub.max_eerr) > jnp.abs(s.max_eerr)),
+                sub.max_eerr, s.max_eerr,
+            ),
+            turning=jnp.where(act, turning_new | sub.turning, s.turning),
+            diverging=jnp.where(act, sub.diverging, s.diverging),
         )
 
     out = lax.while_loop(cond, body, init)
