@@ -54,14 +54,14 @@ def _round_up(x, m):
 # ---------------------------------------------------------------- leapfrog
 def _kick_drift_kernel(q_ref, p_ref, grad_ref, inv_mass_ref, eps_ref,
                        q_out_ref, p_half_ref):
-    eps = eps_ref[:]  # (TILE_C, TILE_D) per-chain step sizes (broadcast)
+    eps = eps_ref[:]  # (TILE_C, 1) per-chain signed step sizes
     p_half = p_ref[:] + 0.5 * eps * grad_ref[:]
     p_half_ref[:] = p_half
     q_out_ref[:] = q_ref[:] + eps * (inv_mass_ref[:] * p_half)
 
 
-def _final_kick_partial_kernel(p_half_ref, grad_ref, inv_mass_ref, eps_ref,
-                               p_out_ref, ke_out_ref):
+def _final_kick_kernel(p_half_ref, grad_ref, inv_mass_ref, eps_ref,
+                       p_out_ref, ke_out_ref):
     eps = eps_ref[:]
     p_new = p_half_ref[:] + 0.5 * eps * grad_ref[:]
     p_out_ref[:] = p_new
@@ -71,31 +71,41 @@ def _final_kick_partial_kernel(p_half_ref, grad_ref, inv_mass_ref, eps_ref,
 
 
 _TILE_C = 8
-_TILE_D = 128
+# (TILE_C + epsilon) full-D rows x ~8 arrays must fit VMEM (~16 MB/core);
+# above this D the jnp fallback (XLA-fused) is used
+_MAX_D = 32768
 
 
 def _aligned(C, D):
-    return C % _TILE_C == 0 and D % _TILE_D == 0
+    return C % _TILE_C == 0 and D <= _MAX_D
+
+
+def _row_specs(C, D, dtype, n_tensors):
+    """Grid over chain tiles only; each block is TILE_C full-D rows (the
+    Mosaic block constraint allows any last dim equal to the full array dim,
+    so arbitrary D — e.g. the 175-param radon GLM — hits the kernel path)."""
+    grid = (C // _TILE_C,)
+    tens = pl.BlockSpec((_TILE_C, D), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    eps_spec = pl.BlockSpec((_TILE_C, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    ke_spec = pl.BlockSpec((_TILE_C, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    return grid, [tens] * n_tensors + [eps_spec], tens, ke_spec
 
 
 def leapfrog_kick_drift(q, p, grad, inv_mass, eps):
     """(q, p) -> (q_new, p_half): fused half-kick + drift over (C, D).
 
     eps: (C,) per-chain step sizes (sign encodes direction). Falls back to
-    the (XLA-fused) jnp expression off-TPU or at unaligned shapes.
+    the (XLA-fused) jnp expression off-TPU or at unsupported shapes.
     """
     if not pallas_available() or q.ndim != 2 or not _aligned(*q.shape):
         p_half = p + 0.5 * eps[:, None] * grad
         return q + eps[:, None] * (inv_mass * p_half), p_half
     C, D = q.shape
-    eps2 = jnp.broadcast_to(eps[:, None], (C, _TILE_D)).astype(q.dtype)
-    grid = (C // _TILE_C, D // _TILE_D)
-    tile = lambda: pl.BlockSpec(  # noqa: E731
-        (_TILE_C, _TILE_D), lambda i, j: (i, j), memory_space=pltpu.VMEM
-    )
-    eps_spec = pl.BlockSpec(
-        (_TILE_C, _TILE_D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-    )
+    eps2 = eps[:, None].astype(q.dtype)
+    grid, in_specs, tens, _ = _row_specs(C, D, q.dtype, 4)
     out = pl.pallas_call(
         _kick_drift_kernel,
         grid=grid,
@@ -103,8 +113,8 @@ def leapfrog_kick_drift(q, p, grad, inv_mass, eps):
             jax.ShapeDtypeStruct((C, D), q.dtype),
             jax.ShapeDtypeStruct((C, D), q.dtype),
         ),
-        in_specs=[tile(), tile(), tile(), tile(), eps_spec],
-        out_specs=(tile(), tile()),
+        in_specs=in_specs,
+        out_specs=(tens, tens),
         interpret=_INTERPRET,
     )(q, p, grad, inv_mass, eps2)
     return out
@@ -121,29 +131,20 @@ def leapfrog_final_kick(p_half, grad, inv_mass, eps):
         ke = 0.5 * jnp.sum(p_new * inv_mass * p_new, axis=-1)
         return p_new, ke
     C, D = p_half.shape
-    eps2 = jnp.broadcast_to(eps[:, None], (C, _TILE_D)).astype(p_half.dtype)
-    grid = (C // _TILE_C, D // _TILE_D)
-    tile = lambda: pl.BlockSpec(  # noqa: E731
-        (_TILE_C, _TILE_D), lambda i, j: (i, j), memory_space=pltpu.VMEM
-    )
-    eps_spec = pl.BlockSpec(
-        (_TILE_C, _TILE_D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-    )
-    ke_spec = pl.BlockSpec(
-        (_TILE_C, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM
-    )
-    p_new, ke_parts = pl.pallas_call(
-        _final_kick_partial_kernel,
+    eps2 = eps[:, None].astype(p_half.dtype)
+    grid, in_specs, tens, ke_spec = _row_specs(C, D, p_half.dtype, 3)
+    p_new, ke = pl.pallas_call(
+        _final_kick_kernel,
         grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct((C, D), p_half.dtype),
-            jax.ShapeDtypeStruct((C, D // _TILE_D), p_half.dtype),
+            jax.ShapeDtypeStruct((C, 1), p_half.dtype),
         ),
-        in_specs=[tile(), tile(), tile(), eps_spec],
-        out_specs=(tile(), ke_spec),
+        in_specs=in_specs,
+        out_specs=(tens, ke_spec),
         interpret=_INTERPRET,
     )(p_half, grad, inv_mass, eps2)
-    return p_new, jnp.sum(ke_parts, axis=-1)
+    return p_new, ke[:, 0]
 
 
 # ------------------------------------------------------------- segment sum

@@ -157,9 +157,14 @@ def sample(
             f"nuts_sampler={nuts_sampler!r} requested; using the native "
             "on-device sampler (numpyro/blackjax/nutpie are not needed on TPU)"
         )
+    # Pallas leapfrog kernels are opt-in (nuts={"use_pallas": True}): the
+    # measured TPU A/B (benchmarks/pallas_ab.py) shows plain XLA fusion of
+    # the leapfrog chain is faster — see nuts_transition_batched docstring
+    use_pallas = False
     if nuts:
         target_accept = nuts.get("target_accept", target_accept)
         max_treedepth = nuts.get("max_treedepth", max_treedepth)
+        use_pallas = bool(nuts.get("use_pallas", False))
     if mass_matrix is None:
         mass_matrix = "full" if ("adapt_full" in init or init == "map") else "diag"
     full_mass = mass_matrix == "full"
@@ -315,6 +320,7 @@ def sample(
         max_treedepth=max_treedepth,
         max_energy_error=1000.0,
         full_mass=full_mass,
+        use_pallas=use_pallas,
     )
     chain_idx = jnp.arange(chains)
 

@@ -573,7 +573,7 @@ def nuts_transition_batched(
     max_treedepth=10,
     max_energy_error=1000.0,
     full_mass=None,
-    use_pallas=True,
+    use_pallas=False,
 ):
     """One NUTS draw for ALL chains: (q (C,D), logp (C,), grad (C,D)) -> new
     batched state + batched NutsStats.
@@ -581,8 +581,14 @@ def nuts_transition_batched(
     keys: (C,) per-chain PRNG keys. inv_mass: (C, D) per-chain diagonal, or
     (D, D) shared full Sigma (set full_mass explicitly if C == D). The
     semantics match jax.vmap(nuts_transition) — lock-step doubling with
-    finished chains masked — but the explicit chain axis routes the leapfrog
-    through the Pallas kernels and makes chain sharding/collectives direct.
+    finished chains masked — but the explicit chain axis makes full-mass
+    velocities one MXU matmul and chain sharding/collectives direct.
+
+    use_pallas routes the leapfrog through the fused Pallas kernels
+    (ops/pallas_kernels.py). Default OFF: the measured A/B on TPU v5e
+    (benchmarks/pallas_ab.py, BENCHMARKS.md) shows XLA's own fusion of this
+    bandwidth chain is FASTER (pallas 0.53x at D=256, 0.92x at D=4096) —
+    the pallas_call boundary breaks fusion with the adjacent tree ops.
     """
     C, D = q.shape
     dtype = q.dtype
