@@ -237,6 +237,104 @@ class Empirical(Approximation):
         return unravel_vector(self._mean_flat(), self.info)
 
 
+class Blocked(Approximation):
+    """Heterogeneous per-subset approximation: each group of latent variables
+    gets its own family over its slice of the flat space (reference
+    opvi.py:582 Group + :1237 Approximation over multiple groups).
+
+    Build a concrete class with `Blocked.make(families, indices, D)`; its
+    params pytree is {"g0": <family0 params>, "g1": ...} so one optax
+    optimizer updates all groups jointly in the single ELBO program.
+    """
+
+    name = "blocked"
+    _families: tuple = ()
+    _indices: tuple = ()
+    _D: int = 0
+
+    @classmethod
+    def make(cls, families, indices, D):
+        idx = tuple(np.asarray(i, dtype=np.int32) for i in indices)
+        cover = np.concatenate(idx) if idx else np.zeros(0, np.int32)
+        if len(np.unique(cover)) != cover.size:
+            raise ValueError("groups overlap: each latent belongs to one group")
+        if cover.size != D:
+            raise ValueError(
+                f"groups cover {cover.size} of {D} latent dimensions; add a "
+                "Group(None) rest group"
+            )
+        return type(
+            "Blocked",
+            (cls,),
+            {"_families": tuple(families), "_indices": idx, "_D": int(D)},
+        )
+
+    @classmethod
+    def init_params(cls, D, start=None, start_sigma=None, group_kwargs=None):
+        group_kwargs = group_kwargs or [{}] * len(cls._families)
+        params = {}
+        for j, (fam, idx, kw) in enumerate(
+            zip(cls._families, cls._indices, group_kwargs)
+        ):
+            s = None if start is None else jnp.asarray(start)[idx]
+            params[f"g{j}"] = fam.init_params(len(idx), start=s, **kw)
+        return params
+
+    @classmethod
+    def sample_q(cls, params, key, n):
+        z = jnp.zeros((n, cls._D), floatX())
+        for j, (fam, idx) in enumerate(zip(cls._families, cls._indices)):
+            zj = fam.sample_q(params[f"g{j}"], jax.random.fold_in(key, j), n)
+            z = z.at[:, idx].set(zj)
+        return z
+
+    @classmethod
+    def entropy(cls, params):
+        return sum(
+            fam.entropy(params[f"g{j}"])
+            for j, fam in enumerate(cls._families)
+        )
+
+    @classmethod
+    def logq(cls, params, z):
+        return sum(
+            fam.logq(params[f"g{j}"], z[..., idx])
+            for j, (fam, idx) in enumerate(zip(cls._families, cls._indices))
+        )
+
+    def _mean_flat(self):
+        mu = jnp.zeros((self._D,), floatX())
+        for j, (fam, idx) in enumerate(zip(self._families, self._indices)):
+            mu = mu.at[idx].set(fam.mean_of(self.params[f"g{j}"]))
+        return mu
+
+    @property
+    def mean(self):
+        return unravel_vector(self._mean_flat(), self.info)
+
+    def group_of(self, j):
+        """The j-th sub-approximation as its own family instance (sharing
+        this object's fitted params)."""
+        fam, idx = self._families[j], self._indices[j]
+        sub = object.__new__(fam)
+        sub.model, sub.info, sub.hist = self.model, None, np.asarray([])
+        sub.params = self.params[f"g{j}"]
+        return sub
+
+
+def _mean_of_mu(params):
+    return params["mu"]
+
+
+MeanField.mean_of = staticmethod(_mean_of_mu)
+FullRank.mean_of = staticmethod(_mean_of_mu)
+Empirical.mean_of = staticmethod(
+    lambda params: jnp.mean(params["particles"], axis=0)
+)
+
+__all__.append("Blocked")
+
+
 def _softplus_inv(x):
     return float(np.log(np.expm1(x))) if np.isscalar(x) else jnp.log(
         jnp.expm1(x)

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import pymc_tpu as pm
+from pymc_tpu.variational.opvi import Approximation, Group
 
 
 def _model():
@@ -28,7 +29,7 @@ def test_group_klqp_fit_recovers_posterior():
 
 def test_group_validation():
     m = _model()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="rest-group"):
         pm.Approximation([pm.Group(None), pm.Group(None)], model=m)
     with pytest.raises(ValueError):
         pm.Group(None, vfam="banana")
@@ -45,3 +46,88 @@ def test_optimizer_reexports():
         assert hasattr(opt, "update")
     chained = pm.apply_momentum(pm.sgd(0.1), momentum=0.5)
     assert isinstance(chained, optax.GradientTransformation | type(chained))
+
+
+class TestHeterogeneousGroups:
+    """Per-subset approximation families composed into one ELBO
+    (reference opvi.py:582 Group / :1237 Approximation; round-1 missing #7)."""
+
+    def _model(self):
+        rng = np.random.default_rng(0)
+        y = rng.normal(0, 1, 50)
+        with pm.Model() as m:
+            a = pm.Normal("a", 0, 5)
+            b = pm.Normal("b", a, 0.5)
+            c = pm.Normal("c", 0, 2)
+            pm.Normal("y", b + c, 1.0, observed=y)
+        return m, (a, b, c)
+
+    def test_blocked_structure(self):
+        m, (a, b, c) = self._model()
+        approx = Approximation(
+            [Group([a, b], vfam="full_rank"), Group(None, vfam="mean_field")],
+            model=m,
+        )
+        assert type(approx).__name__ == "Blocked"
+        assert set(approx.params) == {"g0", "g1"}
+        assert "L_packed" in approx.params["g0"]
+        assert "rho" in approx.params["g1"]
+        # indices disjoint + complete
+        idx = np.concatenate([np.asarray(i) for i in approx._indices])
+        assert sorted(idx.tolist()) == list(range(3))
+
+    def test_fit_learns_correlation(self):
+        m, (a, b, c) = self._model()
+        approx = Approximation(
+            [Group([a, b], vfam="full_rank"), Group(None, vfam="mean_field")],
+            model=m,
+        )
+        from pymc_tpu.variational import KLqp
+
+        res = KLqp(approx).fit(6000, progressbar=False)
+        # full-rank block must learn a nonzero a-b covariance
+        L = res.group_of(0)._chol(res.params["g0"])
+        cov = np.asarray(L @ L.T)
+        assert abs(cov[0, 1]) > 1e-3
+        # posterior means all finite and reasonable
+        for v in res.mean.values():
+            assert np.isfinite(np.asarray(v)).all()
+        idata = res.sample(draws=200, random_seed=0)
+        assert set(idata.posterior) >= {"a", "b", "c"}
+
+    def test_logq_and_entropy_compose(self):
+        m, (a, b, c) = self._model()
+        approx = Approximation(
+            [Group([a], vfam="mean_field"), Group(None, vfam="mean_field")],
+            model=m,
+        )
+        import jax
+        import jax.numpy as jnp
+
+        z = approx.sample_q(approx.params, jax.random.PRNGKey(0), 7)
+        assert z.shape == (7, 3)
+        lq = approx.logq(approx.params, z)
+        assert lq.shape == (7,)
+        # composition == mean-field over everything at identical init params
+        from pymc_tpu.variational.approximations import MeanField
+
+        mf = MeanField.init_params(3)
+        full = MeanField.logq(mf, z)
+        np.testing.assert_allclose(np.asarray(lq), np.asarray(full), rtol=1e-6)
+        ent = float(approx.entropy(approx.params))
+        np.testing.assert_allclose(ent, float(MeanField.entropy(mf)), rtol=1e-6)
+
+    def test_errors(self):
+        m, (a, b, c) = self._model()
+        with pytest.raises(ValueError, match="more than one group"):
+            Approximation(
+                [Group([a, b], vfam="mf"), Group([b], vfam="mf"),
+                 Group(None, vfam="mf")],
+                model=m,
+            )
+        with pytest.raises(ValueError, match="cover"):
+            Approximation([Group([a], vfam="mf")], model=m)
+        with pytest.raises(ValueError, match="not a free variable"):
+            Approximation(
+                [Group(["nope"], vfam="mf"), Group(None, vfam="mf")], model=m
+            )
