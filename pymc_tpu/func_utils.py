@@ -66,6 +66,16 @@ def find_constrained_prior(
 
     x0 = np.asarray([init_guess[n] for n in names], dtype=np.float64)
     res = optimize.minimize(f, x0, jac=True, method="L-BFGS-B")
+    if res.fun > 1e-6:
+        # L-BFGS-B's unit-norm first trial can land on a degenerate boundary
+        # (e.g. sigma=0) and stall at x0; Nelder-Mead is robust for the
+        # small parameter counts involved here
+        res_nm = optimize.minimize(
+            lambda v: f(v)[0], x0, method="Nelder-Mead",
+            options={"xatol": 1e-10, "fatol": 1e-12, "maxiter": 5000},
+        )
+        if res_nm.fun < res.fun:
+            res = res_nm
     if res.fun > 1e-5:
         _log.warning(
             f"find_constrained_prior converged to loss {res.fun:.2g}; the "

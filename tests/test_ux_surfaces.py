@@ -1,0 +1,147 @@
+"""Tests for the UX/observability surfaces that shipped untested in round 1
+(VERDICT weak #5): plots, printing, model_graph, func_utils, mock_sample.
+
+Mirrors the reference's tests/test_model_graph.py, test_printing.py,
+test_func_utils.py shapes at smaller scale.
+"""
+
+import numpy as np
+import pytest
+
+import pymc_tpu as pm
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+
+@pytest.fixture(scope="module")
+def radon_like_model():
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 1, 20)
+    with pm.Model(coords={"g": list("abc")}) as m:
+        mu = pm.Normal("mu", 0.0, 5.0)
+        sigma = pm.HalfNormal("sigma", 1.0)
+        a = pm.Normal("a", mu, sigma, dims="g")
+        pm.Deterministic("a_sum", a.sum())
+        x = pm.Data("x", np.linspace(0, 1, 20))
+        pm.Normal("y", a[np.arange(20) % 3] + x, 1.0, observed=data)
+    return m
+
+
+@pytest.fixture(scope="module")
+def small_idata(radon_like_model):
+    return pm.sample(draws=80, tune=80, chains=2, model=radon_like_model,
+                     random_seed=0, progressbar=False,
+                     compute_convergence_checks=False)
+
+
+class TestModelGraph:
+    def test_graphviz_dot_source(self, radon_like_model):
+        g = pm.model_to_graphviz(radon_like_model)
+        src = g if isinstance(g, str) else getattr(g, "source", str(g))
+        for name in ("mu", "sigma", "a", "y", "a_sum"):
+            assert name in src, f"{name} missing from dot source"
+        # observed node styling + plate for dims
+        assert "cluster" in src or "subgraph" in src  # plate for g/obs dims
+
+    def test_mermaid(self, radon_like_model):
+        src = pm.model_to_mermaid(radon_like_model)
+        assert "graph" in src or "flowchart" in src
+        assert "mu" in src and "y" in src
+
+    def test_networkx(self, radon_like_model):
+        G = pm.model_to_networkx(radon_like_model)
+        nodes = set(G.nodes)
+        assert {"mu", "sigma", "a", "y"} <= nodes
+        # parent edges present
+        assert ("mu", "a") in G.edges or ("a", "mu") in G.edges
+
+    def test_var_names_subset(self, radon_like_model):
+        g = pm.model_to_graphviz(radon_like_model, var_names=["mu", "a"])
+        src = g if isinstance(g, str) else getattr(g, "source", str(g))
+        assert "mu" in src
+
+
+class TestPrinting:
+    def test_str_for_dist_and_model(self, radon_like_model):
+        m = radon_like_model
+        s = pm.printing.str_for_dist(m["a"])
+        assert "Normal" in s
+        txt = pm.printing.str_for_model(m)
+        for name in ("mu", "sigma", "a", "y"):
+            assert name in txt
+        latex = pm.printing.str_for_model_latex(m)
+        assert "\\" in latex  # actually LaTeX
+
+    def test_model_table(self, radon_like_model):
+        tbl = pm.printing.model_table(radon_like_model)
+        assert "mu" in str(tbl)
+
+
+class TestPlots:
+    def test_all_plot_entrypoints(self, small_idata):
+        import matplotlib.pyplot as plt
+
+        from pymc_tpu import plots
+
+        for fn, kwargs in [
+            (plots.plot_trace, {}),
+            (plots.plot_posterior, {}),
+            (plots.plot_forest, {}),
+            (plots.plot_energy, {}),
+            (plots.plot_autocorr, {"var_names": ["mu"]}),
+        ]:
+            out = fn(small_idata, **kwargs)
+            assert out is not None
+            plt.close("all")
+
+    def test_summary_and_hdi(self, small_idata):
+        df = pm.summary(small_idata)
+        assert "mean" in df.columns and "r_hat" in df.columns
+        assert "mu" in df.index
+        h = pm.hdi(np.asarray(small_idata.posterior["mu"]).ravel())
+        assert h[0] < h[1]
+
+
+class TestFuncUtils:
+    def test_find_constrained_prior_gamma(self):
+        # reference func_utils.py:31: find params putting 95% mass in bounds
+        params = pm.find_constrained_prior(
+            pm.Gamma, lower=0.5, upper=5.0, init_guess={"alpha": 2, "beta": 1},
+        )
+        d = pm.Gamma.dist(**params)
+        import jax
+
+        mass = float(np.exp(pm.logcdf(d, 5.0))) - float(
+            np.exp(pm.logcdf(d, 0.5))
+        )
+        assert abs(mass - 0.95) < 0.02
+
+    def test_find_constrained_prior_normal_fixed_mass(self):
+        params = pm.find_constrained_prior(
+            pm.Normal, lower=-1.0, upper=1.0, mass=0.9,
+            init_guess={"mu": 0.0, "sigma": 1.0},
+        )
+        d = pm.Normal.dist(**params)
+        mass = float(np.exp(pm.logcdf(d, 1.0))) - float(
+            np.exp(pm.logcdf(d, -1.0))
+        )
+        assert abs(mass - 0.9) < 0.02
+
+
+class TestMockSample:
+    def test_mock_sample_fast_and_shaped(self, radon_like_model):
+        from pymc_tpu.testing import mock_sample
+
+        idata = mock_sample(draws=50, chains=2, model=radon_like_model,
+                            random_seed=0)
+        assert idata.posterior["a"].values.shape[:2] == (2, 50)
+        assert "mu" in idata.posterior
+
+    def test_mock_sample_fixture_patches_pm_sample(self, radon_like_model):
+        from pymc_tpu.testing import mock_sample_setup_and_teardown
+
+        with mock_sample_setup_and_teardown():
+            idata = pm.sample(model=radon_like_model, draws=10, chains=1)
+            assert idata.posterior["mu"].values.shape[1] == 10
