@@ -10,7 +10,9 @@ Cases:
   radon      ESS/sec radon GLM (= bench.py, config #2)        (:180-198)
   mixture    worst-case ESS/sec, marginalized 3-comp mixture  (:200-226)
   best       drug-evaluation BEST model wall time             (:107-151)
-  gp         GP latent regression ESS/sec (config #4)
+  gp          GP latent regression ESS/sec (config #4 stress variant)
+  gp_marginal Marginal GP hyperparameter ESS/sec (config #4 benched form)
+  gp_hsgp     HSGP basis-approx latent GP ESS/sec (config #4 scalable form)
   smc        SMC mixture log-evidence wall time (config #5)
 """
 
@@ -163,6 +165,69 @@ def case_gp(jax, pm, chains=None):
           sampling_time=float(st), ess_per_sec=min_ess / float(st))
 
 
+def case_gp_marginal(jax, pm, chains=None):
+    # config #4 (benched form): MARGINAL GP — f integrated out analytically,
+    # only the 3 hyperparameters are sampled. One Cholesky per logp eval
+    # (batched over chains on the MXU), no latent funnel, so mixing is fast.
+    # The Latent case above stays as the stress variant (its slow per-draw
+    # mixing is a model property, round-1 VERDICT weak #7).
+    platform = jax.default_backend()
+    chains = chains or (64 if platform == "tpu" else 8)
+    rng = np.random.default_rng(5)
+    n = 150
+    X = np.sort(rng.uniform(0, 10, n))[:, None]
+    f_true = np.sin(X[:, 0]) * 2
+    y = f_true + rng.normal(0, 0.3, n)
+    with pm.Model() as m:
+        ls = pm.Gamma("ls", 2, 1)
+        eta = pm.HalfNormal("eta", 2)
+        cov = eta**2 * pm.gp.cov.ExpQuad(1, ls=ls)
+        gp = pm.gp.Marginal(cov_func=cov)
+        sigma = pm.HalfNormal("sigma", 1)
+        gp.marginal_likelihood("y", X=X, y=y, sigma=sigma)
+    t0 = time.perf_counter()
+    idata = pm.sample(draws=300, tune=300, chains=chains, model=m,
+                      random_seed=0, progressbar=False,
+                      compute_convergence_checks=False,
+                      mass_adapt="pooled" if chains >= 64 else "per_chain")
+    wall = time.perf_counter() - t0
+    min_ess, st = _min_ess_per_sec(pm, idata, ["ls", "eta", "sigma"])
+    _emit("gp_marginal", chains=chains, n=n, min_ess=min_ess,
+          sampling_time=float(st), total_wall=wall,
+          ess_per_sec=min_ess / float(st))
+
+
+def case_gp_hsgp(jax, pm, chains=None):
+    # config #4 (scalable form): HSGP basis approximation — the latent GP
+    # becomes m basis coefficients with an MXU matmul feature map; no
+    # Cholesky anywhere in the hot path.
+    platform = jax.default_backend()
+    chains = chains or (64 if platform == "tpu" else 8)
+    rng = np.random.default_rng(5)
+    n = 150
+    X = np.sort(rng.uniform(0, 10, n))[:, None]
+    f_true = np.sin(X[:, 0]) * 2
+    y = f_true + rng.normal(0, 0.3, n)
+    with pm.Model() as m:
+        ls = pm.Gamma("ls", 2, 1)
+        eta = pm.HalfNormal("eta", 2)
+        cov = eta**2 * pm.gp.cov.ExpQuad(1, ls=ls)
+        gp = pm.gp.HSGP(m=[32], c=1.5, cov_func=cov)
+        f = gp.prior("f", X=X)
+        sigma = pm.HalfNormal("sigma", 1)
+        pm.Normal("y", f, sigma, observed=y)
+    t0 = time.perf_counter()
+    idata = pm.sample(draws=300, tune=300, chains=chains, model=m,
+                      random_seed=0, progressbar=False,
+                      compute_convergence_checks=False,
+                      mass_adapt="pooled" if chains >= 64 else "per_chain")
+    wall = time.perf_counter() - t0
+    min_ess, st = _min_ess_per_sec(pm, idata, ["ls", "eta", "sigma"])
+    _emit("gp_hsgp", chains=chains, n=n, min_ess=min_ess,
+          sampling_time=float(st), total_wall=wall,
+          ess_per_sec=min_ess / float(st))
+
+
 def case_smc(jax, pm, chains=None):
     # config #5: tempered SMC on a bimodal mixture (resampling collectives)
     rng = np.random.default_rng(7)
@@ -186,7 +251,8 @@ def case_smc(jax, pm, chains=None):
 
 CASES = {
     "overhead": case_overhead, "radon": case_radon, "mixture": case_mixture,
-    "best": case_best, "gp": case_gp, "smc": case_smc,
+    "best": case_best, "gp": case_gp, "gp_marginal": case_gp_marginal,
+    "gp_hsgp": case_gp_hsgp, "smc": case_smc,
 }
 
 
