@@ -620,14 +620,29 @@ class Model:
             print("No problems found")
         return problems
 
-    def profile(self, outs=None, n=1000, point=None):
+    def profile(self, outs=None, n=1000, point=None, trace_dir=None):
         """Time jitted logp and dlogp evaluations (reference core.py:1246
         delegates to the PyTensor profiler; here: wall timing of the compiled
-        XLA program)."""
+        XLA program, plus an optional jax.profiler device trace).
+
+        trace_dir: if given, the timed loops run under
+        ``jax.profiler.trace(trace_dir)`` producing a TensorBoard/Perfetto
+        trace of the actual device kernels (XLA op level)."""
+        import contextlib
         import time
 
         if point is None:
             point = self.initial_point()
+        prof_cm = (
+            jax.profiler.trace(str(trace_dir)) if trace_dir is not None
+            else contextlib.nullcontext()
+        )
+        with prof_cm:
+            return self._profile_timed(n, point)
+
+    def _profile_timed(self, n, point):
+        import time
+
         logp = self.compile_logp()
         dlogp = self.compile_dlogp()
         jax.block_until_ready(logp(point))

@@ -95,3 +95,20 @@ class TestSurgery:
         fg, memo = fgraph_from_model(model)
         fg.replace(memo["mu"], ConstantNode(np.asarray(0.0))).remove("mu")
         assert "edits=2" in repr(fg)
+
+
+class TestProfile:
+    def test_profile_reports_and_traces(self, model, tmp_path):
+        rep = model.profile(n=20)
+        assert rep["logp_sec_per_call"] > 0
+        assert rep["dlogp_sec_per_call"] > 0
+        # jax.profiler integration: produces an on-disk device trace
+        trace_dir = tmp_path / "jax_trace"
+        rep2 = model.profile(n=5, trace_dir=trace_dir)
+        assert rep2["n_calls"] == 5
+        import os
+
+        found = []
+        for root, _, files in os.walk(trace_dir):
+            found.extend(files)
+        assert found, "jax.profiler.trace produced no trace files"
