@@ -114,8 +114,10 @@ class Flat(Continuous):
         return jnp.zeros_like(value)
 
     def _logcdf(self, value):
+        # reference continuous.py:380-383: log(1/2) at any finite value
         return jnp.where(
-            value == -jnp.inf, -jnp.inf, jnp.where(value == jnp.inf, 0.0, jnp.nan)
+            value == -jnp.inf, -jnp.inf,
+            jnp.where(value == jnp.inf, 0.0, jnp.log(0.5)),
         )
 
     def _sample(self, key, shape):

@@ -666,3 +666,80 @@ class TestSupportPoints:
         assert d.support_point().shape == (3, 2)
         d2 = pm.Normal.dist(0.0, 1.0, shape=(4, 3))
         assert d2.sample(pm.draw.__globals__["jax"].random.PRNGKey(0)).shape == (4, 3)
+
+
+class TestFlat:
+    def test_logp_zero_everywhere(self):
+        d = pm.Flat.dist()
+        for v in (-100.0, 0.0, 7.3):
+            assert float(pm.logp(d, v)) == 0.0
+        assert float(pm.logcdf(d, 0.0)) == np.log(0.5)
+
+    def test_halfflat(self):
+        d = pm.HalfFlat.dist()
+        assert float(pm.logp(d, 2.0)) == 0.0
+        assert float(pm.logp(d, -1.0)) == -np.inf
+
+    def test_sampling_raises(self):
+        import jax
+
+        with pytest.raises(Exception):
+            np.asarray(pm.Flat.dist().sample(jax.random.PRNGKey(0)))
+
+
+class TestSkewStudentT:
+    def test_logp_vs_scipy_jf_skew_t(self):
+        # Jones & Faddy (2003) skew-t: scipy.stats.jf_skew_t(a, b)
+        a, b, mu, sigma = 2.0, 3.0, 0.5, 1.5
+        d = pm.SkewStudentT.dist(a=a, b=b, mu=mu, sigma=sigma)
+        x = np.linspace(-4, 5, 11)
+        expected = st.jf_skew_t.logpdf(x, a, b, loc=mu, scale=sigma)
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(d, x)), expected, rtol=1e-6
+        )
+
+    def test_logcdf(self):
+        a, b = 3.0, 2.0
+        d = pm.SkewStudentT.dist(a=a, b=b, mu=0.0, sigma=1.0)
+        x = np.linspace(-3, 3, 7)
+        np.testing.assert_allclose(
+            np.asarray(pm.logcdf(d, x)), st.jf_skew_t.logcdf(x, a, b),
+            rtol=1e-5, atol=1e-8,
+        )
+
+    def test_random_moments(self):
+        import jax
+
+        a, b = 4.0, 4.0  # symmetric: mean 0 after centering
+        d = pm.SkewStudentT.dist(a=a, b=b, mu=1.0, sigma=2.0, size=(50_000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(0)))
+        ref = st.jf_skew_t.mean(a, b, loc=1.0, scale=2.0)
+        np.testing.assert_allclose(draws.mean(), ref, atol=0.05)
+
+
+class TestPolyaGamma:
+    def test_normalization_and_mean(self):
+        # PG(b, 0): E[X] = b/4; PG(b, c): E[X] = b/(2c) tanh(c/2)
+        from scipy import integrate
+
+        for b, c in [(1.0, 0.0), (1.0, 2.0), (2.5, 1.0)]:
+            d = pm.PolyaGamma.dist(h=b, z=c)
+            f = lambda x: float(np.exp(pm.logp(d, x)))
+            total, _ = integrate.quad(f, 1e-8, 40, limit=200)
+            np.testing.assert_allclose(total, 1.0, rtol=1e-3,
+                                       err_msg=f"b={b} c={c}")
+            mean, _ = integrate.quad(lambda x: x * f(x), 1e-8, 40, limit=200)
+            expected = b / 4.0 if c == 0 else b / (2 * c) * np.tanh(c / 2)
+            np.testing.assert_allclose(mean, expected, rtol=1e-3)
+
+    def test_random_mean(self):
+        import jax
+
+        d = pm.PolyaGamma.dist(h=1.0, z=1.5, size=(40_000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(1)))
+        expected = 1.0 / (2 * 1.5) * np.tanh(0.75)
+        np.testing.assert_allclose(draws.mean(), expected, rtol=0.03)
+
+    def test_outside_support(self):
+        d = pm.PolyaGamma.dist(h=1.0, z=0.0)
+        assert float(pm.logp(d, -0.5)) == -np.inf
