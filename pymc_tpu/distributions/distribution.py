@@ -242,7 +242,14 @@ class Distribution:
     def logccdf(self, value, env=None, memo=None):
         params = self.resolve_params(env, memo)
         value = self._cast_value(value)
-        return self._logccdf(value, *params)
+        try:
+            return self._logccdf(value, *params)
+        except NotImplementedError:
+            # combinators (Mixture/Truncated/Censored/...) override the
+            # PUBLIC logcdf; route the survival default through it
+            from ..math import _log1mexp_jax
+
+            return _log1mexp_jax(self.logcdf(value, env, memo))
 
     def icdf(self, q, env=None, memo=None):
         from .dist_math import check_icdf_value
