@@ -1,7 +1,15 @@
 """Gaussian process module (reference pymc/gp/__init__.py)."""
 
 from . import cov, mean, util
-from .gp import Latent, LatentKron, Marginal, MarginalApprox, MarginalKron, TP
+from .gp import (
+    Latent,
+    LatentKron,
+    Marginal,
+    MarginalApprox,
+    MarginalKron,
+    MarginalSparse,
+    TP,
+)
 from .hsgp_approx import HSGP, HSGPPeriodic, approx_hsgp_hyperparams, set_boundary
 
 __all__ = [
@@ -11,6 +19,7 @@ __all__ = [
     "Latent",
     "Marginal",
     "MarginalApprox",
+    "MarginalSparse",
     "MarginalKron",
     "LatentKron",
     "TP",

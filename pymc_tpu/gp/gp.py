@@ -422,3 +422,19 @@ class MarginalKron(Base):
         return pm.KroneckerNormal(
             name, mu=mu, covs=covs, sigma=sigma, observed=y, **kwargs
         )
+
+
+class MarginalSparse(MarginalApprox):
+    """Deprecated alias of MarginalApprox (reference gp/gp.py MarginalSparse)."""
+
+    def __init__(self, *args, **kwargs):
+        import warnings
+
+        warnings.warn(
+            "gp.MarginalSparse has been renamed to gp.MarginalApprox.",
+            FutureWarning,
+        )
+        super().__init__(*args, **kwargs)
+
+
+__all__.append("MarginalSparse")
