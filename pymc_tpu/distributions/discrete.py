@@ -285,7 +285,12 @@ class Geometric(Discrete):
         return check_parameters(res, p > 0, p <= 1)
 
     def _icdf(self, q, p):
-        return jnp.ceil(jnp.log1p(-q) / jnp.log1p(-p)).astype(intX())
+        # ceil with a one-step back-off: float error in the ratio can land
+        # just above the true integer (reference discrete.py:844 res_1m check)
+        res = jnp.ceil(jnp.log1p(-q) / jnp.log1p(-p))
+        res_1m = jnp.maximum(res - 1.0, 1.0)
+        cdf_1m = jnp.exp(self._logcdf(res_1m, p))
+        return jnp.where(cdf_1m >= q, res_1m, res).astype(intX())
 
     def _sample(self, key, shape, p):
         u = jax.random.uniform(key, shape, dtype=floatX())
@@ -372,8 +377,13 @@ class DiscreteUniform(Discrete):
         return check_parameters(res, lower <= upper)
 
     def _icdf(self, q, lower, upper):
+        # ceil with one-step back-off against float boundary error
+        # (reference discrete.py:1084 res_1m check)
         nf = upper - lower + 1
-        return (lower + jnp.ceil(q * nf) - 1).astype(intX())
+        res = lower + jnp.ceil(q * nf) - 1
+        res_1m = jnp.maximum(res - 1, lower)
+        cdf_1m = jnp.exp(self._logcdf(res_1m, lower, upper))
+        return jnp.where(cdf_1m >= q, res_1m, res).astype(intX())
 
     def _sample(self, key, shape, lower, upper):
         u = jax.random.uniform(key, shape, dtype=floatX())

@@ -40,6 +40,10 @@ class Covariance:
             self.active_dims = np.arange(input_dim)
         else:
             self.active_dims = np.asarray(active_dims, dtype=int)
+            if self.active_dims.size and self.active_dims.max() > self.input_dim:
+                raise ValueError(
+                    "Values in `active_dims` can't be larger than `input_dim`."
+                )
 
     # -- public API --------------------------------------------------------
     def __call__(self, X, Xs=None, diag=False):
@@ -69,12 +73,13 @@ class Covariance:
         return []
 
     def _slice(self, X):
+        # always index by active_dims (reference cov.py:195) — repeated
+        # indices like active_dims=[0, 0, 1] are meaningful, so an
+        # equal-length active_dims is NOT the identity
         X = jnp.asarray(X) if not is_node(X) else X
         if X.ndim == 1:
             X = X[:, None]
-        if len(self.active_dims) != X.shape[-1]:
-            X = X[..., self.active_dims]
-        return X
+        return X[..., self.active_dims]
 
     def _diag(self, X, *params):
         return jnp.diagonal(self._full(X, None, *params))
@@ -226,6 +231,8 @@ class _Stationary(Covariance):
             ls = apply(lambda li: 1.0 / li, ls_inv) if is_node(ls_inv) else (
                 1.0 / np.asarray(ls_inv)
             )
+        if not is_node(ls) and not np.isscalar(ls):
+            ls = np.asarray(ls)
         self.ls = ls
 
     def _param_list(self):
@@ -309,7 +316,13 @@ class Matern12(_Matern):
         return jnp.exp(-r)
 
 
-Exponential = Matern12
+class Exponential(_Stationary):
+    """exp(-r / 2) on the ls-scaled distance (reference cov.py Exponential —
+    NOT the Matern12 exp(-r); oracle tests/gp/test_cov.py:572 K[0,1]=0.57375)."""
+
+    def _full(self, X, Xs, ls):
+        r = jnp.sqrt(_sqdist(X, Xs, ls) + 1e-12)
+        return jnp.exp(-0.5 * r)
 
 
 class RatQuad(_Stationary):
@@ -343,10 +356,15 @@ class Periodic(_Stationary):
         return [self.ls, self.period]
 
     def _full(self, X, Xs, ls, period):
+        # exp(-0.5 * sum (sin(pi d / p) / ls)^2): the reference's convention
+        # (cov.py Periodic.full_from_distance drops the GPML 4x factor so ls
+        # means the same thing as in the underlying ExpQuad; oracle
+        # tests/gp/test_cov.py:665 K[0,1]=0.00288) — matches
+        # WrappedPeriodic(ExpQuad(ls), period).
         Xs_ = X if Xs is None else Xs
         diff = X[:, None, :] - Xs_[None, :, :]
         sin2 = jnp.sin(jnp.pi * diff / period) ** 2
-        return jnp.exp(-2.0 * jnp.sum(sin2 / jnp.asarray(ls, floatX()) ** 2,
+        return jnp.exp(-0.5 * jnp.sum(sin2 / jnp.asarray(ls, floatX()) ** 2,
                                       axis=-1))
 
     def _diag(self, X, ls, period):
@@ -545,17 +563,12 @@ class Kron(Covariance):
         self.factors = list(factor_list)
         super().__init__(sum(f.input_dim for f in self.factors))
 
-    def full(self, X, Xs=None):
-        # X columns split across factors
-        splits = np.cumsum([f.input_dim for f in self.factors])[:-1]
-
-        def kron(*mats):
-            out = mats[0]
-            for m in mats[1:]:
-                out = jnp.kron(out, m)
-            return out
-
-        Ks = []
+    def _apply(self, X, Xs=None, diag=False):
+        # split X's columns into each factor's input block and take the
+        # ELEMENTWISE product of the factor kernels (reference cov.py Kron
+        # __call__: reduce(mul, covs)) — on a cartesian-product grid this
+        # equals the Kronecker-product Gram matrix
+        out = None
         off = 0
         for f in self.factors:
             cols = slice(off, off + f.input_dim)
@@ -564,9 +577,16 @@ class Kron(Covariance):
                 apply(lambda x, c=cols: jnp.asarray(x)[:, c], Xs)
                 if Xs is not None else None
             )
-            Ks.append(f.full(Xf, Xsf))
+            Kf = f.diag(Xf) if diag else f.full(Xf, Xsf)
+            out = Kf if out is None else apply(lambda a, b: a * b, out, Kf)
             off += f.input_dim
-        return apply(kron, *Ks)
+        return out
+
+    def full(self, X, Xs=None):
+        return self._apply(X, Xs, diag=False)
+
+    def diag(self, X):
+        return self._apply(X, diag=True)
 
 
 class Exponentiated(Covariance):

@@ -280,3 +280,60 @@ class TestOrderedProbit:
             np.testing.assert_allclose(
                 float(pm.logp(d, k)), np.log(probs[k]), rtol=1e-6
             )
+
+
+class TestDiscreteIcdf:
+    """icdf vs scipy ppf + cdf/icdf self-consistency (reference
+    tests/distributions/test_discrete.py icdf coverage for the three
+    discrete dists that implement it: Bernoulli, Geometric,
+    DiscreteUniform)."""
+
+    qs = np.array([1e-6, 0.05, 0.3, 0.5, 0.7, 0.95, 1 - 1e-6])
+
+    def test_bernoulli_ppf(self):
+        import jax.numpy as jnp
+
+        for p in (0.1, 0.5, 0.9):
+            d = pm.Bernoulli.dist(p=p)
+            got = np.asarray(d.icdf(jnp.asarray(self.qs)))
+            expected = st.bernoulli(p).ppf(self.qs)
+            np.testing.assert_array_equal(got, expected)
+
+    def test_geometric_ppf(self):
+        import jax.numpy as jnp
+
+        for p in (0.05, 0.4, 0.8):
+            d = pm.Geometric.dist(p=p)
+            got = np.asarray(d.icdf(jnp.asarray(self.qs)))
+            expected = st.geom(p).ppf(self.qs)
+            np.testing.assert_array_equal(got, expected)
+
+    def test_discrete_uniform_ppf(self):
+        import jax.numpy as jnp
+
+        d = pm.DiscreteUniform.dist(lower=-3, upper=6)
+        got = np.asarray(d.icdf(jnp.asarray(self.qs)))
+        expected = st.randint(-3, 7).ppf(self.qs)
+        np.testing.assert_array_equal(got, expected)
+
+    def test_icdf_of_cdf_is_identity(self):
+        import jax.numpy as jnp
+
+        # exact round trip on integer support points (float boundary cases
+        # covered by the one-step back-off in _icdf)
+        g = pm.Geometric.dist(p=0.3)
+        x = jnp.arange(1, 30)
+        q = jnp.exp(g.logcdf(x))
+        np.testing.assert_array_equal(np.asarray(g.icdf(q)), np.asarray(x))
+
+        du = pm.DiscreteUniform.dist(lower=0, upper=19)
+        x = jnp.arange(0, 20)
+        q = jnp.exp(du.logcdf(x))
+        np.testing.assert_array_equal(np.asarray(du.icdf(q)), np.asarray(x))
+
+    def test_icdf_outside_unit_is_nan(self):
+        import jax.numpy as jnp
+
+        d = pm.Geometric.dist(p=0.3)
+        got = np.asarray(d.icdf(jnp.asarray([-0.1, 1.1])))
+        assert np.all(np.isnan(got))

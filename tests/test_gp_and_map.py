@@ -39,9 +39,13 @@ class TestCov:
         X = np.linspace(0, 3, 6)[:, None]
         Kp = np.asarray(gpc.Periodic(1, period=1.0, ls=0.7).full(X))
         expected = np.exp(
-            -2 * np.sin(np.pi * np.abs(X - X.T) / 1.0) ** 2 / 0.7**2
+            -0.5 * np.sin(np.pi * np.abs(X - X.T) / 1.0) ** 2 / 0.7**2
         )
         np.testing.assert_allclose(Kp, expected, rtol=1e-6)
+        # the reference's own oracle (tests/gp/test_cov.py:665)
+        Xr = np.linspace(0, 1, 10)[:, None]
+        Kr = np.asarray(gpc.Periodic(1, period=0.1, ls=0.1).full(Xr))
+        np.testing.assert_allclose(Kr[0, 1], 0.00288, atol=1e-3)
         Kl = np.asarray(gpc.Linear(1, c=0.5).full(X))
         np.testing.assert_allclose(Kl, (X - 0.5) @ (X - 0.5).T, rtol=1e-6)
 
