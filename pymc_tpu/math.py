@@ -118,8 +118,15 @@ logaddexp = _wrap(jnp.logaddexp)
 
 
 def logdiffexp(a, b):
-    """log(e^a - e^b), a >= b elementwise."""
-    return apply(lambda x, y: x + _log1mexp_jax(y - x), a, b)
+    """log(e^a - e^b). b > a gives NaN (log of a negative number — the
+    reference contract, tests/test_math.py logdiffexp); a == b == -inf
+    gives -inf."""
+    def _ldx(x, y):
+        res = x + _log1mexp_jax(y - x)
+        res = jnp.where(jnp.isneginf(x) & jnp.isneginf(y), -jnp.inf, res)
+        return jnp.where(y > x, jnp.nan, res)
+
+    return apply(_ldx, a, b)
 
 
 def _log1mexp_jax(x):
@@ -230,9 +237,16 @@ def kron_diag(*diags):
 def cartesian(*arrays):
     """Cartesian product rows (reference math.py:315)."""
     def _cart(*arrs):
+        # 2-D inputs contribute whole ROWS as units (reference semantics:
+        # cartesian([[1,2],[3,4]], [5,6]) -> [[1,2,5],[1,2,6],...])
         arrs = [jnp.atleast_1d(a) for a in arrs]
-        grids = jnp.meshgrid(*arrs, indexing="ij")
-        return jnp.stack([g.ravel() for g in grids], axis=-1)
+        arrs = [a[:, None] if a.ndim == 1 else a for a in arrs]
+        idx = jnp.meshgrid(
+            *[jnp.arange(a.shape[0]) for a in arrs], indexing="ij"
+        )
+        return jnp.concatenate(
+            [a[g.ravel()] for a, g in zip(arrs, idx)], axis=-1
+        )
 
     return apply(_cart, *arrays)
 

@@ -96,3 +96,86 @@ class TestBessel:
             np.testing.assert_allclose(
                 float(np.asarray(M.gamma(z))), sp.gamma(z), rtol=1e-6
             )
+
+
+class TestReferenceMathOracles:
+    """Mirrors reference tests/test_math.py contracts: cartesian,
+    probit/invprobit, logdiffexp edge cases, logdet, expand_packed_triangular."""
+
+    def test_cartesian(self):
+        manual = np.array(
+            [[1, 0, 5], [1, 0, 6], [1, 2, 5], [1, 2, 6],
+             [2, 0, 5], [2, 0, 6], [2, 2, 5], [2, 2, 6],
+             [3, 0, 5], [3, 0, 6], [3, 2, 5], [3, 2, 6]]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pm.math.cartesian([1, 2, 3], [0, 2], [5, 6])), manual
+        )
+
+    def test_cartesian_2d(self):
+        manual = np.array(
+            [[1, 2, 5, 0], [1, 2, 6, 0], [3, 4, 5, 0], [3, 4, 6, 0]]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pm.math.cartesian([[1, 2], [3, 4]], [5, 6], [0])),
+            manual,
+        )
+
+    def test_probit_roundtrip(self):
+        p = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+        got = np.asarray(pm.math.invprobit(pm.math.probit(p)))
+        np.testing.assert_allclose(got, p, atol=1e-5)
+
+    def test_logdiffexp_edges(self):
+        a = np.log([1.0, 2, 3, 4])
+        with np.errstate(divide="ignore"):
+            b = np.log([0.0, 1, 2, 3])
+        np.testing.assert_allclose(
+            np.asarray(pm.math.logdiffexp(a, b)), np.log([1.0, 1, 1, 1]),
+            atol=1e-12,
+        )
+        got = np.asarray(
+            pm.math.logdiffexp(
+                np.array([-np.inf, -np.inf, -1.0]),
+                np.array([-1.0, -np.inf, -np.inf]),
+            )
+        )
+        assert np.isnan(got[0])          # log of a negative difference
+        assert got[1] == -np.inf
+        np.testing.assert_allclose(got[2], -1.0)
+
+    def test_logdet(self):
+        rng = np.random.default_rng(899853)
+        for n in (3, 10):
+            A = rng.standard_normal((n, n)) / np.sqrt(n)
+            expected = np.sum(np.log(np.abs(
+                np.linalg.svd(A, compute_uv=False)
+            )))
+            np.testing.assert_allclose(
+                float(np.asarray(pm.math.logdet(A))), expected, rtol=1e-8
+            )
+
+    def test_expand_packed_triangular(self):
+        n = 5
+        rng = np.random.default_rng(42)
+        vals = rng.standard_normal((n, n))
+        lower = np.tril(vals)
+        lower_packed = vals[lower != 0]
+        upper = np.triu(vals)
+        upper_packed = vals[upper != 0]
+        np.testing.assert_allclose(
+            np.asarray(pm.math.expand_packed_triangular(n, lower_packed,
+                                                        lower=True)),
+            lower,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pm.math.expand_packed_triangular(n, upper_packed,
+                                                        lower=False)),
+            upper,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pm.math.expand_packed_triangular(
+                n, lower_packed, lower=True, diagonal_only=True
+            )),
+            np.diag(lower),
+        )
