@@ -89,6 +89,7 @@ def sample(
     postprocessing_chunks=None,
     var_names=None,
     mass_adapt="per_chain",
+    step_adapt="per_chain",
     cores=None,
     keep_warning_stat=False,
     trace=None,
@@ -113,6 +114,11 @@ def sample(
     mass_adapt : "per_chain" (reference behavior) or "pooled" — pool the
         Welford mass statistics across chains each window (faster adaptation
         with many chains; SURVEY §7.4).
+    step_adapt : "per_chain" (reference behavior) or "pooled" — one shared
+        dual-averaging step size adapted against the cross-chain mean
+        acceptance. At high chain counts the per-draw wall cost is the MAX
+        tree size over chains; heterogeneous per-chain step sizes fatten
+        that tail, a shared step size thins it.
     mass_matrix : "diag" (default) or "full" — pooled dense covariance
         (also selected by init="jitter+adapt_full"/"adapt_full").
     mesh : jax.sharding.Mesh — shard the chain axis across devices
@@ -121,6 +127,10 @@ def sample(
         crash-safe checkpoint/resume (backends.checkpoint.FileTrace).
     """
     model = modelcontext(model)
+    if step_adapt not in ("per_chain", "pooled"):
+        raise ValueError(
+            f"step_adapt must be 'per_chain' or 'pooled', got {step_adapt!r}"
+        )
     if step is not None:
         from .compound import sample_with_steps
 
@@ -298,6 +308,10 @@ def sample(
             jnp.arange(chains)
         )
 
+    if step_adapt == "pooled":
+        # one shared step size: identical DA state per chain, updated with
+        # the cross-chain mean acceptance below
+        eps0 = jnp.broadcast_to(jnp.mean(eps0, keepdims=True), eps0.shape)
     da = jax.vmap(da_init)(eps0)
 
     if static_mass or grad_mass:
@@ -389,6 +403,10 @@ def sample(
                 keys, q, logp, grad, step_size, inv_mass
             )
         accept = jnp.clip(stats.acceptance_rate, 0.0, 1.0)
+        if step_adapt == "pooled":
+            accept = jnp.broadcast_to(
+                jnp.mean(accept, keepdims=True), accept.shape
+            )
         da_new = jax.vmap(lambda d, a: da_update(d, a, target_accept))(da, accept)
         da = jax.tree.map(
             lambda new, old: jnp.where(_bcast(is_warmup, new), new, old),

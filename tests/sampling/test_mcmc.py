@@ -307,3 +307,35 @@ def test_return_inferencedata_false_gives_multitrace():
     assert type(out).__name__ == "MultiTrace"
     assert out.nchains == 2 and len(out) == 50
     assert np.shape(out.get_values("mu")) == (100,)
+
+
+class TestPooledStepAdapt:
+    """step_adapt="pooled": one shared dual-averaging step size driven by the
+    cross-chain mean acceptance (high-chain-count straggler-tail optimization;
+    see BENCHMARKS.md pooled-step A/B)."""
+
+    def test_shared_step_size_and_accuracy(self):
+        rng = np.random.default_rng(3)
+        y = rng.normal(1.2, 0.8, 80)
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 5)
+            sigma = pm.HalfNormal("sigma", 2)
+            pm.Normal("y", mu, sigma, observed=y)
+        idata = pm.sample(
+            draws=400, tune=400, chains=8, model=m, random_seed=0,
+            progressbar=False, compute_convergence_checks=False,
+            step_adapt="pooled", target_accept=0.9,
+        )
+        # every chain ends warmup with the SAME adapted step size
+        ss = np.asarray(idata.sample_stats["step_size"])
+        assert np.allclose(ss, ss[0, 0]), "pooled step size must be shared"
+        # posterior still correct
+        assert abs(float(idata.posterior["mu"].values.mean()) - 1.2) < 0.15
+        assert abs(float(idata.posterior["sigma"].values.mean()) - 0.8) < 0.15
+
+    def test_rejects_unknown_value(self):
+        with pm.Model() as m:
+            pm.Normal("x", 0, 1)
+        with pytest.raises(ValueError, match="step_adapt"):
+            pm.sample(draws=10, tune=10, chains=2, model=m,
+                      progressbar=False, step_adapt="bogus")
