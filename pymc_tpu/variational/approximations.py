@@ -202,9 +202,54 @@ class FullRank(Approximation):
 
 
 class Empirical(Approximation):
-    """Particle histogram (reference EmpiricalGroup:191; the SVGD family)."""
+    """Particle histogram (reference EmpiricalGroup:191; the SVGD family).
+
+    Public construction from a trace (reference approximations.py:368
+    ``Empirical(trace)``): the posterior draws become the particle set, in
+    the unconstrained space, so ``.sample()`` resamples the trace and the
+    approximation composes with the rest of the VI machinery."""
 
     name = "empirical"
+
+    def __init__(self, trace=None, info=None, params=None, model=None,
+                 size=None, random_seed=None):
+        if info is not None and params is not None:
+            # internal path (SVGD/ASVGD): positional (model, info, params)
+            super().__init__(trace, info, params)
+            return
+        from ..blocking import ravel_point
+        from ..model.core import modelcontext
+
+        model = modelcontext(model)
+        info_ = model.raveled_info()
+        names = [rv.name for rv in model.free_RVs]
+
+        posterior = getattr(trace, "posterior", None)
+        if posterior is not None:
+            arrs = {
+                n: np.asarray(posterior[n].values) for n in names
+            }  # (chains, draws, *shape)
+            n_particles = next(iter(arrs.values())).shape[0] * next(
+                iter(arrs.values())
+            ).shape[1]
+            batched = {
+                n: jnp.asarray(a.reshape((n_particles,) + a.shape[2:]))
+                for n, a in arrs.items()
+            }
+        else:  # MultiTrace-like: get_values per var
+            arrs = {n: np.asarray(trace.get_values(n)) for n in names}
+            n_particles = next(iter(arrs.values())).shape[0]
+            batched = {n: jnp.asarray(a) for n, a in arrs.items()}
+
+        def _flat(point):
+            return ravel_point(model.unconstrain(point), info_)
+
+        particles = jax.vmap(_flat)(batched)
+        if size is not None and size < n_particles:
+            key = jax.random.PRNGKey(0 if random_seed is None else random_seed)
+            idx = jax.random.choice(key, n_particles, (size,), replace=False)
+            particles = particles[idx]
+        super().__init__(model, info_, {"particles": particles})
 
     @classmethod
     def init_params(cls, D, start=None, start_sigma=None, n_particles=100,

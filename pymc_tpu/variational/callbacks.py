@@ -57,8 +57,14 @@ class Tracker(Callback):
         self.hist = {k: [] for k in kwargs}
 
     def __call__(self, approx, loss_hist, i):
+        # reference contract (callbacks.py:98): try fn() with no args;
+        # if that fails, pass (approx, hist, i)
         for k, fn in self.whatchdict.items():
-            self.hist[k].append(np.asarray(jax.device_get(fn(approx))))
+            try:
+                val = fn()
+            except TypeError:
+                val = fn(approx, loss_hist, i)
+            self.hist[k].append(np.asarray(jax.device_get(val)))
 
     def __getitem__(self, k):
         return self.hist[k]

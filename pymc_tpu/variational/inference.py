@@ -235,7 +235,10 @@ class SVGD(ImplicitGradient):
         h = jnp.sqrt(0.5 * med / jnp.log(P + 1.0)) + 1e-6
         k = jnp.exp(-sq / (2.0 * h**2))  # (P,P)
         term1 = k.T @ grads  # sum_j k(xj, xi) grad_j
-        term2 = jnp.sum(k[..., None] * diffs / h**2, axis=0)
+        # repulsion grad_{xj} k(xj, xi) = k_ij (x_i - x_j)/h^2, summed over j
+        # (axis=1; summing over axis=0 flips the sign and the particles
+        # collapse onto the mode)
+        term2 = jnp.sum(k[..., None] * diffs / h**2, axis=1)
         return (term1 + term2) / P
 
     def fit(self, n=10000, obj_optimizer=None, callbacks=None,
