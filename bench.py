@@ -60,6 +60,11 @@ def run(chains, draws, tune, seed=0):
 
     model = build_model(pm)
     t0 = time.perf_counter()
+    # high-chain-count configuration (measured A/B, BENCHMARKS.md pooled-step
+    # table): pooled mass + pooled step size + target_accept=0.95 — uniform
+    # cross-chain trees thin the max-over-chains straggler tail, and the
+    # higher target keeps the shared step divergence-free with full min-ESS
+    many = chains >= 64
     idata = pm.sample(
         draws=draws,
         tune=tune,
@@ -68,7 +73,9 @@ def run(chains, draws, tune, seed=0):
         random_seed=seed,
         progressbar=False,
         compute_convergence_checks=False,
-        mass_adapt="pooled" if chains >= 64 else "per_chain",
+        mass_adapt="pooled" if many else "per_chain",
+        step_adapt="pooled" if many else "per_chain",
+        target_accept=0.95 if many else 0.8,
     )
     total = time.perf_counter() - t0
     sampling_time = idata.posterior.attrs.get("sampling_time", total)
