@@ -61,3 +61,38 @@ class TestHdi:
         lo, hi = hdi(x, 0.94)
         assert abs(lo + 1.88) < 0.1
         assert abs(hi - 1.88) < 0.1
+
+
+class TestEssUnbiasedAR1:
+    """Quantitative oracle: on AR(1) chains the true integrated
+    autocorrelation time is (1+rho)/(1-rho), so E[ESS] = C*N*(1-rho)/(1+rho).
+    The estimator must be unbiased within ~5% averaged over replicates —
+    this guards the headline min-ESS/sec bench metric itself."""
+
+    @staticmethod
+    def _ar1(rng, rho, c, n):
+        x = np.zeros((c, n))
+        e = rng.normal(size=(c, n))
+        x[:, 0] = e[:, 0]
+        for t in range(1, n):
+            x[:, t] = rho * x[:, t - 1] + np.sqrt(1 - rho**2) * e[:, t]
+        return x
+
+    def test_mean_ess_matches_analytic_tau(self):
+        rng = np.random.default_rng(0)
+        for rho in (0.0, 0.5, 0.9):
+            tau = (1 + rho) / (1 - rho)
+            ratios = [
+                float(ess(self._ar1(rng, rho, 4, 4000), "mean"))
+                / (4 * 4000 / tau)
+                for _ in range(20)
+            ]
+            assert abs(np.mean(ratios) - 1.0) < 0.06, (rho, np.mean(ratios))
+
+    def test_bulk_ess_tracks_mean_ess_for_gaussian(self):
+        # rank-normalization is ~identity for already-normal draws
+        rng = np.random.default_rng(1)
+        x = self._ar1(rng, 0.7, 4, 4000)
+        b = float(ess(x, "bulk"))
+        m = float(ess(x, "mean"))
+        assert abs(b / m - 1.0) < 0.15, (b, m)
