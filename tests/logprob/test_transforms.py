@@ -121,3 +121,71 @@ class TestSamplingInvariance:
             results[name] = float(idata.posterior["s"].values.mean())
         vals = list(results.values())
         assert max(vals) - min(vals) < 0.08, results
+
+
+class TestDefaultTransformAssignment:
+    """Reference transform-class registry (continuous.py:156-180 +
+    per-dist registrations): positive -> log, unit -> logodds,
+    circular -> circular, bounded -> interval, simplex dists -> simplex,
+    ordered cutpoints unaffected."""
+
+    def _transform_of(self, make):
+        import pymc_tpu as pm
+
+        with pm.Model() as m:
+            make(pm)
+        (rv,) = m.free_RVs
+        return rv.transform
+
+    def test_positive_get_log(self):
+        import pymc_tpu as pm
+
+        for make in (
+            lambda pm: pm.HalfNormal("x", 1.0),
+            lambda pm: pm.Gamma("x", 2.0, 1.0),
+            lambda pm: pm.Exponential("x", 1.0),
+            lambda pm: pm.InverseGamma("x", 3.0, 1.0),
+            lambda pm: pm.HalfCauchy("x", 1.0),
+            lambda pm: pm.Weibull("x", 2.0, 1.0),
+            lambda pm: pm.LogNormal("x", 0.0, 1.0),
+        ):
+            t = self._transform_of(make)
+            assert type(t).__name__ == "LogTransform", (make, t)
+
+    def test_unit_get_logodds(self):
+        t = self._transform_of(lambda pm: pm.Beta("x", 2.0, 2.0))
+        assert type(t).__name__ == "LogOddsTransform"
+
+    def test_circular(self):
+        t = self._transform_of(lambda pm: pm.VonMises("x", 0.0, 1.0))
+        assert type(t).__name__ == "CircularTransform"
+
+    def test_bounded_get_interval(self):
+        import numpy as np
+
+        t = self._transform_of(lambda pm: pm.Uniform("x", -1.0, 2.0))
+        assert type(t).__name__ == "IntervalTransform"
+        # bounds baked in: backward maps R into (-1, 2)
+        lo = float(np.asarray(t.backward(jnp.asarray(-20.0))))
+        hi = float(np.asarray(t.backward(jnp.asarray(20.0))))
+        assert -1.0 <= lo < -0.99 and 1.99 < hi <= 2.0
+
+        t2 = self._transform_of(
+            lambda pm: pm.TruncatedNormal("x", 0.0, 1.0, lower=0.5)
+        )
+        assert type(t2).__name__ == "IntervalTransform"
+
+    def test_simplex(self):
+        import numpy as np
+
+        t = self._transform_of(
+            lambda pm: pm.Dirichlet("x", a=np.array([1.0, 2.0, 3.0]))
+        )
+        assert type(t).__name__ == "SimplexTransform"
+
+    def test_transform_none_removes(self):
+        import pymc_tpu as pm
+
+        with pm.Model() as m:
+            pm.HalfNormal("x", 1.0, transform=None)
+        assert m.free_RVs[0].transform is None
