@@ -403,6 +403,21 @@ class Categorical(Discrete):
     def __dist_init__(self, p=None, logit_p=None):
         if p is None and logit_p is not None:
             p = apply(lambda lp: jax.nn.softmax(lp, axis=-1), as_param(logit_p))
+        elif p is not None and not is_node(p):
+            # constant p: normalize with a warning (reference
+            # discrete.py:1140-1164 Categorical.dist); symbolic p is checked
+            # at logp time instead (sum-to-1 check_parameters guard)
+            p_ = np.asarray(p, dtype=float)
+            p_sum = np.sum(p_, axis=-1)
+            if not np.all(np.isclose(p_sum, 1.0)):
+                import warnings
+
+                warnings.warn(
+                    f"`p` parameters sum to {p_sum}, instead of 1.0. "
+                    "They will be automatically rescaled.",
+                    UserWarning,
+                )
+                p = p_ / np.sum(p_, axis=-1, keepdims=True)
         self.p = as_param(p)
 
     @property

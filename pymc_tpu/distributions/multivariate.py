@@ -198,6 +198,19 @@ class Multinomial(Discrete):
 
     def __dist_init__(self, n, p):
         self.n = as_param(n, float_ok=False)
+        if not is_node(p):
+            # constant p: warn + rescale (reference multivariate.py:629)
+            p_ = np.asarray(p, dtype=float)
+            p_sum = np.sum(p_, axis=-1)
+            if not np.all(np.isclose(p_sum, 1.0)):
+                import warnings
+
+                warnings.warn(
+                    f"`p` parameters sum to {p_sum}, instead of 1.0. "
+                    "They will be automatically rescaled.",
+                    UserWarning,
+                )
+                p = p_ / np.sum(p_, axis=-1, keepdims=True)
         self.p = as_param(p)
 
     def _event_shape(self, n_shape, p_shape):

@@ -337,3 +337,34 @@ class TestDiscreteIcdf:
         d = pm.Geometric.dist(p=0.3)
         got = np.asarray(d.icdf(jnp.asarray([-0.1, 1.1])))
         assert np.all(np.isnan(got))
+
+
+class TestPRescaling:
+    """Constant p not summing to 1 is rescaled with a UserWarning
+    (reference discrete.py:1158, multivariate.py:632)."""
+
+    def test_categorical(self):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            d = pm.Categorical.dist(p=[2.0, 2.0, 4.0])
+            assert any("rescaled" in str(x.message) for x in w)
+        np.testing.assert_allclose(
+            float(np.asarray(d.logp(2))), np.log(0.5), rtol=1e-6
+        )
+
+    def test_multinomial(self):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            d = pm.Multinomial.dist(n=10, p=[2.0, 2.0, 4.0])
+            assert any("rescaled" in str(x.message) for x in w)
+        lp = float(np.asarray(d.logp(np.array([2, 3, 5]))))
+        import scipy.stats as st
+
+        np.testing.assert_allclose(
+            lp, st.multinomial(10, [0.25, 0.25, 0.5]).logpmf([2, 3, 5]),
+            rtol=1e-6,
+        )
