@@ -149,7 +149,8 @@ class TestVIIntegration:
 
         with pm.Model() as m:
             pm.Normal("x", 0, 1)
-        tracker = Tracker(mean=lambda ap: ap.params["mu"].copy())
+        # reference contract: zero-arg callables, else (approx, hist, i)
+        tracker = Tracker(mean=lambda ap, hist, i: ap.params["mu"].copy())
         pm.fit(500, model=m, random_seed=13, progressbar=False,
                callbacks=[tracker])
         assert len(tracker["mean"]) >= 4
