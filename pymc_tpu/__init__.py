@@ -10,6 +10,33 @@ __version__ = "0.1.0"
 
 import logging
 
+
+def _tune_allocator():
+    """Keep large freed blocks in the heap instead of munmapping them.
+
+    glibc services >128 KB allocations with mmap and returns them to the OS
+    on free, so every large numpy temporary (FFT buffers, transposes, trace
+    packaging) pays first-touch page faults again — on small-vCPU VMs that
+    is ~10 MB/ms, dominating ESS/R-hat postprocessing wall time (measured
+    here: repeated 170 MB alloc+copy 24.5 s cold vs 0.2 s warm). Raising
+    M_MMAP_THRESHOLD/M_TRIM_THRESHOLD makes the allocator reuse warm pages;
+    the cost is RSS staying at peak working-set size."""
+    try:
+        import ctypes
+        import sys
+
+        if not sys.platform.startswith("linux"):
+            return
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:  # non-glibc / sandboxed — behavior is only a perf hint
+        pass
+
+
+_tune_allocator()
+
 _log = logging.getLogger(__name__)
 if not logging.root.handlers and not _log.handlers:
     _handler = logging.StreamHandler()

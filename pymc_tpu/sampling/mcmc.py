@@ -402,7 +402,11 @@ def sample(
             (q, logp, grad), stats = batched_transition(
                 keys, q, logp, grad, step_size, inv_mass
             )
+        # NaN acceptance (fully diverged trajectory) counts as a rejection —
+        # clip propagates NaN, which would permanently poison the DA state
+        # (one chain's state in per-chain mode; EVERY chain's under pooling)
         accept = jnp.clip(stats.acceptance_rate, 0.0, 1.0)
+        accept = jnp.where(jnp.isfinite(accept), accept, 0.0)
         if step_adapt == "pooled":
             accept = jnp.broadcast_to(
                 jnp.mean(accept, keepdims=True), accept.shape
