@@ -616,3 +616,68 @@ class TestCompared:
                           compute_convergence_checks=False)
         post = np.asarray(idata.posterior["mu"]).mean()
         assert abs(post - 0.7) < 0.25
+
+
+class TestMvRandomWalks:
+    """MvGaussianRandomWalk / MvStudentTRandomWalk logp against the exact
+    increment decomposition (reference timeseries.py:301,345): logp(x) =
+    init.logp(x0) + sum_t innovation.logp(x_t - x_{t-1})."""
+
+    def _oracle(self, x, init_logpdf, innov_logpdf):
+        lp = init_logpdf(x[0])
+        for t in range(1, x.shape[0]):
+            lp += innov_logpdf(x[t] - x[t - 1])
+        return lp
+
+    def test_mv_gaussian_rw_logp(self):
+        import scipy.stats as st
+
+        rng = np.random.default_rng(0)
+        D, T = 3, 6
+        mu = np.array([0.1, -0.2, 0.3])
+        A = rng.normal(size=(D, D))
+        cov = A @ A.T + D * np.eye(D)
+        init = pm.MvNormal.dist(mu=np.zeros(D), cov=np.eye(D))
+        d = pm.MvGaussianRandomWalk.dist(mu=mu, cov=cov, steps=T,
+                                         init_dist=init)
+        x = np.cumsum(rng.normal(size=(T + 1, D)), axis=0)
+        got = float(np.asarray(d.logp(jnp.asarray(x))))
+        expected = self._oracle(
+            x,
+            st.multivariate_normal(np.zeros(D), np.eye(D)).logpdf,
+            st.multivariate_normal(mu, cov).logpdf,
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    def test_mv_studentt_rw_logp(self):
+        import scipy.stats as st
+
+        rng = np.random.default_rng(1)
+        D, T, nu = 2, 5, 7.0
+        mu = np.array([0.5, -0.5])
+        scale = np.array([[2.0, 0.3], [0.3, 1.0]])
+        init = pm.MvNormal.dist(mu=np.zeros(D), cov=np.eye(D))
+        d = pm.MvStudentTRandomWalk.dist(nu, mu=mu, scale=scale, steps=T,
+                                         init_dist=init)
+        x = np.cumsum(rng.normal(size=(T + 1, D)), axis=0)
+        got = float(np.asarray(d.logp(jnp.asarray(x))))
+        expected = self._oracle(
+            x,
+            st.multivariate_normal(np.zeros(D), np.eye(D)).logpdf,
+            st.multivariate_t(mu, scale, df=nu).logpdf,
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    def test_sampling_shape_and_drift(self):
+        D, T = 3, 50
+        mu = np.array([1.0, 0.0, -1.0])
+        d = pm.MvGaussianRandomWalk.dist(
+            mu=mu, cov=0.01 * np.eye(D), steps=T,
+            init_dist=pm.MvNormal.dist(mu=np.zeros(D), cov=1e-4 * np.eye(D)),
+        )
+        draws = np.asarray(d.sample(jax.random.PRNGKey(0),
+                                    sample_shape=(200,)))
+        assert draws.shape == (200, T + 1, D)
+        # terminal mean ~ T * mu
+        np.testing.assert_allclose(draws[:, -1].mean(axis=0), T * mu,
+                                   rtol=0.1, atol=0.5)
