@@ -72,13 +72,57 @@ def _rhat_base(x):
         return np.sqrt(vhat / within)
 
 
+def _rank_rows_inplace(xt, lut):
+    """Scatter normal scores through each contiguous (C*S,) row's sort order."""
+    K = xt.shape[0]
+    for j in range(K):
+        row = xt[j].reshape(-1)
+        order = np.argsort(row, kind="stable")
+        row[order] = lut
+
+
+def _rhat_from_t(xt, C, S):
+    """Split R-hat on param-major (K, C, S) layout (contiguous reductions)."""
+    half = S // 2
+    if S % 2 == 0:
+        xs = xt.reshape(-1, 2 * C, half)
+    else:
+        xs = np.concatenate([xt[:, :, :half], xt[:, :, S - half:]], axis=2)
+        xs = xs.reshape(-1, 2 * C, half)
+    c, n = 2 * C, half
+    if n < 2 or c < 2:
+        return np.full(xt.shape[0], np.nan)
+    chain_mean = xs.mean(axis=2)
+    chain_var = xs.var(axis=2, ddof=1)
+    between = n * chain_mean.var(axis=1, ddof=1)
+    within = chain_var.mean(axis=1)
+    vhat = (n - 1.0) / n * within + between / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.sqrt(vhat / within)
+
+
 def rhat(x):
     """Rank-normalized split-R-hat: max of bulk and folded estimators
-    (Vehtari et al. 2021)."""
+    (Vehtari et al. 2021). Same fused param-major pipeline as ESS (one
+    transpose, in-place rank scatters) — minimal passes over the array."""
     x = np.asarray(x, dtype=np.float64)
-    bulk = _rhat_base(_rank_normalize(x))
-    folded = _rhat_base(_rank_normalize(np.abs(x - np.median(x, axis=(0, 1)))))
-    return np.maximum(bulk, folded)
+    C, S = x.shape[:2]
+    extra = x.shape[2:]
+    K = int(np.prod(extra)) if extra else 1
+    xt = np.ascontiguousarray(x.reshape(C, S, K).transpose(2, 0, 1))
+    s = C * S
+    lut = ndtri((np.arange(1, s + 1) - 3.0 / 8.0) / (s + 1.0 / 4.0))
+
+    med = np.median(xt.reshape(K, -1), axis=1)  # per-param median over (c,d)
+    folded_t = np.abs(xt - med[:, None, None])
+    _rank_rows_inplace(folded_t, lut)
+    folded = _rhat_from_t(folded_t, C, S)
+
+    _rank_rows_inplace(xt, lut)  # xt is our private copy
+    bulk = _rhat_from_t(xt, C, S)
+
+    out = np.maximum(bulk, folded)
+    return out.reshape(extra) if extra else out[0]
 
 
 def _autocov_fft(x):
