@@ -327,6 +327,9 @@ class Wald(Continuous):
         b = 2.0 * lam / mu + normal_lcdf(0, 1, -l * (safe_v / mu + 1.0))
         res = a + jnp.log1p(jnp.exp(b - a))
         res = jnp.where(v > 0, res, -jnp.inf)
+        # +inf: a/l are inf-ratio NaN there; CDF is exactly 1 (reference
+        # continuous.py Wald.logcdf's lt(value, inf) switch)
+        res = jnp.where(v == jnp.inf, 0.0, res)
         return check_parameters(jnp.minimum(res, 0.0), mu > 0, lam > 0)
 
     def _sample(self, key, shape, mu, lam, alpha):
@@ -1011,6 +1014,8 @@ class ExGaussian(Continuous):
         res = lp1 + _log1mexp_jax(jnp.minimum(lp2 - lp1, -1e-15))
         approx = normal_lcdf(mu, sigma, value)
         res = jnp.where(nu > 0.05 * sigma, res, approx)
+        # -inf: lp2 is (+inf) + (-inf) = NaN there; CDF is exactly 0
+        res = jnp.where(value == -jnp.inf, -jnp.inf, res)
         return check_parameters(res, sigma > 0, nu > 0)
 
     def _sample(self, key, shape, mu, sigma, nu):
