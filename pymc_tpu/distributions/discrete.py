@@ -203,6 +203,8 @@ class Poisson(Discrete):
 
         res = safe_log(jsp.gammaincc(safe + 1.0, mu))
         res = jnp.where(value >= 0, res, -jnp.inf)
+        # gammaincc(inf, mu) returns 0 rather than 1; CDF(+inf) is exactly 1
+        res = jnp.where(value == jnp.inf, 0.0, res)
         return check_parameters(res, mu >= 0)
 
     def _sample(self, key, shape, mu):

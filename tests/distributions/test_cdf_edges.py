@@ -101,3 +101,47 @@ def test_cdf_boundary_values(name, make, support):
     if upper is not None:
         lp = float(np.asarray(d.logcdf(jnp.asarray(upper))))
         np.testing.assert_allclose(lp, 0.0, atol=1e-6)
+
+
+DISCRETE_CASES = [
+    ("Bernoulli", lambda: pm.Bernoulli.dist(p=0.7), (0, 1)),
+    ("Binomial", lambda: pm.Binomial.dist(n=10, p=0.3), (0, 10)),
+    ("BetaBinomial", lambda: pm.BetaBinomial.dist(n=10, alpha=2.0, beta=3.0),
+     (0, 10)),
+    ("Poisson", lambda: pm.Poisson.dist(mu=3.0), (0, None)),
+    ("NegativeBinomial", lambda: pm.NegativeBinomial.dist(mu=3.0, alpha=2.0),
+     (0, None)),
+    ("Geometric", lambda: pm.Geometric.dist(p=0.3), (1, None)),
+    ("HyperGeometric", lambda: pm.HyperGeometric.dist(N=20, k=8, n=10),
+     (0, 8)),
+    ("DiscreteUniform", lambda: pm.DiscreteUniform.dist(lower=-2, upper=7),
+     (-2, 7)),
+    ("DiscreteWeibull", lambda: pm.DiscreteWeibull.dist(q=0.8, beta=1.5),
+     (0, None)),
+    ("Categorical", lambda: pm.Categorical.dist(p=[0.2, 0.3, 0.5]), (0, 2)),
+]
+
+
+@pytest.mark.parametrize("name,make,support", DISCRETE_CASES,
+                         ids=[c[0] for c in DISCRETE_CASES])
+def test_discrete_logcdf_infinities(name, make, support):
+    d = make()
+    try:
+        hi = float(np.asarray(d.logcdf(jnp.asarray(np.inf))))
+        lo = float(np.asarray(d.logcdf(jnp.asarray(-np.inf))))
+    except NotImplementedError:
+        pytest.skip("no logcdf (reference parity)")
+    np.testing.assert_allclose(hi, 0.0, atol=1e-9)
+    assert lo == -np.inf, lo
+
+
+@pytest.mark.parametrize("name,make,support", DISCRETE_CASES,
+                         ids=[c[0] for c in DISCRETE_CASES])
+def test_discrete_logp_outside_support(name, make, support):
+    d = make()
+    lower, upper = support
+    lp = float(np.asarray(d.logp(jnp.asarray(lower - 1))))
+    assert lp == -np.inf, (name, "below", lp)
+    if upper is not None:
+        lp = float(np.asarray(d.logp(jnp.asarray(upper + 1))))
+        assert lp == -np.inf, (name, "above", lp)
