@@ -153,3 +153,36 @@ class TestDataSharding:
         with mesh, data_sharded(mesh):
             lp = float(jax.jit(m.logp_fn())({"mu": 0.5}))
         assert np.isfinite(lp)
+
+
+class TestShardedPooledStep:
+    def test_mesh_pooled_step_matches_unsharded(self, mesh8):
+        """step_adapt='pooled' involves a cross-chain mean — under a sharded
+        chain axis that is a collective; draws must still be bit-identical
+        to the unsharded run."""
+        y = np.random.default_rng(5).normal(0.5, 1.2, 25)
+
+        def run(mesh):
+            with pm.Model() as m:
+                mu = pm.Normal("mu", 0, 5)
+                sigma = pm.HalfNormal("sigma", 2)
+                pm.Normal("y", mu, sigma, observed=y)
+            return pm.sample(draws=150, tune=150, chains=16, model=m,
+                             random_seed=7, progressbar=False,
+                             compute_convergence_checks=False, mesh=mesh,
+                             mass_adapt="pooled", step_adapt="pooled",
+                             target_accept=0.9)
+
+        a = run(None)
+        b = run(mesh8)
+        # NOT bit-identical: the pooled-step cross-chain mean becomes a
+        # sharded reduction whose summation order XLA reassociates (~1e-15
+        # per step). Unlike the default path's per-chain math (exactly
+        # equal, test above), only near-equality can hold here.
+        np.testing.assert_allclose(a.posterior["mu"].values,
+                                   b.posterior["mu"].values, atol=1e-9)
+        np.testing.assert_allclose(a.posterior["sigma"].values,
+                                   b.posterior["sigma"].values, atol=1e-9)
+        # shared step: every chain ends with the same adapted step size
+        ss = np.asarray(b.sample_stats["step_size"])
+        assert np.allclose(ss, ss[0, 0])
