@@ -272,12 +272,12 @@ def ess(x, method="bulk", prob=None):
         for p in probs:
             q = np.quantile(x.reshape(-1, *x.shape[2:]), p, axis=0)
             ind = (x <= q).astype(np.float64)
-            esses.append(_ess_base(ind))
+            esses.append(_ess_fused(ind, rank_normalize=False))
         return np.minimum(*esses)
     if method == "quantile":
         q = np.quantile(x.reshape(-1, *x.shape[2:]), prob, axis=0)
         ind = (x <= q).astype(np.float64)
-        return _ess_base(ind)
+        return _ess_fused(ind, rank_normalize=False)
     raise ValueError(f"Unknown ess method {method}")
 
 
