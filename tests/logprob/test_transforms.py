@@ -189,3 +189,54 @@ class TestDefaultTransformAssignment:
         with pm.Model() as m:
             pm.HalfNormal("x", 1.0, transform=None)
         assert m.free_RVs[0].transform is None
+
+
+class TestRemainingTransformJacobians:
+    def test_cholesky_corr_ljd_autodiff(self):
+        # packed (m,) -> packed (m,) is shape-preserving: exact autodiff check
+        t = tr.CholeskyCorrTransform(3)
+        v = jnp.asarray([0.3, -0.4, 0.7])
+        ours = float(jnp.sum(jnp.asarray(t.log_jac_det(v))))
+        expected = float(_autodiff_ljd(t, v))
+        np.testing.assert_allclose(ours, expected, rtol=1e-6)
+
+    def test_cholesky_corr_ljd_autodiff_n4(self):
+        t = tr.CholeskyCorrTransform(4)
+        v = jnp.asarray([0.2, -0.1, 0.5, 0.8, -0.6, 0.05])
+        np.testing.assert_allclose(
+            float(jnp.sum(jnp.asarray(t.log_jac_det(v)))),
+            float(_autodiff_ljd(t, v)), rtol=1e-6,
+        )
+
+    def test_zerosum_is_isometry(self):
+        # the claimed |det|=1: the rectangular embedding must be orthonormal,
+        # i.e. 0.5*logdet(J^T J) == 0 by autodiff
+        t = tr.ZeroSumTransform(1)
+        v = jnp.asarray([0.4, -1.2, 0.3])
+        np.testing.assert_allclose(float(_autodiff_ljd(t, v)), 0.0,
+                                   atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(t.log_jac_det(v)), 0.0, atol=1e-12
+        )
+
+    def test_circular_ljd_zero(self):
+        t = tr.CircularTransform()
+        v = jnp.asarray([0.5, 2.9, -2.9])
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(jnp.asarray(t.log_jac_det(v)))), 0.0,
+            atol=1e-12,
+        )
+        # backward lands in (-pi, pi]
+        x = np.asarray(t.backward(jnp.asarray([7.0, -7.0])))
+        assert np.all(x > -np.pi - 1e-9) and np.all(x <= np.pi + 1e-9)
+
+    def test_sum_to_1_ljd_zero_convention(self):
+        # the reference's SumTo1 log_jac_det is identically zero (subspace
+        # density convention, reference transforms.py SumTo1)
+        v = jnp.asarray([0.2, 0.3])
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(jnp.asarray(tr.sum_to_1.log_jac_det(v)))),
+            0.0, atol=1e-12,
+        )
+        x = np.asarray(tr.sum_to_1.backward(v))
+        np.testing.assert_allclose(x.sum(), 1.0, rtol=1e-12)
