@@ -339,3 +339,21 @@ class TestPooledStepAdapt:
         with pytest.raises(ValueError, match="step_adapt"):
             pm.sample(draws=10, tune=10, chains=2, model=m,
                       progressbar=False, step_adapt="bogus")
+
+
+def test_discard_tuned_samples_false_keeps_warmup_group():
+    """reference mcmc.py discard_tuned_samples: warmup draws surface as the
+    warmup_posterior group with their own draw axis."""
+    with pm.Model() as m:
+        pm.Normal("x", 0, 1)
+    idata = pm.sample(draws=50, tune=30, chains=2, model=m, random_seed=0,
+                      progressbar=False, compute_convergence_checks=False,
+                      discard_tuned_samples=False)
+    assert hasattr(idata, "warmup_posterior")
+    assert idata.warmup_posterior["x"].shape == (2, 30)
+    assert idata.posterior["x"].shape == (2, 50)
+    # warmup and kept draws must be different segments
+    assert not np.array_equal(
+        np.asarray(idata.warmup_posterior["x"][:, -20:]),
+        np.asarray(idata.posterior["x"][:, :20]),
+    )
