@@ -14,6 +14,7 @@ deterministics) is (re)computed."
 from __future__ import annotations
 
 import logging
+import warnings
 
 import numpy as np
 import jax
@@ -92,6 +93,13 @@ def sample_prior_predictive(
 ):
     """Reference forward.py:485."""
     model = modelcontext(model)
+    if model.potentials:
+        warnings.warn(
+            "The effect of Potentials on other parameters is ignored during "
+            "prior predictive sampling. This is likely to lead to invalid "
+            "or biased predictive samples.",
+            UserWarning,
+        )
     if samples is not None:  # deprecated alias
         draws = samples
     key = _resolve_key(random_seed)
@@ -121,6 +129,13 @@ def sample_posterior_predictive(
     from the trace; missing free RVs and all requested observed RVs are
     resampled (the volatility semantics of forward.py:154)."""
     model = modelcontext(model)
+    if model.potentials:
+        warnings.warn(
+            "The effect of Potentials on other parameters is ignored during "
+            "posterior predictive sampling. This is likely to lead to "
+            "invalid or biased predictive samples.",
+            UserWarning,
+        )
     key = _resolve_key(random_seed)
 
     post = trace.posterior if hasattr(trace, "posterior") else trace

@@ -182,3 +182,25 @@ class TestSetDataPredictions:
             pp = pm.sample_posterior_predictive(idata, progressbar=False)
         mean = pp.posterior_predictive["y"].values.mean(axis=(0, 1))
         np.testing.assert_allclose(mean, 2 * X2, rtol=0.1)
+
+
+def test_potentials_warn_in_forward_sampling():
+    """reference forward.py:548,1096: Potentials are ignored in forward
+    sampling and the user must be told."""
+    import warnings
+
+    with pm.Model() as m:
+        x = pm.Normal("x", 0, 1)
+        pm.Potential("pen", -0.5 * x**2)
+        pm.Normal("y", x, 1, observed=np.zeros(3))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pm.sample_prior_predictive(draws=10, model=m, random_seed=0)
+        assert any("Potentials" in str(x.message) for x in w)
+    idata = pm.sample(draws=20, tune=20, chains=2, model=m, random_seed=0,
+                      progressbar=False, compute_convergence_checks=False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pm.sample_posterior_predictive(idata, model=m, random_seed=1,
+                                       progressbar=False)
+        assert any("Potentials" in str(x.message) for x in w)
