@@ -90,6 +90,7 @@ def sample(
     var_names=None,
     mass_adapt="per_chain",
     step_adapt="per_chain",
+    callback=None,
     cores=None,
     keep_warning_stat=False,
     trace=None,
@@ -121,6 +122,12 @@ def sample(
         that tail, a shared step size thins it.
     mass_matrix : "diag" (default) or "full" — pooled dense covariance
         (also selected by init="jitter+adapt_full"/"adapt_full").
+    callback : callable, called after every SAMPLING CHUNK (not per draw —
+        draws are produced by on-device scans) with keyword arguments
+        draws_done, draws, chains, stats (the chunk's NutsStats arrays).
+        Raising KeyboardInterrupt inside the callback stops sampling and
+        returns the completed draws (reference mcmc.py:757 callback
+        contract at chunk granularity).
     mesh : jax.sharding.Mesh — shard the chain axis across devices
         (pm.parallel.chain_mesh); draws are identical to the unsharded run.
     trace / resume / chunk_size : durable chunked trace streaming with
@@ -657,6 +664,11 @@ def sample(
             accept=float(np.clip(stats_np.acceptance_rate, 0, 1).mean()),
             step_size=float(packed_np[..., -1].mean()),
         )
+        if callback is not None:
+            # KeyboardInterrupt raised here lands in the partial-trace
+            # handler below — the user-facing stop mechanism
+            callback(draws_done=i0 + m0, draws=draws, chains=chains,
+                     stats=stats_np)
 
     pending = None
     interrupted = False

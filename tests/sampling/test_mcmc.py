@@ -357,3 +357,31 @@ def test_discard_tuned_samples_false_keeps_warmup_group():
         np.asarray(idata.warmup_posterior["x"][:, -20:]),
         np.asarray(idata.posterior["x"][:, :20]),
     )
+
+
+def test_sample_callback_and_early_stop():
+    """callback= runs per sampling chunk and can stop the run with
+    KeyboardInterrupt, returning the completed draws (reference
+    mcmc.py:757 contract at chunk granularity)."""
+    calls = []
+
+    def cb(draws_done, draws, chains, stats):
+        calls.append(draws_done)
+        assert stats.diverging.shape[-1] == 2  # (m, chains)
+
+    with pm.Model() as m:
+        pm.Normal("x", 0, 1)
+    idata = pm.sample(draws=60, tune=30, chains=2, model=m, random_seed=0,
+                      progressbar=False, compute_convergence_checks=False,
+                      chunk_size=20, callback=cb)
+    assert calls == [20, 40, 60]
+    assert idata.posterior["x"].shape == (2, 60)
+
+    def stopper(draws_done, **kw):
+        if draws_done >= 20:
+            raise KeyboardInterrupt
+
+    idata2 = pm.sample(draws=100, tune=30, chains=2, model=m, random_seed=0,
+                       progressbar=False, compute_convergence_checks=False,
+                       chunk_size=20, callback=stopper)
+    assert idata2.posterior["x"].shape[1] < 100
