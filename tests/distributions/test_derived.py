@@ -681,3 +681,71 @@ class TestMvRandomWalks:
         # terminal mean ~ T * mu
         np.testing.assert_allclose(draws[:, -1].mean(axis=0), T * mu,
                                    rtol=0.1, atol=0.5)
+
+
+class TestTruncatedExtended:
+    """Reference tests/distributions/test_truncated.py extras: discrete
+    logp/logcdf, one-sided truncation, icdf, TruncatedNormal equivalence,
+    moments inside the bounds."""
+
+    def test_discrete_logp_and_logcdf(self):
+        d = pm.Truncated.dist(pm.Poisson.dist(3.0), lower=1, upper=6)
+        ks = np.arange(1, 7)
+        pmf = st.poisson.pmf(ks, 3.0)
+        pmf = pmf / pmf.sum()
+        got = np.exp(np.asarray(pm.logp(d, ks)))
+        np.testing.assert_allclose(got, pmf, rtol=1e-6)
+        assert float(pm.logp(d, 0)) == -np.inf
+        assert float(pm.logp(d, 7)) == -np.inf
+        cdf = np.exp(np.asarray(d.logcdf(jnp.asarray(ks))))
+        np.testing.assert_allclose(cdf, np.cumsum(pmf), rtol=1e-6)
+
+    def test_upper_only(self):
+        d = pm.Truncated.dist(pm.Normal.dist(0.0, 1.0), upper=0.0)
+        x = -0.7
+        expected = st.truncnorm.logpdf(x, -np.inf, 0.0)
+        np.testing.assert_allclose(float(pm.logp(d, x)), expected, rtol=1e-6)
+        draws = np.asarray(
+            pm.Truncated.dist(pm.Normal.dist(0.0, 1.0), upper=0.0,
+                              size=(2000,)).sample(jax.random.PRNGKey(0))
+        )
+        assert draws.max() <= 0.0
+
+    def test_icdf_matches_scipy(self):
+        d = pm.Truncated.dist(pm.Normal.dist(0.5, 2.0), lower=-1.0, upper=3.0)
+        qs = np.array([0.05, 0.3, 0.5, 0.9])
+        a, b = (-1.0 - 0.5) / 2.0, (3.0 - 0.5) / 2.0
+        expected = st.truncnorm.ppf(qs, a, b, 0.5, 2.0)
+        got = np.asarray(d.icdf(jnp.asarray(qs)))
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    def test_truncated_normal_equivalence(self):
+        # TruncatedNormal(mu, sigma, lower, upper) must equal
+        # Truncated(Normal(mu, sigma), lower, upper) exactly
+        tn = pm.TruncatedNormal.dist(0.5, 1.5, lower=-1.0, upper=2.0)
+        tr = pm.Truncated.dist(pm.Normal.dist(0.5, 1.5), lower=-1.0,
+                               upper=2.0)
+        xs = jnp.asarray([-0.9, 0.0, 1.0, 1.9])
+        np.testing.assert_allclose(np.asarray(pm.logp(tn, xs)),
+                                   np.asarray(pm.logp(tr, xs)), rtol=1e-6)
+
+    def test_support_point_inside_bounds(self):
+        # base support point (mean 5.0) falls outside [0, 1]: the truncated
+        # support point must still be inside
+        d = pm.Truncated.dist(pm.Normal.dist(5.0, 1.0), lower=0.0, upper=1.0)
+        sp = float(np.asarray(d.support_point()))
+        assert 0.0 <= sp <= 1.0
+        assert np.isfinite(float(np.asarray(d.logp(jnp.asarray(sp)))))
+
+    def test_in_model_posterior(self):
+        rng = np.random.default_rng(3)
+        raw = rng.normal(1.0, 1.0, 600)
+        y = raw[(raw > 0.0) & (raw < 3.0)]
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 5)
+            pm.Truncated("y", pm.Normal.dist(mu, 1.0), lower=0.0, upper=3.0,
+                         observed=y)
+        idata = pm.sample(draws=500, tune=500, chains=2, model=m,
+                          random_seed=1, progressbar=False,
+                          compute_convergence_checks=False)
+        assert abs(float(idata.posterior["mu"].values.mean()) - 1.0) < 0.25
