@@ -749,3 +749,46 @@ class TestTruncatedExtended:
                           random_seed=1, progressbar=False,
                           compute_convergence_checks=False)
         assert abs(float(idata.posterior["mu"].values.mean()) - 1.0) < 0.25
+
+
+class TestCensoredExtended:
+    """Reference tests/distributions/test_censored.py extras."""
+
+    def test_one_sided(self):
+        # right-censoring only: point mass at upper, density below
+        d = pm.Censored.dist(pm.Normal.dist(0.0, 1.0), lower=None, upper=1.0)
+        np.testing.assert_allclose(
+            float(pm.logp(d, 1.0)), st.norm.logsf(1.0), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(pm.logp(d, 0.3)), st.norm.logpdf(0.3), rtol=1e-6
+        )
+        # above the bound: impossible
+        assert float(pm.logp(d, 1.5)) == -np.inf
+
+    def test_support_point_clipped(self):
+        d = pm.Censored.dist(pm.Normal.dist(5.0, 1.0), lower=-1.0, upper=1.0)
+        sp = float(np.asarray(d.support_point()))
+        assert -1.0 <= sp <= 1.0
+
+    def test_censored_discrete_poisson(self):
+        # censored Poisson: P(x=upper) collects the upper tail
+        d = pm.Censored.dist(pm.Poisson.dist(3.0), lower=None, upper=4)
+        expected_at_4 = st.poisson.sf(3, 3.0)  # P(X >= 4)
+        np.testing.assert_allclose(
+            float(np.exp(pm.logp(d, 4))), expected_at_4, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(np.exp(pm.logp(d, 2))), st.poisson.pmf(2, 3.0), rtol=1e-6
+        )
+
+    def test_sampling_statistics(self):
+        d = pm.Censored.dist(pm.Normal.dist(0.0, 1.0), lower=-0.5, upper=0.5,
+                             size=(20000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(2)))
+        # boundary point masses match the tail probabilities
+        np.testing.assert_allclose((draws == -0.5).mean(),
+                                   st.norm.cdf(-0.5), atol=0.01)
+        np.testing.assert_allclose((draws == 0.5).mean(),
+                                   st.norm.sf(0.5), atol=0.01)
+        assert draws.min() >= -0.5 and draws.max() <= 0.5
