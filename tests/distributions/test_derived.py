@@ -792,3 +792,62 @@ class TestCensoredExtended:
         np.testing.assert_allclose((draws == 0.5).mean(),
                                    st.norm.sf(0.5), atol=0.01)
         assert draws.min() >= -0.5 and draws.max() <= 0.5
+
+
+class TestMixtureExtended:
+    """Reference tests/distributions/test_mixture.py extras: heterogeneous
+    families, batched weights, component-proportion sampling, moments."""
+
+    def test_heterogeneous_components(self):
+        # Normal + Gamma mixture over the shared positive half-line region
+        w = np.array([0.3, 0.7])
+        d = pm.Mixture.dist(w=w, comp_dists=[pm.Normal.dist(2.0, 0.5),
+                                             pm.Gamma.dist(3.0, 1.0)])
+        xs = np.array([0.5, 1.5, 3.0])
+        expected = np.log(
+            0.3 * st.norm.pdf(xs, 2.0, 0.5) + 0.7 * st.gamma.pdf(xs, 3.0)
+        )
+        np.testing.assert_allclose(np.asarray(pm.logp(d, xs)), expected,
+                                   rtol=1e-6)
+
+    def test_batched_weights(self):
+        # per-observation weights (n, 2): each row mixes differently
+        w = np.array([[0.9, 0.1], [0.1, 0.9]])
+        d = pm.Mixture.dist(w=w, comp_dists=[pm.Normal.dist(-2.0, 1.0),
+                                             pm.Normal.dist(2.0, 1.0)])
+        xs = np.array([-2.0, 2.0])
+        expected = np.log(
+            w[:, 0] * st.norm.pdf(xs, -2.0, 1.0)
+            + w[:, 1] * st.norm.pdf(xs, 2.0, 1.0)
+        )
+        np.testing.assert_allclose(np.asarray(pm.logp(d, xs)), expected,
+                                   rtol=1e-6)
+
+    def test_sampling_proportions(self):
+        w = np.array([0.25, 0.75])
+        d = pm.Mixture.dist(w=w, comp_dists=[pm.Normal.dist(-10.0, 0.5),
+                                             pm.Normal.dist(10.0, 0.5)],
+                            size=(20000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(3)))
+        np.testing.assert_allclose((draws < 0).mean(), 0.25, atol=0.01)
+
+    def test_normal_mixture_moments(self):
+        w = np.array([0.4, 0.6])
+        mu = np.array([-1.0, 2.0])
+        sigma = np.array([0.5, 1.0])
+        d = pm.NormalMixture.dist(w=w, mu=mu, sigma=sigma, size=(40000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(4)))
+        mean = (w * mu).sum()
+        var = (w * (sigma**2 + mu**2)).sum() - mean**2
+        np.testing.assert_allclose(draws.mean(), mean, atol=0.03)
+        np.testing.assert_allclose(draws.var(), var, rtol=0.03)
+
+    def test_mixture_logcdf(self):
+        w = np.array([0.3, 0.7])
+        d = pm.Mixture.dist(w=w, comp_dists=[pm.Normal.dist(-1.0, 1.0),
+                                             pm.Normal.dist(1.0, 1.0)])
+        xs = np.array([-2.0, 0.0, 2.0])
+        expected = np.log(0.3 * st.norm.cdf(xs, -1.0, 1.0)
+                          + 0.7 * st.norm.cdf(xs, 1.0, 1.0))
+        np.testing.assert_allclose(np.asarray(d.logcdf(jnp.asarray(xs))),
+                                   expected, rtol=1e-6)
