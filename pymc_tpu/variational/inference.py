@@ -226,20 +226,13 @@ class SVGD(ImplicitGradient):
         self._logp_fn = self._build_logp()
 
     def _phi(self, particles):
-        """SVGD direction: phi(x) = mean_j [k(xj,x) grad logp(xj) + grad_xj k]."""
-        P, D = particles.shape
-        grads = jax.vmap(jax.grad(lambda q: self._logp_fn(q, None)))(particles)
-        diffs = particles[:, None, :] - particles[None, :, :]  # (P,P,D)
-        sq = jnp.sum(diffs**2, axis=-1)
-        med = jnp.median(sq)
-        h = jnp.sqrt(0.5 * med / jnp.log(P + 1.0)) + 1e-6
-        k = jnp.exp(-sq / (2.0 * h**2))  # (P,P)
-        term1 = k.T @ grads  # sum_j k(xj, xi) grad_j
-        # repulsion grad_{xj} k(xj, xi) = k_ij (x_i - x_j)/h^2, summed over j
-        # (axis=1; summing over axis=0 flips the sign and the particles
-        # collapse onto the mode)
-        term2 = jnp.sum(k[..., None] * diffs / h**2, axis=1)
-        return (term1 + term2) / P
+        """SVGD direction phi(x) = mean_j [k(xj,x) grad logp(xj) + grad_xj k]
+        via the shared Stein machinery (operators.Stein + rbf median-
+        heuristic kernel — one implementation for SVGD/ASVGD/KSD)."""
+        from .operators import Stein
+
+        stein = Stein(jax.grad(lambda q: self._logp_fn(q, None)))
+        return stein.phi(particles)
 
     def fit(self, n=10000, obj_optimizer=None, callbacks=None,
             progressbar=True, chunk=100, **kwargs):

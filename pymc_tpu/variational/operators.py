@@ -55,7 +55,7 @@ class rbf(TestFunction):
     def __call__(self, X):
         sq = jnp.sum((X[:, None, :] - X[None, :, :]) ** 2, axis=-1)
         med = jnp.median(sq)
-        h = jnp.sqrt(0.5 * med / jnp.log(X.shape[0] + 1.0))
+        h = jnp.sqrt(0.5 * med / jnp.log(X.shape[0] + 1.0)) + 1e-6
         K = jnp.exp(-sq / (2.0 * h**2))
         dK = -(X[:, None, :] - X[None, :, :]) / h**2 * K[..., None]
         return K, jnp.sum(dK, axis=0)
