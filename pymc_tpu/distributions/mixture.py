@@ -369,9 +369,16 @@ class _HurdleDiscrete(Discrete):
         )
         draw = jnp.zeros(full, dtype=intX())
         got = jnp.zeros(full, dtype=bool)
+        # base must be drawn at the FULL batch shape — sampling it at
+        # sample_shape only and broadcasting makes every element share one
+        # candidate (perfectly correlated nonzero draws)
+        extra = (
+            full[: len(full) - self.base.ndim]
+            if self.base.ndim <= len(full) else ()
+        )
         for i in range(32):
             cand = jnp.broadcast_to(
-                self.base.sample(jax.random.fold_in(k2, i), sample_shape, env, memo),
+                self.base.sample(jax.random.fold_in(k2, i), extra, env, memo),
                 full,
             )
             take = (~got) & (cand > 0)
@@ -430,8 +437,13 @@ class _HurdleContinuous(Continuous):
         nonzero = jax.random.bernoulli(
             k1, jnp.broadcast_to(jnp.asarray(psi, floatX()), full)
         )
+        # draw the base at the FULL batch shape (see _HurdleDiscrete.sample)
+        extra = (
+            full[: len(full) - self.base.ndim]
+            if self.base.ndim <= len(full) else ()
+        )
         draw = jnp.broadcast_to(
-            self.base.sample(k2, sample_shape, env, memo), full
+            self.base.sample(k2, extra, env, memo), full
         )
         return jnp.where(nonzero, draw, 0.0).astype(floatX())
 

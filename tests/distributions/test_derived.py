@@ -851,3 +851,42 @@ class TestMixtureExtended:
                           + 0.7 * st.norm.cdf(xs, 1.0, 1.0))
         np.testing.assert_allclose(np.asarray(d.logcdf(jnp.asarray(xs))),
                                    expected, rtol=1e-6)
+
+
+class TestZeroInflatedHurdleSampling:
+    """Sampling statistics for the zero-inflated/hurdle families (reference
+    test_mixture.py Zero-Inflated/Hurdle random coverage)."""
+
+    def test_zip_zero_fraction(self):
+        psi, mu = 0.6, 3.0
+        d = pm.ZeroInflatedPoisson.dist(psi=psi, mu=mu, size=(30000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(0)))
+        expected_zero = (1 - psi) + psi * st.poisson.pmf(0, mu)
+        np.testing.assert_allclose((draws == 0).mean(), expected_zero,
+                                   atol=0.01)
+        # nonzero draws are Poisson draws conditioned on > 0:
+        # mean = mu / (1 - e^-mu)
+        nz = draws[draws > 0]
+        np.testing.assert_allclose(nz.mean(), mu / (1 - np.exp(-mu)),
+                                   rtol=0.02)
+
+    def test_hurdle_poisson_no_extra_zeros(self):
+        psi, mu = 0.7, 2.0
+        d = pm.HurdlePoisson.dist(psi=psi, mu=mu, size=(30000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(1)))
+        np.testing.assert_allclose((draws == 0).mean(), 1 - psi, atol=0.01)
+        # nonzero part is zero-truncated Poisson: mean mu/(1-exp(-mu))
+        nz = draws[draws > 0]
+        np.testing.assert_allclose(nz.mean(), mu / (1 - np.exp(-mu)),
+                                   rtol=0.02)
+
+    def test_hurdle_gamma_sampling_independent(self):
+        # continuous hurdle: nonzero part matches the Gamma base moments
+        # (regression: base was drawn once and broadcast, perfectly
+        # correlating the batch)
+        d = pm.HurdleGamma.dist(psi=0.6, alpha=3.0, beta=1.0, size=(20000,))
+        draws = np.asarray(d.sample(jax.random.PRNGKey(5)))
+        np.testing.assert_allclose((draws == 0).mean(), 0.4, atol=0.01)
+        nz = draws[draws > 0]
+        assert nz.std() > 0.5  # would be 0 under the broadcast bug
+        np.testing.assert_allclose(nz.mean(), 3.0, rtol=0.03)
