@@ -294,6 +294,12 @@ class CumSum(Continuous):
             raise ValueError(
                 f"CumSum shape must match the base shape {self.batch_shape}"
             )
+        if self._size_arg is not None:
+            # silently ignoring size= would return wrongly-shaped draws
+            raise ValueError(
+                "CumSum does not take size=; give the BASE distribution the "
+                "desired shape (the cumsum axis lives on the base)"
+            )
 
     def _diff(self, value):
         first = jnp.take(value, jnp.asarray([0]), axis=self.axis)

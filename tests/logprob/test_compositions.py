@@ -125,3 +125,16 @@ class TestObservedCompositionsInModel:
         sd_hat = float(np.asarray(idata.posterior["sd"]).mean())
         assert abs(mu_hat - 3.0) < 0.4
         assert abs(sd_hat - 2.0) < 0.4
+
+
+def test_cumsum_rejects_size():
+    import pytest
+
+    with pytest.raises(ValueError, match="size"):
+        pm.CumSum.dist(pm.Exponential.dist(1.0, shape=(10,)), size=(500,))
+    # batched base is the supported spelling
+    d = pm.CumSum.dist(pm.Exponential.dist(1.0, shape=(500, 10)))
+    draws = np.asarray(d.sample(jax.random.PRNGKey(0)))
+    assert draws.shape == (500, 10)
+    # rows are independent
+    assert len(np.unique(np.round(draws[:, 0], 6))) > 400
