@@ -100,9 +100,17 @@ class RandomWalk(Continuous):
             memo = {}
         k1, k2 = jax.random.split(key)
         batch = tuple(sample_shape) + self.batch_shape
-        init = self.init_dist.sample(k1, batch[: len(batch) - self.init_dist.ndim]
-                                     if self.init_dist.ndim else batch, env, memo)
-        init = jnp.broadcast_to(init, batch + self.innovation_dist.event_shape)
+        # draw the init at the FULL batch+event target: extra dims are the
+        # target minus the init dist's own ndim (subtracting from `batch`
+        # dropped the batch axes for event-carrying inits, leaving every
+        # batch element sharing ONE init draw)
+        init_target = batch + self.innovation_dist.event_shape
+        init_extra = (
+            init_target[: len(init_target) - self.init_dist.ndim]
+            if self.init_dist.ndim <= len(init_target) else ()
+        )
+        init = self.init_dist.sample(k1, init_extra, env, memo)
+        init = jnp.broadcast_to(init, init_target)
         innov_shape = batch + (self.steps,) + self.innovation_dist.event_shape
         extra = innov_shape[: len(innov_shape) - self.innovation_dist.ndim] \
             if self.innovation_dist.ndim else innov_shape
@@ -264,10 +272,15 @@ class AR(Continuous):
         p = self.ar_order
         batch = tuple(sample_shape) + self.batch_shape
         k1, k2 = jax.random.split(key)
-        init_extra = batch[: len(batch) - (self.init_dist.ndim - 1)] \
-            if self.init_dist.ndim > 1 else batch
+        # init target is batch + (p,): scalar init dists need the (p,) axis
+        # in `extra` too, or the (batch,) draw cannot broadcast to (batch, p)
+        init_target = batch + (p,)
+        init_extra = (
+            init_target[: len(init_target) - self.init_dist.ndim]
+            if self.init_dist.ndim <= len(init_target) else ()
+        )
         init = jnp.broadcast_to(
-            self.init_dist.sample(k1, init_extra, env, memo), batch + (p,)
+            self.init_dist.sample(k1, init_extra, env, memo), init_target
         )
         noise = sigma[..., None] * jax.random.normal(
             k2, batch + (self.steps,), dtype=floatX()

@@ -890,3 +890,32 @@ class TestZeroInflatedHurdleSampling:
         nz = draws[draws > 0]
         assert nz.std() > 0.5  # would be 0 under the broadcast bug
         np.testing.assert_allclose(nz.mean(), 3.0, rtol=0.03)
+
+
+class TestTimeseriesBatchIndependence:
+    """Regression: init draws must be sampled at the full batch shape —
+    subtracting the init dist's ndim from the BATCH axes left every batch
+    element sharing one init (and AR with a scalar init crashed)."""
+
+    @pytest.mark.parametrize("name,make", [
+        ("AR scalar-init", lambda: pm.AR.dist(
+            rho=[0.5], sigma=1.0, steps=5,
+            init_dist=pm.Normal.dist(0, 1), size=(300,))),
+        ("AR(2) vec-init", lambda: pm.AR.dist(
+            rho=[0.5, -0.2], sigma=1.0, steps=5,
+            init_dist=pm.Normal.dist(0, 1, shape=(2,)), size=(300,))),
+        ("MvGRW", lambda: pm.MvGaussianRandomWalk.dist(
+            mu=np.zeros(2), cov=np.eye(2), steps=5,
+            init_dist=pm.MvNormal.dist(mu=np.zeros(2), cov=np.eye(2)),
+            size=(300,))),
+        ("MvStudentTRW", lambda: pm.MvStudentTRandomWalk.dist(
+            5.0, mu=np.zeros(2), scale=np.eye(2), steps=5,
+            init_dist=pm.MvNormal.dist(mu=np.zeros(2), cov=np.eye(2)),
+            size=(300,))),
+    ], ids=["ar-scalar", "ar2-vec", "mvgrw", "mvstrw"])
+    def test_independent_inits(self, name, make):
+        d = make()
+        draws = np.asarray(d.sample(jax.random.PRNGKey(0)))
+        assert draws.shape[0] == 300
+        first = draws.reshape(300, -1)[:, 0]
+        assert len(np.unique(np.round(first, 6))) > 250, name
