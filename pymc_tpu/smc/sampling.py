@@ -6,7 +6,11 @@ sample_stats including log_marginal_likelihood.
 
 TPU-native: chains vmap over the staged kernel; the host loop only advances
 stages until every chain's temperature reaches 1 (replacing the
-process-per-chain executor of pymc/smc/parallel.py).
+process-per-chain executor of pymc/smc/parallel.py). ``mesh=`` shards the
+particle axis over devices (SURVEY §2.11 mapping): tempered-logp evaluation
+runs on each device's particle shard and the reweighting logsumexp / ESS
+bisection / Pearson-stopping reductions become XLA all-reduces over ICI;
+systematic resampling is a sharded sorted-uniform gather.
 """
 
 from __future__ import annotations
@@ -29,6 +33,35 @@ __all__ = ["sample_smc"]
 _log = logging.getLogger("pymc_tpu")
 
 
+def _smc_state_sharding(mesh):
+    """NamedShardings for a vmapped SMCState whose arrays are (chains, N, ...).
+
+    The mesh axis named "particles" (or the sole axis of a 1-D mesh not named
+    "chains") shards the particle axis; a "chains" axis shards chains.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    names = mesh.axis_names
+    chain_ax = "chains" if "chains" in names else None
+    if "particles" in names:
+        part_ax = "particles"
+    elif len(names) == 1 and names[0] != "chains":
+        part_ax = names[0]
+    else:
+        part_ax = None
+
+    def put(x):
+        if x.ndim == 0:
+            spec = P()
+        elif x.ndim == 1:
+            spec = P(chain_ax)
+        else:
+            spec = P(chain_ax, part_ax, *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return put
+
+
 def sample_smc(
     draws=2000,
     *,
@@ -44,9 +77,16 @@ def sample_smc(
     progressbar=True,
     idata_kwargs=None,
     max_stages=100,
+    mesh=None,
     **kernel_kwargs,
 ):
-    """Sequential Monte Carlo sampling (reference smc/sampling.py:42)."""
+    """Sequential Monte Carlo sampling (reference smc/sampling.py:42).
+
+    mesh : jax.sharding.Mesh, optional — shard the particle axis across
+        devices (axis named "particles"; a 2-D ("chains", "particles") mesh
+        also shards chains). Draws match the unsharded run up to collective
+        reduction order.
+    """
     from ..sampling.mcmc import _make_postprocess_fn, _resolve_seed
 
     model = modelcontext(model)
@@ -64,7 +104,6 @@ def sample_smc(
     has_simulator = any(
         type(orv.dist).__name__ == "Simulator" for orv in model.observed_RVs
     )
-    sim_key_holder = {"key": jax.random.PRNGKey(0)}
 
     def prior_like_one(q, sim_key):
         vals = unravel_vector(q, info)
@@ -73,16 +112,25 @@ def sample_smc(
         varlogp, datalogp = split_logp(vals)
         return varlogp, datalogp
 
-    def prior_like_fn(particles):
+    def prior_like_fn(particles, key=None):
+        # `key` drives the ABC Simulator draws (pseudo-marginal ABC-MCMC:
+        # fresh synthetic data per proposal sweep). It is a traced argument,
+        # NOT a closure constant — closure values would be baked into the
+        # jitted stage at first trace and never advance.
         n = particles.shape[0]
-        sim_keys = jax.random.split(sim_key_holder["key"], n)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sim_keys = jax.random.split(key, n)
         vl, dl = jax.vmap(prior_like_one)(particles, sim_keys)
         # guard: non-finite likelihoods act as -inf (outside support)
         return vl, jnp.where(jnp.isfinite(dl), dl, -jnp.inf)
 
     if isinstance(kernel, str):
-        kernel = {"imh": IMH, "mh": MH}[kernel.lower()](**kernel_kwargs)
+        kernel = {"imh": IMH, "mh": MH}[kernel.lower()](
+            correlation_threshold=correlation_threshold, **kernel_kwargs
+        )
     elif isinstance(kernel, type):
+        kernel_kwargs.setdefault("correlation_threshold", correlation_threshold)
         kernel = kernel(**kernel_kwargs)
 
     # initialize particles from the prior, in unconstrained space
@@ -98,7 +146,14 @@ def sample_smc(
     keys = jax.random.split(k_init, chains * draws)
     particles = jax.jit(jax.vmap(init_particle))(keys).reshape(chains, draws, D)
 
-    state = jax.jit(jax.vmap(lambda p: smc_init(p, prior_like_fn)))(particles)
+    init_keys = jax.random.split(jax.random.fold_in(k_stages, 999983), chains)
+    state = jax.jit(
+        jax.vmap(lambda p, k: smc_init(p, prior_like_fn, k))
+    )(particles, init_keys)
+
+    if mesh is not None:
+        put = _smc_state_sharding(mesh)
+        state = jax.tree.map(put, state)
 
     stage_fn = jax.jit(
         jax.vmap(smc_stage(kernel, prior_like_fn, threshold), in_axes=(0, 0))
@@ -106,18 +161,22 @@ def sample_smc(
 
     t0 = time.perf_counter()
     betas_hist = []
+    steps_hist = []
+    acc_hist = []
     stage_i = 0
     while stage_i < max_stages:
-        sim_key_holder["key"] = jax.random.fold_in(k_stages, 7919 + stage_i)
         ks = jax.random.split(jax.random.fold_in(k_stages, stage_i), chains)
         state = stage_fn(ks, state)
         betas = np.asarray(jax.device_get(state.beta))
         betas_hist.append(betas.copy())
+        steps_hist.append(np.asarray(jax.device_get(state.n_steps)).copy())
+        acc_hist.append(np.asarray(jax.device_get(state.acc_rate)).copy())
         stage_i += 1
         if progressbar:
             _log.info(
                 f"SMC stage {stage_i}: beta={np.round(betas, 4).tolist()} "
-                f"acc={np.round(np.asarray(jax.device_get(state.acc_rate)), 3).tolist()}"
+                f"acc={np.round(acc_hist[-1], 3).tolist()} "
+                f"n_steps={steps_hist[-1].tolist()}"
             )
         if np.all(betas >= 1.0):
             break
@@ -143,6 +202,9 @@ def sample_smc(
         "accept_rate": np.broadcast_to(
             np.asarray(jax.device_get(state.acc_rate))[:, None], (chains, draws)
         ).copy(),
+        "n_steps": np.broadcast_to(
+            np.asarray(jax.device_get(state.n_steps))[:, None], (chains, draws)
+        ).copy(),
     }
 
     idata = to_inference_data(
@@ -154,6 +216,12 @@ def sample_smc(
             "n_stages": stage_i,
             "inference_library": "pymc_tpu.smc",
             "log_marginal_likelihood": lml.tolist(),
+            "beta_history": np.array(betas_hist).tolist(),
+            "n_steps_history": np.array(steps_hist).tolist(),
+            "accept_rate_history": np.array(acc_hist).tolist(),
+            "correlation_threshold": getattr(
+                kernel, "correlation_threshold", correlation_threshold
+            ),
         },
     )
     if compute_convergence_checks:

@@ -1,9 +1,19 @@
-"""SMC tests (mirrors reference tests/smc/test_smc.py: posterior accuracy and
-marginal-likelihood correctness)."""
+"""SMC tests.
+
+Mirrors the scope of reference tests/smc/test_smc.py (328 LoC): posterior
+accuracy on the bimodal two-Gaussians benchmark, marginal-likelihood
+correctness (conjugate evidence + Beta-Bernoulli Bayes factor), MH-kernel
+posterior recovery, correlation-threshold mutation tuning behavior,
+systematic-resampling unit semantics, high-dimensional targets, and the
+particle-sharded mesh path.
+"""
 
 import numpy as np
 import pytest
 import scipy.stats as st
+
+import jax
+import jax.numpy as jnp
 
 import pymc_tpu as pm
 
@@ -36,24 +46,71 @@ class TestSMC:
         lml = np.asarray(idata.posterior.attrs["log_marginal_likelihood"])
         np.testing.assert_allclose(lml, exact, atol=0.5)
 
-    def test_mh_kernel(self):
-        rng = np.random.default_rng(2)
-        y = rng.normal(0.5, 1.0, 20)
-        with pm.Model() as m:
-            mu = pm.Normal("mu", 0, 1)
-            pm.Normal("y", mu, 1, observed=y)
-        idata = pm.sample_smc(draws=1000, chains=2, kernel="mh", model=m,
-                              random_seed=3, progressbar=False,
-                              compute_convergence_checks=False)
-        n = len(y)
-        np.testing.assert_allclose(
-            idata.posterior["mu"].values.mean(), n * y.mean() / (n + 1),
-            atol=0.07,
-        )
-
     def test_beta_reaches_one(self, conjugate_result):
         _, idata = conjugate_result
         assert np.all(idata.sample_stats["beta"].values >= 1.0)
+
+    def test_two_gaussians_bimodal(self):
+        # reference tests/smc/test_smc.py:37-89 — the headline SMC benchmark:
+        # a 4-D mixture of two narrow Gaussians at ±0.5 under a Uniform prior
+        n = 4
+        mu1 = np.full(n, 0.5)
+        stdev = 0.1
+        w1, w2 = stdev, 1 - stdev
+
+        def two_gaussians(x):
+            log1 = (
+                -0.5 * n * np.log(2 * np.pi)
+                - n * np.log(stdev)
+                - 0.5 * pm.math.sum(((x - mu1) / stdev) ** 2)
+            )
+            log2 = (
+                -0.5 * n * np.log(2 * np.pi)
+                - n * np.log(stdev)
+                - 0.5 * pm.math.sum(((x + mu1) / stdev) ** 2)
+            )
+            return pm.math.logsumexp(
+                pm.math.stack([np.log(w1) + log1, np.log(w2) + log2])
+            )
+
+        with pm.Model() as m:
+            X = pm.Uniform("X", lower=-2.0, upper=2.0, shape=(n,))
+            pm.Potential("muh", two_gaussians(X))
+        idata = pm.sample_smc(draws=1000, chains=2, model=m, random_seed=11,
+                              progressbar=False,
+                              compute_convergence_checks=False)
+        x = idata.posterior["X"].values.reshape(-1, n)
+        mu1d = np.abs(x).mean(axis=0)
+        np.testing.assert_allclose(mu1d, mu1, rtol=0.0, atol=0.03)
+        # the dominant mode (weight 0.9) is at -0.5
+        assert (x[:, 0] < 0).mean() > 0.6
+
+    def test_marginal_likelihood_bayes_factor(self):
+        # reference tests/smc/test_smc.py:151-171 — Beta-Bernoulli evidence
+        # ratio between a flat and a concentrated prior is analytically 4
+        data = np.repeat([1, 0], [50, 50])
+        marginals = []
+        for alpha, beta in ((1.0, 1.0), (20.0, 20.0)):
+            with pm.Model() as model:
+                a = pm.Beta("a", alpha, beta)
+                pm.Bernoulli("y", a, observed=data)
+            idata = pm.sample_smc(draws=2000, chains=2, model=model,
+                                  random_seed=13, progressbar=False,
+                                  compute_convergence_checks=False)
+            lml = np.mean(idata.posterior.attrs["log_marginal_likelihood"])
+            marginals.append(lml)
+        assert abs(np.exp(marginals[1] - marginals[0]) - 4.0) <= 1
+
+    def test_return_posterior_dict(self):
+        with pm.Model() as m:
+            x = pm.Normal("x", 0, 1)
+            pm.Normal("y", x, 1, observed=0.0)
+        post = pm.sample_smc(draws=50, chains=2, model=m, random_seed=5,
+                             progressbar=False,
+                             compute_convergence_checks=False,
+                             return_inferencedata=False)
+        assert isinstance(post, dict)
+        assert post["x"].shape == (2, 50)
 
     def test_multimodal_mixture(self):
         # SMC's signature capability: multimodal targets via tempering
@@ -72,3 +129,178 @@ class TestSMC:
         # both modes populated
         assert (draws < -1).mean() > 0.15
         assert (draws > 1).mean() > 0.15
+
+
+class TestTuning:
+    """Correlation-threshold mutation tuning (reference kernels.py:486-525)."""
+
+    def _fit(self, **kwargs):
+        rng = np.random.default_rng(7)
+        y = rng.normal(0.3, 1.0, 40)
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 1)
+            sigma = pm.HalfNormal("sigma", 1)
+            pm.Normal("y", mu, sigma, observed=y)
+        return pm.sample_smc(draws=400, chains=1, model=m, random_seed=8,
+                             progressbar=False,
+                             compute_convergence_checks=False, **kwargs)
+
+    def test_auto_steps_recorded_and_adaptive(self):
+        idata = self._fit()
+        hist = np.asarray(idata.posterior.attrs["n_steps_history"])
+        assert hist.shape[0] >= 2          # several stages ran
+        assert np.all(hist >= 1)
+        # the decorrelation rule always runs at least 2 sweeps (old_corr
+        # starts at 2, so the first comparison always continues)
+        assert np.all(hist[hist > 0] >= 2)
+        assert idata.sample_stats["n_steps"].values.min() >= 1
+
+    def test_correlation_threshold_controls_steps(self):
+        loose = self._fit(correlation_threshold=0.5)
+        tight = self._fit(correlation_threshold=0.001)
+        n_loose = np.asarray(loose.posterior.attrs["n_steps_history"]).sum()
+        n_tight = np.asarray(tight.posterior.attrs["n_steps_history"]).sum()
+        assert n_tight >= n_loose
+        assert tight.posterior.attrs["correlation_threshold"] == 0.001
+
+    def test_fixed_n_steps_respected(self):
+        idata = self._fit(n_steps=7)
+        hist = np.asarray(idata.posterior.attrs["n_steps_history"])
+        assert np.all(hist[hist > 0] == 7)
+
+    def test_invalid_correlation_threshold(self):
+        with pytest.raises(ValueError, match="correlation_threshold"):
+            pm.smc.IMH(correlation_threshold=1.5)
+        with pytest.raises(ValueError, match="correlation_threshold"):
+            pm.smc.MH(correlation_threshold=-0.1)
+
+    def test_mh_kernel_tunes(self):
+        idata = self._fit(kernel="mh")
+        acc = np.asarray(idata.posterior.attrs["accept_rate_history"])
+        # acceptance stays in a sane band once scales adapt
+        assert 0.05 < acc[-1] < 0.95
+        hist = np.asarray(idata.posterior.attrs["n_steps_history"])
+        assert np.all(hist[hist > 0] >= 2)
+
+
+class TestMHKernel:
+    def test_normal_model(self):
+        # reference tests/smc/test_smc.py:275-288
+        data = st.norm(10, 0.5).rvs(
+            1000, random_state=np.random.RandomState(20160911)
+        )
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 3)
+            sigma = pm.HalfNormal("sigma", 1)
+            pm.Normal("y", mu, sigma, observed=data)
+        idata = pm.sample_smc(draws=1000, chains=2, kernel="mh", model=m,
+                              random_seed=17, progressbar=False,
+                              compute_convergence_checks=False)
+        post = idata.posterior
+        assert np.abs(post["mu"].values.mean() - 10) < 0.1
+        assert np.abs(post["sigma"].values.mean() - 0.5) < 0.05
+
+    def test_imh_and_mh_agree(self):
+        rng = np.random.default_rng(23)
+        y = rng.normal(-0.7, 1.0, 60)
+        n = len(y)
+        exact_mean = n * y.mean() / (n + 1)
+        for kern in ("imh", "mh"):
+            with pm.Model() as m:
+                mu = pm.Normal("mu", 0, 1)
+                pm.Normal("y", mu, 1, observed=y)
+            idata = pm.sample_smc(draws=1000, chains=2, kernel=kern, model=m,
+                                  random_seed=19, progressbar=False,
+                                  compute_convergence_checks=False)
+            np.testing.assert_allclose(
+                idata.posterior["mu"].values.mean(), exact_mean, atol=0.06
+            )
+
+
+class TestHighDim:
+    def test_conjugate_d20(self):
+        # 20 independent conjugate normals: per-dimension posterior known
+        D = 20
+        rng = np.random.default_rng(31)
+        y = rng.normal(0.5, 1.0, (8, D))
+        n = y.shape[0]
+        with pm.Model() as m:
+            theta = pm.Normal("theta", 0, 1, shape=(D,))
+            pm.Normal("y", theta, 1, observed=y)
+        idata = pm.sample_smc(draws=1500, chains=2, model=m, random_seed=37,
+                              progressbar=False,
+                              compute_convergence_checks=False)
+        post = idata.posterior["theta"].values.reshape(-1, D)
+        exact_mean = n * y.mean(axis=0) / (n + 1)
+        exact_sd = np.sqrt(1.0 / (n + 1))
+        np.testing.assert_allclose(post.mean(axis=0), exact_mean, atol=0.12)
+        np.testing.assert_allclose(post.std(axis=0), exact_sd, atol=0.08)
+
+
+class TestShardedSMC:
+    """Particle-axis mesh sharding (SURVEY §2.11 TPU mapping)."""
+
+    def _model(self):
+        rng = np.random.default_rng(41)
+        y = rng.normal(1.0, 1.0, 30)
+        with pm.Model() as m:
+            mu = pm.Normal("mu", 0, 1)
+            pm.Normal("y", mu, 1, observed=y)
+        return y, m
+
+    def test_sharded_runs_and_matches_moments(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+
+        y, m = self._model()
+        n = len(y)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("particles",))
+        idata = pm.sample_smc(draws=1024, chains=2, model=m, random_seed=43,
+                              progressbar=False, mesh=mesh,
+                              compute_convergence_checks=False)
+        assert np.all(idata.sample_stats["beta"].values >= 1.0)
+        post = idata.posterior["mu"].values
+        np.testing.assert_allclose(post.mean(), n * y.mean() / (n + 1),
+                                   atol=0.05)
+        np.testing.assert_allclose(post.std(), np.sqrt(1 / (n + 1)),
+                                   atol=0.03)
+        # evidence still correct under the sharded reductions
+        cov = np.eye(n) + np.ones((n, n))
+        exact = st.multivariate_normal.logpdf(y, np.zeros(n), cov)
+        lml = np.asarray(idata.posterior.attrs["log_marginal_likelihood"])
+        np.testing.assert_allclose(lml, exact, atol=0.5)
+
+    def test_chains_by_particles_mesh(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+
+        y, m = self._model()
+        mesh = Mesh(
+            np.array(jax.devices()[:8]).reshape(2, 4), ("chains", "particles")
+        )
+        idata = pm.sample_smc(draws=512, chains=2, model=m, random_seed=47,
+                              progressbar=False, mesh=mesh,
+                              compute_convergence_checks=False)
+        assert np.all(idata.sample_stats["beta"].values >= 1.0)
+        post = idata.posterior["mu"].values
+        n = len(y)
+        np.testing.assert_allclose(post.mean(), n * y.mean() / (n + 1),
+                                   atol=0.06)
+
+
+def test_systematic_resampling_unit():
+    # reference tests/smc/test_smc.py:304-309 semantics: equal weights keep
+    # all indices; a dominant weight duplicates it
+    from pymc_tpu.smc.kernels import _systematic_resample
+
+    key = jax.random.PRNGKey(0)
+    lw = jnp.log(jnp.array([1 / 3, 1 / 3, 1 / 3]))
+    idx_src = jnp.arange(3)
+    out = _systematic_resample(key, lw, idx_src)
+    np.testing.assert_array_equal(np.asarray(out), [0, 1, 2])
+
+    lw = jnp.log(jnp.array([0.99, 0.01]))
+    out = _systematic_resample(jax.random.PRNGKey(1), lw, jnp.arange(2))
+    np.testing.assert_array_equal(np.asarray(out), [0, 0])
