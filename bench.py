@@ -56,7 +56,11 @@ def build_model(pm, n_counties=85, n_obs=919, seed=1234):
 
 def run(chains, draws, tune, seed=0):
     import pymc_tpu as pm
-    from pymc_tpu.stats.convergence import ess
+    from pymc_tpu.stats.convergence import (
+        ess,
+        grad_evals_per_sec,
+        time_to_rhat,
+    )
 
     model = build_model(pm)
     t0 = time.perf_counter()
@@ -98,6 +102,9 @@ def run(chains, draws, tune, seed=0):
         "ess_per_sec": min_ess / float(sampling_time),
         "chains": chains,
         "draws": draws,
+        # full BASELINE.json metric set (VERDICT r2 missing #3)
+        "grad_evals_per_sec": grad_evals_per_sec(idata),
+        "time_to_rhat_1_01": time_to_rhat(idata, threshold=1.01),
     }
 
 
@@ -159,6 +166,12 @@ def main():
         "value": round(res["ess_per_sec"], 2),
         "unit": f"min-ESS/sec ({res['chains']} chains x {res['draws']} draws, {platform})",
         "vs_baseline": round(res["ess_per_sec"] / baseline, 2) if baseline else None,
+        # BASELINE.json companion metrics (informational keys)
+        "grad_evals_per_sec": round(res["grad_evals_per_sec"], 1),
+        "time_to_rhat_1_01_sec": (
+            round(res["time_to_rhat_1_01"], 3)
+            if np.isfinite(res["time_to_rhat_1_01"]) else None
+        ),
     }
     print(json.dumps(out))
 

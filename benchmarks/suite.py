@@ -1,11 +1,20 @@
 """Benchmark suite mirroring the reference's asv metrics
-(reference benchmarks/benchmarks/benchmarks.py) on the BASELINE.md configs.
+(reference benchmarks/benchmarks/benchmarks.py) on the BASELINE.md configs,
+reporting the full BASELINE.json metric set per case: min-ESS/sec,
+grad-logp-evals/sec, and time-to-R-hat<1.01.
 
 Each case prints one JSON line; `python benchmarks/suite.py [case ...]`
 runs a subset (default: all). Uses the persistent XLA compile cache so
 repeat runs skip the remote compile.
 
+`python benchmarks/suite.py --measure-baseline [case ...]` records CPU
+4-chain anchors (the same jitted-JAX-CPU methodology as bench.py's
+bench_baseline.json — the realizable equivalent of the reference's
+nuts_sampler="numpyro" CPU path) into suite_baseline.json; subsequent
+device runs then emit a vs_baseline speedup per case.
+
 Cases:
+  eight_schools  config #1: non-centered hierarchical normal, 4 chains
   overhead   sampler overhead: 10k draws, single Normal(0,1)  (:79-98)
   radon      ESS/sec radon GLM (= bench.py, config #2)        (:180-198)
   mixture    worst-case ESS/sec, marginalized 3-comp mixture  (:200-226)
@@ -25,10 +34,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+BASELINE_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "suite_baseline.json",
+)
+
+_MEASURE_BASELINE = False
+
 
 def _setup():
     import jax
 
+    if _MEASURE_BASELINE:
+        jax.config.update("jax_platforms", "cpu")
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -38,18 +56,78 @@ def _setup():
     return jax, pm
 
 
+def _load_baselines():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)
+    return {}
+
+
+_RESULTS = {}
+
+
 def _emit(case, **kv):
+    kv = {
+        k: (None if isinstance(v, float) and not np.isfinite(v) else v)
+        for k, v in kv.items()
+    }
+    _RESULTS[case] = kv
+    # vs_baseline: speedup on the case's primary metric when an anchor exists
+    anchors = _load_baselines()
+    if not _MEASURE_BASELINE and case in anchors:
+        a = anchors[case]
+        if "ess_per_sec" in kv and a.get("ess_per_sec"):
+            kv["vs_baseline"] = round(kv["ess_per_sec"] / a["ess_per_sec"], 2)
+        elif "worst_ess_per_sec" in kv and a.get("worst_ess_per_sec"):
+            kv["vs_baseline"] = round(
+                kv["worst_ess_per_sec"] / a["worst_ess_per_sec"], 2
+            )
+        elif "total_wall" in kv and a.get("total_wall"):
+            kv["vs_baseline"] = round(a["total_wall"] / kv["total_wall"], 2)
     print(json.dumps({"case": case, **{
         k: (round(v, 3) if isinstance(v, float) else v) for k, v in kv.items()
     }}), flush=True)
 
 
-def _min_ess_per_sec(pm, idata, names):
-    from pymc_tpu.stats.convergence import ess
+def _scorecard(idata, names):
+    """min-ESS, ESS/sec, grad-evals/sec, time-to-R-hat<1.01 (BASELINE.json
+    metric set)."""
+    from pymc_tpu.stats.convergence import (
+        ess,
+        grad_evals_per_sec,
+        time_to_rhat,
+    )
 
     post = idata.posterior
     vals = [float(np.nanmin(ess(post[n].values))) for n in names]
-    return min(vals), idata.posterior.attrs["sampling_time"]
+    min_ess = min(vals)
+    st = float(post.attrs["sampling_time"])
+    return {
+        "min_ess": min_ess,
+        "sampling_time": st,
+        "ess_per_sec": min_ess / st,
+        "grad_evals_per_sec": grad_evals_per_sec(idata),
+        "time_to_rhat_1_01": time_to_rhat(idata, var_names=names),
+    }
+
+
+def case_eight_schools(jax, pm, chains=4):
+    # BASELINE config #1: non-centered Eight Schools, NUTS, 4 chains x 1k
+    y_obs = np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+    with pm.Model(coords={"school": np.arange(8)}) as m:
+        mu = pm.Normal("mu", 0.0, 5.0)
+        tau = pm.HalfCauchy("tau", 5.0)
+        theta_t = pm.Normal("theta_t", 0.0, 1.0, dims="school")
+        theta = pm.Deterministic("theta", mu + tau * theta_t, dims="school")
+        pm.Normal("y", theta, sigma, observed=y_obs)
+    t0 = time.perf_counter()
+    idata = pm.sample(draws=1000, tune=1000, chains=chains, model=m,
+                      random_seed=0, progressbar=False,
+                      compute_convergence_checks=False)
+    wall = time.perf_counter() - t0
+    sc = _scorecard(idata, ["mu", "tau"])
+    _emit("eight_schools", chains=chains, draws=1000, total_wall=wall, **sc)
 
 
 def case_overhead(jax, pm, chains=4):
@@ -69,17 +147,26 @@ def case_radon(jax, pm, chains=None):
     import bench
 
     platform = jax.default_backend()
-    chains = chains or (1024 if platform == "tpu" else 64)
-    res = bench.run(chains=chains, draws=256, tune=300)
+    if _MEASURE_BASELINE:
+        chains, draws, tune = 4, 1000, 1000
+    else:
+        chains = chains or (1024 if platform == "tpu" else 64)
+        draws, tune = 256, 300
+    res = bench.run(chains=chains, draws=draws, tune=tune)
     _emit("radon", chains=chains, min_ess=res["min_ess"],
-          sampling_time=res["sampling_time"], ess_per_sec=res["ess_per_sec"])
+          sampling_time=res["sampling_time"], ess_per_sec=res["ess_per_sec"],
+          grad_evals_per_sec=res["grad_evals_per_sec"],
+          time_to_rhat_1_01=res["time_to_rhat_1_01"])
 
 
 def case_mixture(jax, pm, chains=None):
     # marginalized 3-component Gaussian mixture (reference :49-77):
     # worst-case (min over mu components) ESS/sec
     platform = jax.default_backend()
-    chains = chains or (256 if platform == "tpu" else 16)
+    if _MEASURE_BASELINE:
+        chains = 4
+    else:
+        chains = chains or (256 if platform == "tpu" else 16)
     rng = np.random.default_rng(12345)
     w_true = np.array([0.35, 0.4, 0.25])
     mu_true = np.array([0.0, 2.0, -1.0])
@@ -95,15 +182,18 @@ def case_mixture(jax, pm, chains=None):
                       random_seed=0, progressbar=False,
                       compute_convergence_checks=False,
                       mass_adapt="pooled" if chains >= 64 else "per_chain")
-    min_ess, st = _min_ess_per_sec(pm, idata, ["mu"])
-    _emit("mixture", chains=chains, min_ess=min_ess, sampling_time=float(st),
-          worst_ess_per_sec=min_ess / float(st))
+    sc = _scorecard(idata, ["mu"])
+    sc["worst_ess_per_sec"] = sc.pop("ess_per_sec")
+    _emit("mixture", chains=chains, **sc)
 
 
 def case_best(jax, pm, chains=None):
     # BEST drug-evaluation model (reference :107-151): two-group StudentT
     platform = jax.default_backend()
-    chains = chains or (512 if platform == "tpu" else 8)
+    if _MEASURE_BASELINE:
+        chains = 4
+    else:
+        chains = chains or (512 if platform == "tpu" else 8)
     drug = np.array([101, 100, 102, 104, 102, 97, 105, 105, 98, 101, 100,
                      123, 105, 103, 100, 95, 102, 106, 109, 102, 82, 102,
                      100, 102, 102, 101, 102, 102, 103, 103, 97, 97, 103,
@@ -131,23 +221,29 @@ def case_best(jax, pm, chains=None):
                       compute_convergence_checks=False,
                       mass_adapt="pooled" if chains >= 64 else "per_chain")
     wall = time.perf_counter() - t0
-    min_ess, st = _min_ess_per_sec(
-        pm, idata, ["group1_mean", "group2_mean", "difference of means"]
+    sc = _scorecard(
+        idata, ["group1_mean", "group2_mean", "difference of means"]
     )
-    _emit("best", chains=chains, draws=5000, sampling_time=float(st),
-          total_wall=wall, min_ess=min_ess,
-          ess_per_sec=min_ess / float(st))
+    _emit("best", chains=chains, draws=5000, total_wall=wall, **sc)
 
 
-def case_gp(jax, pm, chains=None):
-    # config #4: GP latent regression — dense Cholesky + MvNormal logp path
-    platform = jax.default_backend()
-    chains = chains or (32 if platform == "tpu" else 8)
+def _gp_data():
     rng = np.random.default_rng(5)
     n = 150
     X = np.sort(rng.uniform(0, 10, n))[:, None]
     f_true = np.sin(X[:, 0]) * 2
     y = f_true + rng.normal(0, 0.3, n)
+    return n, X, y
+
+
+def case_gp(jax, pm, chains=None):
+    # config #4: GP latent regression — dense Cholesky + MvNormal logp path
+    platform = jax.default_backend()
+    if _MEASURE_BASELINE:
+        chains = 4
+    else:
+        chains = chains or (32 if platform == "tpu" else 8)
+    n, X, y = _gp_data()
     with pm.Model() as m:
         ls = pm.Gamma("ls", 2, 1)
         eta = pm.HalfNormal("eta", 2)
@@ -160,9 +256,8 @@ def case_gp(jax, pm, chains=None):
                       random_seed=0, progressbar=False,
                       compute_convergence_checks=False,
                       mass_adapt="pooled" if chains >= 64 else "per_chain")
-    min_ess, st = _min_ess_per_sec(pm, idata, ["ls", "eta", "sigma"])
-    _emit("gp", chains=chains, n=n, min_ess=min_ess,
-          sampling_time=float(st), ess_per_sec=min_ess / float(st))
+    sc = _scorecard(idata, ["ls", "eta", "sigma"])
+    _emit("gp", chains=chains, n=n, **sc)
 
 
 def case_gp_marginal(jax, pm, chains=None):
@@ -172,12 +267,11 @@ def case_gp_marginal(jax, pm, chains=None):
     # The Latent case above stays as the stress variant (its slow per-draw
     # mixing is a model property, round-1 VERDICT weak #7).
     platform = jax.default_backend()
-    chains = chains or (64 if platform == "tpu" else 8)
-    rng = np.random.default_rng(5)
-    n = 150
-    X = np.sort(rng.uniform(0, 10, n))[:, None]
-    f_true = np.sin(X[:, 0]) * 2
-    y = f_true + rng.normal(0, 0.3, n)
+    if _MEASURE_BASELINE:
+        chains = 4
+    else:
+        chains = chains or (64 if platform == "tpu" else 8)
+    n, X, y = _gp_data()
     with pm.Model() as m:
         ls = pm.Gamma("ls", 2, 1)
         eta = pm.HalfNormal("eta", 2)
@@ -191,10 +285,8 @@ def case_gp_marginal(jax, pm, chains=None):
                       compute_convergence_checks=False,
                       mass_adapt="pooled" if chains >= 64 else "per_chain")
     wall = time.perf_counter() - t0
-    min_ess, st = _min_ess_per_sec(pm, idata, ["ls", "eta", "sigma"])
-    _emit("gp_marginal", chains=chains, n=n, min_ess=min_ess,
-          sampling_time=float(st), total_wall=wall,
-          ess_per_sec=min_ess / float(st))
+    sc = _scorecard(idata, ["ls", "eta", "sigma"])
+    _emit("gp_marginal", chains=chains, n=n, total_wall=wall, **sc)
 
 
 def case_gp_hsgp(jax, pm, chains=None):
@@ -202,12 +294,11 @@ def case_gp_hsgp(jax, pm, chains=None):
     # becomes m basis coefficients with an MXU matmul feature map; no
     # Cholesky anywhere in the hot path.
     platform = jax.default_backend()
-    chains = chains or (64 if platform == "tpu" else 8)
-    rng = np.random.default_rng(5)
-    n = 150
-    X = np.sort(rng.uniform(0, 10, n))[:, None]
-    f_true = np.sin(X[:, 0]) * 2
-    y = f_true + rng.normal(0, 0.3, n)
+    if _MEASURE_BASELINE:
+        chains = 4
+    else:
+        chains = chains or (64 if platform == "tpu" else 8)
+    n, X, y = _gp_data()
     with pm.Model() as m:
         ls = pm.Gamma("ls", 2, 1)
         eta = pm.HalfNormal("eta", 2)
@@ -222,10 +313,8 @@ def case_gp_hsgp(jax, pm, chains=None):
                       compute_convergence_checks=False,
                       mass_adapt="pooled" if chains >= 64 else "per_chain")
     wall = time.perf_counter() - t0
-    min_ess, st = _min_ess_per_sec(pm, idata, ["ls", "eta", "sigma"])
-    _emit("gp_hsgp", chains=chains, n=n, min_ess=min_ess,
-          sampling_time=float(st), total_wall=wall,
-          ess_per_sec=min_ess / float(st))
+    sc = _scorecard(idata, ["ls", "eta", "sigma"])
+    _emit("gp_hsgp", chains=chains, n=n, total_wall=wall, **sc)
 
 
 def case_smc(jax, pm, chains=None):
@@ -246,19 +335,26 @@ def case_smc(jax, pm, chains=None):
     mu_post = idata.posterior["mu"].values.reshape(-1, 2).mean(0)
     _emit("smc", draws=2000, chains=4, total_wall=wall,
           log_evidence=float(np.mean(lml[np.isfinite(lml)])),
+          n_stages=int(idata.posterior.attrs["n_stages"]),
           mu_post=[round(float(v), 2) for v in mu_post])
 
 
 CASES = {
-    "overhead": case_overhead, "radon": case_radon, "mixture": case_mixture,
+    "eight_schools": case_eight_schools, "overhead": case_overhead,
+    "radon": case_radon, "mixture": case_mixture,
     "best": case_best, "gp": case_gp, "gp_marginal": case_gp_marginal,
     "gp_hsgp": case_gp_hsgp, "smc": case_smc,
 }
 
 
 def main():
+    global _MEASURE_BASELINE
+    args = sys.argv[1:]
+    if "--measure-baseline" in args:
+        _MEASURE_BASELINE = True
+        args.remove("--measure-baseline")
     jax, pm = _setup()
-    which = [a for a in sys.argv[1:] if a in CASES] or list(CASES)
+    which = [a for a in args if a in CASES] or list(CASES)
     _emit("platform", backend=jax.default_backend(),
           device=str(jax.devices()[0]))
     for name in which:
@@ -266,6 +362,19 @@ def main():
             CASES[name](jax, pm)
         except Exception as e:  # keep the suite running
             _emit(name, error=f"{type(e).__name__}: {e}")
+
+    if _MEASURE_BASELINE:
+        anchors = _load_baselines()
+        for name in which:
+            if name in _RESULTS and "error" not in _RESULTS[name]:
+                anchors[name] = {
+                    **_RESULTS[name],
+                    "methodology": "jitted-JAX-CPU 4-chain anchor "
+                    "(equivalent of reference nuts_sampler='numpyro' CPU)",
+                }
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(anchors, f, indent=2)
+        print(json.dumps({"baseline_recorded": which}), flush=True)
 
 
 if __name__ == "__main__":

@@ -77,7 +77,11 @@ class AsyncChunkWriter:
     def write_npz(self, path, arrays):
         buf = io.BytesIO()
         np.savez(buf, **arrays)
-        payload = buf.getvalue()
+        self.write_bytes(path, buf.getvalue())
+
+    def write_bytes(self, path, payload):
+        """Enqueue a raw byte payload for atomic background persistence
+        (used for both npz chunks and zarr v2 chunk files)."""
         if self._handle is not None:
             self._lib.tw_write(
                 self._handle, path.encode(), payload, len(payload)

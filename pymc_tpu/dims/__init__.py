@@ -339,18 +339,201 @@ def _dims_first(dist_cls):
     return ctor
 
 
+# ------------------------------------------------- multivariate core dims
+# Parity: reference pymc/dims/distributions/vector.py — vector distributions
+# take `core_dims=` naming their event dimension(s); parameters are aligned
+# by NAME (each parameter declares which core dims it carries), batch dims
+# are the union of the parameters' non-core dims, and the output carries
+# batch dims + the distribution's output core dims.
+#
+# Per-parameter core-dim indices into the declared `core_dims` tuple:
+#   MvNormal   (vector.py:121): mu -> core_dims[0]; cov/chol/tau -> both.
+#              Output keeps core_dims[0] (the dim shared with mu).
+#   Dirichlet  (vector.py:66):  a -> core_dims[0]; output keeps it
+#              (simplex transform over that dim).
+#   Multinomial: n scalar-per-batch; p -> core_dims[0]; output keeps it.
+#   Categorical (vector.py:27): p/logit_p -> core_dims[0]; the output DROPS
+#              the core dim (categories are absorbed).
+#   ZeroSumNormal (vector.py:179): sigma has no core dims; output carries
+#              every core dim, with the zero-sum transform over them.
+_VECTOR_SPECS = {
+    "MvNormal": {
+        "params": {"mu": (0,), "cov": (0, 1), "chol": (0, 1), "tau": (0, 1)},
+        "arg_order": ("mu", "cov"), "n_core": 2, "out_core": (0,),
+    },
+    "MvStudentT": {
+        "params": {"nu": (), "mu": (0,), "cov": (0, 1), "chol": (0, 1),
+                   "scale": (0, 1)},
+        "arg_order": ("nu", "mu", "cov"), "n_core": 2, "out_core": (0,),
+    },
+    "Dirichlet": {
+        "params": {"a": (0,)},
+        "arg_order": ("a",), "n_core": 1, "out_core": (0,),
+    },
+    "Multinomial": {
+        "params": {"n": (), "p": (0,)},
+        "arg_order": ("n", "p"), "n_core": 1, "out_core": (0,),
+    },
+    "DirichletMultinomial": {
+        "params": {"n": (), "a": (0,)},
+        "arg_order": ("n", "a"), "n_core": 1, "out_core": (0,),
+    },
+    "Categorical": {
+        "params": {"p": (0,), "logit_p": (0,)},
+        "arg_order": ("p",), "n_core": 1, "out_core": (),
+    },
+    "ZeroSumNormal": {
+        "params": {"sigma": ()},
+        "arg_order": ("sigma",), "n_core": None, "out_core": "all",
+    },
+}
+
+
+def _vector_dims_first(dist_cls, spec):
+    def ctor(name, *args, core_dims=None, dims=None, **kwargs):
+        model = modelcontext(None)
+        if core_dims is None:
+            raise TypeError(
+                f"pm.dims.{dist_cls.__name__} requires core_dims= naming the "
+                "event dimension(s)"
+            )
+        core = (core_dims,) if isinstance(core_dims, str) else tuple(core_dims)
+        n_core = spec["n_core"]
+        if n_core is not None and len(core) != n_core:
+            raise ValueError(
+                f"{dist_cls.__name__} requires {n_core} core_dims, got {core}"
+            )
+        if len(set(core)) != len(core):
+            raise ValueError(f"duplicate core_dims {core}")
+        for pname, v in zip(spec["arg_order"], args):
+            if pname in kwargs:
+                raise TypeError(f"duplicate parameter {pname!r}")
+            kwargs[pname] = v
+        out_core = (
+            core if spec["out_core"] == "all"
+            else tuple(core[i] for i in spec["out_core"])
+        )
+        # batch dims: union of parameters' non-core dims, first appearance
+        batch = []
+        for pname, idxs in spec["params"].items():
+            v = kwargs.get(pname)
+            d = _dims_of(v) if v is not None else None
+            if d:
+                own_core = {core[i] for i in idxs}
+                for nm in d:
+                    if nm in own_core:
+                        continue
+                    if nm in core:
+                        raise ValueError(
+                            f"parameter {pname!r} carries core dim {nm!r} "
+                            f"it does not use (its core dims are "
+                            f"{tuple(sorted(own_core))})"
+                        )
+                    if nm not in batch:
+                        batch.append(nm)
+        if dims is not None:
+            declared = (dims,) if isinstance(dims, str) else tuple(dims)
+            k = len(declared) - len(out_core)
+            if k < 0 or tuple(declared[k:]) != out_core:
+                raise ValueError(
+                    f"dims {declared} must end with the output core dims "
+                    f"{out_core}"
+                )
+            declared_batch = list(declared[:k])
+            missing = [b for b in batch if b not in declared_batch]
+            if missing:
+                raise ValueError(
+                    f"dims {declared} is missing parameter batch dims "
+                    f"{missing}"
+                )
+            batch = declared_batch
+        out_dims = tuple(batch) + out_core
+
+        aligned = {}
+        for k2, v in kwargs.items():
+            if k2 in spec["params"] and v is not None:
+                idxs = spec["params"][k2]
+                target = tuple(batch) + tuple(core[i] for i in idxs)
+                d = _dims_of(v)
+                if d is not None:
+                    aligned[k2] = _align_node(_node_of(v), d, target)
+                else:
+                    nd = np.ndim(v) if not is_node(v) else len(v.shape)
+                    if nd > len(idxs):
+                        raise ValueError(
+                            f"positional (unnamed) parameter {k2!r} has ndim "
+                            f"{nd} > its core ndim {len(idxs)}; wrap it with "
+                            "pm.dims.with_dims to name its batch dims"
+                        )
+                    aligned[k2] = _node_of(v)
+            else:
+                aligned[k2] = v  # control kwargs (observed, initval, ...)
+
+        # shape: coords when declared, else inferred from aligned parameters
+        # (register_rv then records any new dims from the dist shape)
+        if aligned.get("observed") is None and "shape" not in aligned:
+            known = model.dim_lengths
+            lengths = []
+            for pos, dname in enumerate(out_dims):
+                if dname in known:
+                    lengths.append(known[dname])
+                    continue
+                ln = None
+                for pname, idxs in spec["params"].items():
+                    v = aligned.get(pname)
+                    if v is None:
+                        continue
+                    target = tuple(batch) + tuple(core[i] for i in idxs)
+                    if dname not in target:
+                        continue
+                    vshape = tuple(as_node(v).shape)
+                    # aligned params are right-aligned against the target
+                    offset = len(target) - len(vshape)
+                    j = target.index(dname) - offset
+                    if 0 <= j < len(vshape) and int(vshape[j]) != 1:
+                        ln = int(vshape[j])
+                        break
+                if ln is None:
+                    raise KeyError(
+                        f"cannot infer length of dim {dname!r}: declare it "
+                        "via model coords or pass a parameter carrying it"
+                    )
+                lengths.append(ln)
+            aligned["shape"] = tuple(lengths)
+
+        if dist_cls.__name__ == "ZeroSumNormal":
+            aligned["n_zerosum_axes"] = len(core)
+        rv = dist_cls(name, dims=out_dims or None, **aligned)
+        if out_dims and len(out_dims) == len(getattr(rv, "shape", ())):
+            return DimVar(rv, out_dims)
+        return rv
+
+    ctor.__name__ = dist_cls.__name__
+    ctor.__qualname__ = f"dims.{dist_cls.__name__}"
+    ctor.__doc__ = (
+        f"dims-first {dist_cls.__name__} with named core (event) dims "
+        "(reference pymc/dims/distributions/vector.py semantics). "
+        f"Parameter core-dim roles: {spec['params']}."
+    )
+    return ctor
+
+
 _DIST_NAMES = [
     "Normal", "HalfNormal", "LogNormal", "StudentT", "HalfStudentT",
     "Cauchy", "HalfCauchy", "Beta", "Gamma", "InverseGamma", "Exponential",
     "Laplace", "Uniform", "Logistic", "Gumbel", "Weibull", "Flat", "HalfFlat",
-    "Bernoulli", "Binomial", "Poisson", "NegativeBinomial", "Categorical",
-    "Geometric", "DiscreteUniform", "Dirichlet", "Multinomial", "MvNormal",
-    "ZeroSumNormal", "Mixture", "Censored", "Truncated",
+    "Bernoulli", "Binomial", "Poisson", "NegativeBinomial",
+    "Geometric", "DiscreteUniform", "Mixture", "Censored", "Truncated",
 ]
 
 for _n in _DIST_NAMES:
     if hasattr(_pm, _n):
         globals()[_n] = _dims_first(getattr(_pm, _n))
+        __all__.append(_n)
+
+for _n, _spec in _VECTOR_SPECS.items():
+    if hasattr(_pm, _n):
+        globals()[_n] = _vector_dims_first(getattr(_pm, _n), _spec)
         __all__.append(_n)
 
 

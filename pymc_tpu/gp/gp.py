@@ -31,12 +31,18 @@ def _stabilize(K, jitter=None):
 
     Default is dtype-aware: the reference's 1e-6 assumes float64; in
     float32 (the TPU default) kernel matrices with near-duplicate inputs
-    are indefinite at that level, so 1e-4 is used instead."""
+    are indefinite at that level. The f32 default further scales with the
+    kernel amplitude — an absolute 1e-4 is lost on K with diag = eta^2 >> 1
+    (f32 Cholesky needs condition <~1e6, and the condition is
+    ~n*mean(diag)/jitter), which made jittered-init latent GPs NaN for
+    moderate (ls, eta) draws."""
 
     def _f(k):
-        return k + _resolve_jitter(jitter, k.dtype) * jnp.eye(
-            k.shape[-1], dtype=k.dtype
-        )
+        j = _resolve_jitter(jitter, k.dtype)
+        if jitter is None and k.dtype != jnp.float64:
+            diag_mean = jnp.mean(jnp.diagonal(k, axis1=-2, axis2=-1))
+            j = jnp.maximum(j, 3e-4 * diag_mean)
+        return k + j * jnp.eye(k.shape[-1], dtype=k.dtype)
 
     return apply(_f, K)
 

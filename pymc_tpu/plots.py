@@ -1,6 +1,7 @@
 """Plotting (reference pymc/plots/ aliases arviz_plots; arviz is not a
 dependency here, so the core diagnostics plots are implemented natively on
-matplotlib: trace, posterior, forest, energy, autocorrelation)."""
+matplotlib: trace, posterior, forest, energy, autocorrelation, pair, rank,
+posterior-predictive check)."""
 
 from __future__ import annotations
 
@@ -12,6 +13,9 @@ __all__ = [
     "plot_forest",
     "plot_energy",
     "plot_autocorr",
+    "plot_pair",
+    "plot_rank",
+    "plot_ppc",
 ]
 
 
@@ -111,6 +115,145 @@ def plot_energy(idata, figsize=None):
     ax.legend(title=f"BFMI per chain: {np.round(bfmi, 2)}")
     fig.tight_layout()
     return ax
+
+
+def plot_pair(idata, var_names=None, kind="scatter", divergences=False,
+              figsize=None, max_vars=6):
+    """Pairwise joint marginals (arviz plot_pair): scatter or 2-D histogram
+    per variable pair, optionally highlighting divergent transitions."""
+    import matplotlib.pyplot as plt
+
+    pairs = _sel_vars(idata, var_names)[:max_vars]
+    k = len(pairs)
+    if k < 2:
+        raise ValueError("plot_pair needs at least two scalar components")
+    div = None
+    if divergences and hasattr(idata, "sample_stats"):
+        try:
+            div = idata.sample_stats["diverging"].values.reshape(-1).astype(bool)
+        except KeyError:
+            div = None
+    fig, axes = plt.subplots(k - 1, k - 1,
+                             figsize=figsize or (2.2 * (k - 1), 2.2 * (k - 1)),
+                             squeeze=False)
+    for i in range(1, k):
+        for j in range(k - 1):
+            ax = axes[i - 1, j]
+            if j >= i:
+                ax.axis("off")
+                continue
+            x = pairs[j][1].reshape(-1)
+            y = pairs[i][1].reshape(-1)
+            if kind == "hexbin":
+                ax.hexbin(x, y, gridsize=30, cmap="Blues")
+            else:
+                ax.plot(x, y, ".", ms=1.5, alpha=0.35)
+                if div is not None and div.any():
+                    ax.plot(x[div], y[div], "r.", ms=4, label="divergent")
+            if i == k - 1:
+                ax.set_xlabel(pairs[j][0])
+            if j == 0:
+                ax.set_ylabel(pairs[i][0])
+    fig.tight_layout()
+    return axes
+
+
+def plot_rank(idata, var_names=None, bins=20, figsize=None):
+    """Rank plots (Vehtari et al. 2021): per-chain histograms of the pooled
+    ranks — uniform when chains mix; deviation flags divergence between
+    chains (arviz plot_rank)."""
+    import matplotlib.pyplot as plt
+
+    pairs = _sel_vars(idata, var_names)
+    n = len(pairs)
+    fig, axes = plt.subplots(n, 1, figsize=figsize or (7, 2.0 * n),
+                             squeeze=False)
+    for i, (name, vals) in enumerate(pairs):
+        C, S = vals.shape
+        ranks = np.argsort(np.argsort(vals.reshape(-1))).reshape(C, S)
+        ax = axes[i, 0]
+        width = 0.9 / C
+        edges = np.linspace(0, C * S, bins + 1)
+        expected = S / bins
+        for c in range(C):
+            hist, _ = np.histogram(ranks[c], bins=edges)
+            ax.bar(
+                np.arange(bins) + c * width, hist, width=width,
+                align="edge", alpha=0.8, label=f"chain {c}" if i == 0 else None,
+            )
+        ax.axhline(expected, color="k", ls="--", lw=1)
+        ax.set_title(name)
+        ax.set_xticks([])
+    if n and vals.shape[0] <= 8:
+        axes[0, 0].legend(fontsize=7)
+    fig.tight_layout()
+    return axes
+
+
+def plot_ppc(idata, kind="kde", num_pp_samples=None, figsize=None,
+             random_seed=0):
+    """Posterior-predictive check (arviz plot_ppc): overlay predictive draws
+    on the observed data, per observed variable. Requires the
+    posterior_predictive group (pm.sample_posterior_predictive) and
+    observed_data."""
+    import matplotlib.pyplot as plt
+
+    pp = getattr(idata, "posterior_predictive", None)
+    obs = getattr(idata, "observed_data", None)
+    if pp is None or obs is None:
+        raise ValueError(
+            "plot_ppc needs posterior_predictive and observed_data groups "
+            "(run pm.sample_posterior_predictive with extend_inferencedata)"
+        )
+    names = [n for n in pp.keys() if n in set(obs.keys())]
+    if not names:
+        raise ValueError("no overlapping variables between groups")
+    rng = np.random.default_rng(random_seed)
+    fig, axes = plt.subplots(len(names), 1,
+                             figsize=figsize or (7, 2.6 * len(names)),
+                             squeeze=False)
+    for i, name in enumerate(names):
+        ax = axes[i, 0]
+        draws = pp[name].values
+        flat = draws.reshape(-1, *draws.shape[2:])
+        n_show = min(num_pp_samples or 40, flat.shape[0])
+        idx = rng.choice(flat.shape[0], size=n_show, replace=False)
+        o = np.asarray(obs[name].values).ravel()
+        if kind == "hist":
+            for j in idx:
+                ax.hist(np.ravel(flat[j]), bins=40, histtype="step",
+                        alpha=0.2, color="C0", density=True)
+            ax.hist(o, bins=40, histtype="step", color="k", lw=2,
+                    density=True, label="observed")
+        else:
+            grid = np.linspace(
+                min(o.min(), flat.min()), max(o.max(), flat.max()), 200
+            )
+            for j in idx:
+                ax.plot(grid, _kde(np.ravel(flat[j]), grid), "C0-",
+                        alpha=0.15)
+            ax.plot(grid, _kde(o, grid), "k-", lw=2, label="observed")
+            mean_pp = flat.reshape(flat.shape[0], -1).mean(axis=0)
+            ax.plot(grid, _kde(mean_pp, grid), "C1--", lw=1.5,
+                    label="posterior predictive mean")
+        ax.set_title(name)
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    return axes
+
+
+def _kde(x, grid):
+    """Gaussian KDE with Silverman bandwidth (no scipy dependency in the
+    plotting hot path; n is small here)."""
+    x = np.asarray(x, dtype=float)
+    n = x.size
+    sd = x.std()
+    if sd == 0 or n < 2:
+        return np.zeros_like(grid)
+    h = 0.9 * min(sd, (np.percentile(x, 75) - np.percentile(x, 25)) / 1.34
+                  or sd) * n ** (-0.2)
+    z = (grid[:, None] - x[None, :]) / h
+    return np.exp(-0.5 * z**2).sum(axis=1) / (n * h * np.sqrt(2 * np.pi))
 
 
 def plot_autocorr(idata, var_names=None, max_lag=100, figsize=None):

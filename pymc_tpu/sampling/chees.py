@@ -68,16 +68,22 @@ def chees_init(q, logp, grad, initial_T=1.0):
 
 def chees_step(
     logp_grad_fn, key, state: CheesState, step_size, inv_mass_diag, halton_u,
-    *, adapt_T, max_leapfrogs=1024, adam_lr=0.025,
+    *, adapt_T, max_leapfrogs=1024, adam_lr=0.025, full_mass=None,
 ):
     """One jittered-HMC draw for ALL chains + ChEES trajectory adaptation.
 
-    step_size: (C,) per-chain; inv_mass_diag: (C, D); halton_u: scalar in
-    (0,1] shared by all chains this draw (the jitter).
+    step_size: (C,) per-chain; inv_mass_diag: (C, D) per-chain diag or
+    (D, D) shared full Sigma (the NUTS convention, nuts.py:575-612; set
+    full_mass explicitly if C == D); halton_u: scalar in (0,1] shared by all
+    chains this draw (the jitter). With full mass the leapfrog velocity is
+    one (C, D) @ (D, D) MXU matmul per step.
     """
     C, D = state.q.shape
     dt = state.q.dtype
     k_mom, k_acc = jax.random.split(key)
+    if full_mass is None:
+        full_mass = inv_mass_diag.shape != state.q.shape
+    full = bool(full_mass)
 
     eps = step_size  # (C,)
     T_jit = jnp.exp(state.log_T) * halton_u
@@ -88,9 +94,23 @@ def chees_step(
         1, max_leapfrogs,
     )
 
-    p0 = jax.random.normal(k_mom, (C, D), dtype=dt) / jnp.sqrt(inv_mass_diag)
-    ke0 = 0.5 * jnp.sum(p0 * inv_mass_diag * p0, axis=-1)
-    h0 = -state.logp + ke0
+    xi = jax.random.normal(k_mom, (C, D), dtype=dt)
+    if full:
+        # p ~ N(0, Sigma^{-1}) via p = L^{-T} xi with Lc = chol(Sigma)
+        from jax.scipy.linalg import solve_triangular
+
+        Lc = jnp.linalg.cholesky(inv_mass_diag)
+        p0 = solve_triangular(Lc.T, xi.T, lower=False).T
+
+        def kinetic(p):
+            return 0.5 * jnp.sum(p * (p @ inv_mass_diag), axis=-1)
+    else:
+        p0 = xi / jnp.sqrt(inv_mass_diag)
+
+        def kinetic(p):
+            return 0.5 * jnp.sum(p * inv_mass_diag * p, axis=-1)
+
+    h0 = -state.logp + kinetic(p0)
 
     # while_loop with a SHARED traced trip count L: every chain does exactly
     # L leapfrogs — uniform device work, no straggler, no masking
@@ -101,7 +121,11 @@ def chees_step(
 
     def leap(carry):
         q, p, grad, logp, i = carry
-        q_new, p_half = leapfrog_kick_drift(q, p, grad, inv_mass_diag, eps)
+        if full:
+            p_half = p + 0.5 * eps[:, None] * grad
+            q_new = q + eps[:, None] * (p_half @ inv_mass_diag)
+        else:
+            q_new, p_half = leapfrog_kick_drift(q, p, grad, inv_mass_diag, eps)
         logp_new, grad_new = jax.vmap(logp_grad_fn)(q_new)
         p_new = p_half + 0.5 * eps[:, None] * grad_new
         # freeze non-finite lanes (diverged) where they are
@@ -116,8 +140,7 @@ def chees_step(
         cond, leap,
         (state.q, p0, state.grad, state.logp, jnp.zeros((), jnp.int32)),
     )
-    ke1 = 0.5 * jnp.sum(p1 * inv_mass_diag * p1, axis=-1)
-    h1 = -logp1 + ke1
+    h1 = -logp1 + kinetic(p1)
     log_accept = jnp.minimum(0.0, h0 - h1)
     log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
     accept_prob = jnp.exp(log_accept)

@@ -191,10 +191,6 @@ def sample(
     # grad-based estimator instead of windows (quadpotential.py:493).
     static_mass = init in ("advi", "advi_map", "map")
     grad_mass = init == "jitter+adapt_diag_grad"
-    if init == "map" and str(sampler).lower() == "chees":
-        raise NotImplementedError("sampler='chees' supports diag mass only")
-    if full_mass and str(sampler).lower() == "chees":
-        raise NotImplementedError("sampler='chees' supports diag mass only")
 
     key = _resolve_seed(random_seed)
     k_init, k_eps, k_warm = jax.random.split(key, 3)
@@ -387,6 +383,7 @@ def sample(
                 # targets (resonance aliasing) and Adam's normalized steps
                 # would otherwise drift T to the bound
                 max_leapfrogs=2 ** max(max_treedepth - 2, 4),
+                full_mass=full_mass,
             )
             q, logp, grad = st.q, st.logp, st.grad
             chees_extra = (st.log_T, st.adam_m, st.adam_v, st.adam_t)
@@ -591,11 +588,13 @@ def sample(
                 carry, (_, wstats_c, wss_c) = scan_fn(carry, warm_xs)
                 # tiny on-device chunk summary -> ONE host transfer: live
                 # warmup feedback (reference progress stat columns)
+                # per-chain columns packed into ONE (4, C) device array so
+                # the live rows cost a single host transfer per chunk
                 summ = jnp.stack([
-                    wstats_c.diverging.sum().astype(floatX()),
-                    wstats_c.depth.astype(floatX()).mean(),
-                    jnp.clip(wstats_c.acceptance_rate, 0.0, 1.0).mean(),
-                    wss_c.mean().astype(floatX()),
+                    wstats_c.diverging.sum(axis=0).astype(floatX()),
+                    wstats_c.depth.astype(floatX()).mean(axis=0),
+                    jnp.clip(wstats_c.acceptance_rate, 0.0, 1.0).mean(axis=0),
+                    wss_c.mean(axis=0).astype(floatX()),
                 ])
                 del wstats_c, wss_c
                 # block per chunk: warmup is serial anyway (carry feeds the
@@ -603,10 +602,16 @@ def sample(
                 # sampling chunk size below
                 jax.block_until_ready(carry)
                 t_perdraw = (time.perf_counter() - _tc) / mw
-                s_np = np.asarray(jax.device_get(summ))
+                s_np = np.asarray(jax.device_get(summ))  # (4, C)
                 pm_bar.update_warmup(
-                    mw, divergences=int(s_np[0]), depth=float(s_np[1]),
-                    accept=float(s_np[2]), step_size=float(s_np[3]),
+                    mw, divergences=int(s_np[0].sum()),
+                    depth=float(s_np[1].mean()),
+                    accept=float(s_np[2].mean()),
+                    step_size=float(s_np[3].mean()),
+                    chain_stats={
+                        "div": s_np[0], "depth": s_np[1],
+                        "accept": s_np[2], "step": s_np[3],
+                    },
                 )
                 w += mw
         else:
@@ -663,6 +668,12 @@ def sample(
             depth=float(stats_np.depth.mean()),
             accept=float(np.clip(stats_np.acceptance_rate, 0, 1).mean()),
             step_size=float(packed_np[..., -1].mean()),
+            chain_stats={
+                "div": stats_np.diverging.sum(axis=0),
+                "depth": stats_np.depth.mean(axis=0),
+                "accept": np.clip(stats_np.acceptance_rate, 0, 1).mean(axis=0),
+                "step": packed_np[..., -1].mean(axis=0),
+            },
         )
         if callback is not None:
             # KeyboardInterrupt raised here lands in the partial-trace
@@ -759,6 +770,11 @@ def sample(
     if compute_convergence_checks and not interrupted:
         warns = run_convergence_checks(idata, model)
         log_warnings(warns)
+
+    if trace is not None and hasattr(trace, "write_inference_data"):
+        # ZarrTrace finalization: persist the named constrained groups so
+        # the store is externally readable (reference ZarrTrace layout)
+        trace.write_inference_data(idata)
 
     if not return_inferencedata:
         # reference parity (mcmc.py return_inferencedata=False -> MultiTrace)

@@ -20,6 +20,8 @@ __all__ = [
     "ess",
     "mcse_mean",
     "mcse_sd",
+    "time_to_rhat",
+    "grad_evals_per_sec",
     "SamplerWarning",
     "WarningType",
     "run_convergence_checks",
@@ -293,6 +295,51 @@ def mcse_sd(x):
     sd = x.std(axis=(0, 1), ddof=1)
     fac = np.sqrt(np.exp(1.0) * (1.0 - 1.0 / e) ** (e - 1.0) - 1.0)
     return sd * fac
+
+
+# -------------------------------------------------- benchmark scorecard
+def time_to_rhat(idata, threshold=1.01, n_grid=12, var_names=None):
+    """Wall-clock seconds (warmup + sampling prefix) until the max
+    rank-normalized split-R-hat across all posterior variables first drops
+    below ``threshold`` (BASELINE.json metric "time-to-R-hat<1.01").
+
+    Scans ~n_grid draw-count prefixes (geometric, min 4 draws so split-R-hat
+    is defined) and linearly attributes sampling time per draw. Returns nan
+    if the threshold is never reached within the available draws.
+    """
+    post = idata.posterior
+    names = list(var_names) if var_names is not None else list(post.data_vars)
+    arrays = [np.asarray(post[n].values) for n in names]
+    S = arrays[0].shape[1]
+    tune_t = float(post.attrs.get("tuning_time", 0.0) or 0.0)
+    samp_t = float(post.attrs.get("sampling_time", 0.0) or 0.0)
+
+    grid = np.unique(
+        np.geomspace(4, S, num=min(n_grid, S)).astype(int)
+    )
+    for n in grid:
+        worst = 0.0
+        for arr in arrays:
+            r = rhat(arr[:, :n])
+            worst = max(worst, float(np.nanmax(r)))
+        if worst < threshold:
+            return tune_t + samp_t * (n / S)
+    return float("nan")
+
+
+def grad_evals_per_sec(idata):
+    """Gradient-logp evaluations per second during sampling: one leapfrog
+    step = one fused logp+grad evaluation (BASELINE.json metric
+    "grad-logp evals/sec at 1k-chain NUTS"). Uses the recorded per-draw
+    ``n_steps`` sampler stat; nan when absent (non-HMC steppers)."""
+    try:
+        n_steps = np.asarray(idata.sample_stats["n_steps"].values)
+    except (AttributeError, KeyError):
+        return float("nan")
+    samp_t = float(idata.posterior.attrs.get("sampling_time", 0.0) or 0.0)
+    if samp_t <= 0:
+        return float("nan")
+    return float(n_steps.sum()) / samp_t
 
 
 # ---------------------------------------------------------------- warnings

@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 
 import pymc_tpu as pm
-from pymc_tpu.backends.base import NDArray, MultiTrace, multitrace_from_idata
+from pymc_tpu.backends.base import (
+    ChainRecordAdapter,
+    MultiTrace,
+    NDArray,
+    multitrace_from_idata,
+)
 from pymc_tpu.backends.checkpoint import FileTrace
 
 
@@ -132,6 +137,142 @@ class TestFileTraceContract:
         tr2.close()
         q, stats = tr2.read_draws()
         assert q is None and stats == {}  # no chunks after overwrite
+
+
+def _make_backend(kind, tmp_path, chain=0, tag=""):
+    """Backend factory for the unified contract suite (reference
+    tests/backends/fixtures.py pattern: ONE suite, every backend)."""
+    if kind == "ndarray":
+        return NDArray(chain=chain)
+    if kind == "filetrace":
+        store = FileTrace(
+            os.path.join(str(tmp_path), f"store{tag}_{chain}"),
+            overwrite=True, use_native_writer=False,
+        )
+        return ChainRecordAdapter(store, chain=chain, chunk_size=7)
+    if kind == "filetrace_native":
+        store = FileTrace(
+            os.path.join(str(tmp_path), f"storen{tag}_{chain}"),
+            overwrite=True, use_native_writer=True,
+        )
+        return ChainRecordAdapter(store, chain=chain, chunk_size=7)
+    raise ValueError(kind)
+
+
+BACKENDS = ["ndarray", "filetrace", "filetrace_native"]
+
+
+@pytest.mark.parametrize("kind", BACKENDS)
+class TestBackendContract:
+    """The same behavioral suite run against every trace backend
+    (reference tests/backends/fixtures.py, 606 LoC harness)."""
+
+    N = 25
+
+    def _fill(self, t, seed=0):
+        rng = np.random.default_rng(seed)
+        draws = []
+        for i in range(self.N):
+            point = {
+                "mu": np.float64(rng.normal()),
+                "theta": rng.normal(size=3),
+            }
+            stats = {"accept": float(rng.uniform()), "depth": float(i % 4)}
+            t.record(point, stats)
+            draws.append((point, stats))
+        return draws
+
+    def test_len_and_varnames(self, kind, tmp_path):
+        t = _make_backend(kind, tmp_path)
+        self._fill(t)
+        assert len(t) == self.N
+        assert set(t.varnames) == {"mu", "theta"}
+
+    def test_get_values_shapes_and_content(self, kind, tmp_path):
+        t = _make_backend(kind, tmp_path)
+        draws = self._fill(t)
+        mu = t.get_values("mu")
+        theta = t.get_values("theta")
+        assert mu.shape == (self.N,)
+        assert theta.shape == (self.N, 3)
+        np.testing.assert_allclose(mu, [d["mu"] for d, _ in draws])
+        np.testing.assert_allclose(theta, [d["theta"] for d, _ in draws])
+
+    def test_burn_thin_slicing(self, kind, tmp_path):
+        t = _make_backend(kind, tmp_path)
+        draws = self._fill(t)
+        ref = np.asarray([d["mu"] for d, _ in draws])
+        for burn, thin in [(0, 1), (5, 1), (0, 2), (5, 3), (24, 1)]:
+            np.testing.assert_allclose(
+                t.get_values("mu", burn=burn, thin=thin), ref[burn::thin]
+            )
+
+    def test_sampler_stats(self, kind, tmp_path):
+        t = _make_backend(kind, tmp_path)
+        draws = self._fill(t)
+        acc = t.get_sampler_stats("accept")
+        np.testing.assert_allclose(acc, [s["accept"] for _, s in draws])
+        np.testing.assert_allclose(
+            t.get_sampler_stats("depth", burn=10, thin=2),
+            [s["depth"] for _, s in draws][10::2],
+        )
+
+    def test_point_access(self, kind, tmp_path):
+        t = _make_backend(kind, tmp_path)
+        draws = self._fill(t)
+        pt = t.point(7)
+        np.testing.assert_allclose(pt["mu"], draws[7][0]["mu"])
+        np.testing.assert_allclose(pt["theta"], draws[7][0]["theta"])
+
+    def test_multitrace_over_backend(self, kind, tmp_path):
+        traces = []
+        per_chain = []
+        for c in range(2):
+            t = _make_backend(kind, tmp_path, chain=c, tag="mt")
+            per_chain.append(self._fill(t, seed=c))
+            traces.append(t)
+        mt = MultiTrace(traces)
+        assert mt.nchains == 2
+        assert sorted(mt.chains) == [0, 1]
+        combined = mt.get_values("mu")
+        assert combined.shape == (2 * self.N,)
+        np.testing.assert_allclose(
+            combined,
+            np.concatenate([[d["mu"] for d, _ in ch] for ch in per_chain]),
+        )
+        per = mt.get_values("theta", combine=False)
+        assert len(per) == 2 and per[0].shape == (self.N, 3)
+        np.testing.assert_allclose(mt["mu"], combined)
+
+    def test_close_flushes(self, kind, tmp_path):
+        t = _make_backend(kind, tmp_path, tag="cl")
+        draws = self._fill(t)
+        t.close()
+        np.testing.assert_allclose(
+            t.get_values("mu"), [d["mu"] for d, _ in draws]
+        )
+
+
+class TestChainRecordAdapterDurability:
+    def test_reopen_reads_back(self, tmp_path):
+        path = os.path.join(str(tmp_path), "dur")
+        store = FileTrace(path, overwrite=True, use_native_writer=False)
+        t = ChainRecordAdapter(store, chunk_size=4)
+        rng = np.random.default_rng(3)
+        vals = []
+        for _ in range(10):
+            v = rng.normal(size=2)
+            t.record({"w": v}, {"lp": float(v.sum())})
+            vals.append(v)
+        t.close()
+        # fresh process view: reopen the store, layout comes from meta
+        t2 = ChainRecordAdapter(FileTrace(path, use_native_writer=False))
+        assert len(t2) == 10
+        assert t2.varnames == ["w"]
+        np.testing.assert_allclose(t2.get_values("w"), vals)
+        np.testing.assert_allclose(
+            t2.get_sampler_stats("lp"), [v.sum() for v in vals]
+        )
 
 
 class TestNDArrayMultiTrace:

@@ -145,6 +145,156 @@ class TestDimDistributions:
         )
 
 
+class TestVectorDims:
+    """Multivariate core dims (reference pymc/dims/distributions/vector.py):
+    vector distributions take core_dims= naming their event dims; parameters
+    align by name; the output carries batch + output-core dims."""
+
+    @pytest.fixture
+    def vcoords(self):
+        return {"g": list("pq"), "d": list("abc"), "d2": list("ABC"),
+                "c": list(range(4))}
+
+    def test_mvnormal_core_dims(self, vcoords):
+        cov = np.array([[1.0, 0.3, 0.1], [0.3, 1.0, 0.2], [0.1, 0.2, 1.0]])
+        with pm.Model(coords=vcoords) as m:
+            mu = pm.dims.Normal("mu", 0, 1, dims="d")
+            x = pm.dims.MvNormal("x", mu=mu, cov=cov, core_dims=("d", "d2"))
+            assert isinstance(x, DimVar)
+            assert x.dims == ("d",)
+        # logp matches the positional MvNormal
+        val = np.array([0.3, -0.5, 1.1])
+        muv = np.array([0.1, 0.0, -0.2])
+        lp = m.logp_fn()({"mu": muv, "x": val})
+        import scipy.stats as st
+
+        expect = (
+            st.multivariate_normal.logpdf(val, muv, cov)
+            + st.norm.logpdf(muv).sum()
+        )
+        np.testing.assert_allclose(float(lp), expect, rtol=1e-5)
+
+    def test_mvnormal_batched_named_cov(self, vcoords):
+        # mu batched over g; cov given as a DimVar with its dims REVERSED —
+        # name alignment must transpose it into (d, d2)
+        cov = np.array([[1.0, 0.3, 0.1], [0.3, 1.0, 0.2], [0.1, 0.2, 1.0]])
+        with pm.Model(coords=vcoords) as m:
+            mu = pm.dims.Normal("mu", 0, 1, dims=("g", "d"))
+            named_cov = pm.dims.with_dims(cov, ("d2", "d"))
+            x = pm.dims.MvNormal("x", mu=mu, cov=named_cov,
+                                 core_dims=("d", "d2"))
+            assert x.dims == ("g", "d")
+            assert x.shape == (2, 3)
+        pt = m.initial_point()
+        assert np.isfinite(float(m.logp_fn()(pt)))
+
+    def test_mvnormal_requires_two_core_dims(self, vcoords):
+        with pm.Model(coords=vcoords):
+            with pytest.raises(ValueError, match="2 core_dims"):
+                pm.dims.MvNormal("x", mu=np.zeros(3), cov=np.eye(3),
+                                 core_dims="d")
+            with pytest.raises(TypeError, match="core_dims"):
+                pm.dims.MvNormal("y", mu=np.zeros(3), cov=np.eye(3))
+
+    def test_mvnormal_rejects_stray_core_dim(self, vcoords):
+        with pm.Model(coords=vcoords):
+            mu_bad = pm.dims.Normal("mu_bad", 0, 1, dims="d2")
+            with pytest.raises(ValueError, match="core dim"):
+                pm.dims.MvNormal("x", mu=mu_bad, cov=np.eye(3),
+                                 core_dims=("d", "d2"))
+
+    def test_dirichlet_core_dims(self, vcoords):
+        with pm.Model(coords=vcoords) as m:
+            a = pm.dims.with_dims(np.array([2.0, 1.0, 3.0, 0.5]), ("c",))
+            w = pm.dims.Dirichlet("w", a=a, core_dims="c")
+            assert w.dims == ("c",)
+        draws = pm.draw(m["w"], draws=50, random_seed=1)
+        np.testing.assert_allclose(np.sum(draws, axis=-1), 1.0, rtol=1e-5)
+
+    def test_dirichlet_batched(self, vcoords):
+        with pm.Model(coords=vcoords) as m:
+            a = pm.dims.Gamma("a", 2.0, 1.0, dims=("g", "c"))
+            w = pm.dims.Dirichlet("w", a=a, core_dims="c")
+            assert w.dims == ("g", "c")
+            assert w.shape == (2, 4)
+        pt = m.initial_point()
+        assert np.isfinite(float(m.logp_fn()(pt)))
+
+    def test_multinomial_core_dims(self, vcoords):
+        p = np.array([0.2, 0.3, 0.4, 0.1])
+        with pm.Model(coords=vcoords) as m:
+            x = pm.dims.Multinomial(
+                "x", n=10, p=pm.dims.with_dims(p, ("c",)), core_dims="c"
+            )
+            assert x.dims == ("c",)
+        draws = pm.draw(m["x"], draws=30, random_seed=2)
+        np.testing.assert_array_equal(np.sum(draws, axis=-1), 10)
+
+    def test_categorical_absorbs_core_dim(self, vcoords):
+        with pm.Model(coords=vcoords) as m:
+            p = pm.dims.Dirichlet(
+                "p", a=np.ones(4), core_dims="c", dims=("g", "c")
+            )
+            y = pm.dims.Categorical("y", p=p, core_dims="c")
+            # output keeps the batch dim g, DROPS the category dim c
+            assert y.dims == ("g",)
+            assert y.shape == (2,)
+
+    def test_zerosum_core_dims(self, vcoords):
+        with pm.Model(coords=vcoords) as m:
+            z = pm.dims.ZeroSumNormal("z", core_dims="d", dims=("g", "d"))
+            assert z.dims == ("g", "d")
+            assert z.shape == (2, 3)
+        draws = pm.draw(m["z"], draws=40, random_seed=3)
+        np.testing.assert_allclose(np.sum(draws, axis=-1), 0.0, atol=1e-5)
+
+    def test_zerosum_two_core_dims(self, vcoords):
+        with pm.Model(coords=vcoords) as m:
+            z = pm.dims.ZeroSumNormal("z", core_dims=("g", "d"))
+            assert z.dims == ("g", "d")
+        draws = pm.draw(m["z"], draws=20, random_seed=4)
+        np.testing.assert_allclose(np.sum(draws, axis=-1), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.sum(draws, axis=-2), 0.0, atol=1e-5)
+
+    def test_censored_with_named_bounds(self, vcoords):
+        with pm.Model(coords=vcoords) as m:
+            lo = pm.dims.Normal("lo", -2.0, 0.1, dims="g")
+            y = pm.dims.Censored(
+                "y", pm.Normal.dist(0.0, 1.0), lower=lo, upper=2.0,
+                dims=("g",),
+            )
+            assert isinstance(y, DimVar)
+            assert y.dims == ("g",)
+        pt = m.initial_point()
+        assert np.isfinite(float(m.logp_fn()(pt)))
+
+    def test_core_dim_length_inferred_from_param(self):
+        # core dim length comes from the parameter when coords don't know it
+        with pm.Model() as m:
+            w = pm.dims.Dirichlet(
+                "w", a=pm.dims.with_dims(np.ones(5), ("k",)), core_dims="k"
+            )
+            assert w.shape == (5,)
+            assert m.dim_lengths["k"] == 5
+
+    def test_mvnormal_sampling_end_to_end(self, vcoords):
+        rng = np.random.default_rng(0)
+        cov = np.array([[1.0, 0.5, 0.2], [0.5, 1.0, 0.3], [0.2, 0.3, 1.0]])
+        obs = rng.multivariate_normal([1.0, -1.0, 0.5], cov, size=40)
+        with pm.Model(coords={"d": list("abc"), "d2": list("ABC")}) as m:
+            mu = pm.dims.Normal("mu", 0, 5, dims="d")
+            pm.dims.MvNormal("y", mu=mu, cov=cov, core_dims=("d", "d2"),
+                             observed=obs)
+        idata = pm.sample(draws=300, tune=300, chains=2, model=m,
+                          random_seed=0, progressbar=False,
+                          compute_convergence_checks=False)
+        post = idata.posterior["mu"]
+        assert list(post.dims) == ["chain", "draw", "d"]
+        np.testing.assert_allclose(
+            post.values.mean(axis=(0, 1)), obs.mean(axis=0), atol=0.3
+        )
+
+
 class TestAlignHelpers:
     def test_align_and_with_dims(self, coords):
         with pm.Model(coords=coords):

@@ -155,3 +155,96 @@ class TestGPJitterF32:
         Ks = stabilize(K)
         added = float(Ks[0, 0] - 1.0)
         assert added >= 1e-5  # f32 jitter, not the 1e-6 f64 value
+
+    def test_stabilize_jitter_scales_with_amplitude(self):
+        # f32 Cholesky needs cond <~1e6; an absolute jitter is lost on
+        # K with diag = eta^2 >> 1 (round-3 latent-GP init fix)
+        from pymc_tpu.gp.util import stabilize
+
+        K = 20.0 * jnp.eye(4, dtype=jnp.float32)
+        added = float(stabilize(K)[0, 0] - 20.0)
+        assert added >= 3e-4 * 20.0 * 0.99
+
+    def test_latent_gp_jittered_init_finite(self):
+        # regression: moderate (ls, eta) draws made the 150-point latent-GP
+        # kernel indefinite at f32 with absolute jitter — jittered initial
+        # points must all have finite logp now
+        rng = np.random.default_rng(5)
+        n = 150
+        X = np.sort(rng.uniform(0, 10, n))[:, None]
+        y = np.sin(X[:, 0]) * 2 + rng.normal(0, 0.3, n)
+        with pm.Model() as m:
+            ls = pm.Gamma("ls", 2, 1)
+            eta = pm.HalfNormal("eta", 2)
+            cov = eta**2 * pm.gp.cov.ExpQuad(1, ls=ls)
+            gp = pm.gp.Latent(cov_func=cov)
+            f = gp.prior("f", X=X)
+            pm.Normal("y", f, pm.HalfNormal("sigma", 1), observed=y)
+        from pymc_tpu.initial_point import make_initial_points_per_chain
+
+        logp = m.logp_fn()
+        for seed in range(4):
+            pts = make_initial_points_per_chain(
+                m, jax.random.PRNGKey(seed), 4, jitter=1.0, logp_fn=logp
+            )
+            lps = np.asarray(jax.vmap(logp)(pts))
+            assert np.isfinite(lps).all(), (seed, lps)
+
+
+class TestF32StatisticalGate:
+    """The production-dtype gate on the flagship config (VERDICT r2 #5):
+    radon-style hierarchical GLM sampled at float32 must match the x64
+    oracle's posterior moments within MCSE and must not inflate
+    divergences."""
+
+    def _radon(self, n_counties=40, n_obs=400, seed=1234):
+        rng = np.random.default_rng(seed)
+        county = rng.integers(0, n_counties, size=n_obs)
+        floor_x = rng.integers(0, 2, size=n_obs).astype(float)
+        true_a = rng.normal(1.5, 0.5, size=n_counties)
+        true_b = rng.normal(-0.7, 0.3, size=n_counties)
+        log_radon = (
+            true_a[county] + true_b[county] * floor_x
+            + rng.normal(0, 0.6, size=n_obs)
+        )
+        with pm.Model(coords={"county": np.arange(n_counties)}) as model:
+            mu_a = pm.Normal("mu_a", 0.0, 10.0)
+            sigma_a = pm.HalfCauchy("sigma_a", 5.0)
+            mu_b = pm.Normal("mu_b", 0.0, 10.0)
+            sigma_b = pm.HalfCauchy("sigma_b", 5.0)
+            a_t = pm.Normal("a_t", 0.0, 1.0, dims="county")
+            b_t = pm.Normal("b_t", 0.0, 1.0, dims="county")
+            a = pm.Deterministic("a", mu_a + sigma_a * a_t, dims="county")
+            b = pm.Deterministic("b", mu_b + sigma_b * b_t, dims="county")
+            sigma_y = pm.HalfCauchy("sigma_y", 5.0)
+            mu_y = a[county] + b[county] * floor_x
+            pm.Normal("y", mu_y, sigma_y, observed=log_radon)
+        return model
+
+    def test_radon_f32_within_mcse_of_x64(self):
+        from pymc_tpu.stats.convergence import mcse_mean
+
+        kwargs = dict(draws=500, tune=500, chains=8, random_seed=0,
+                      progressbar=False, compute_convergence_checks=False)
+        idata32 = pm.sample(model=self._radon(), **kwargs)
+        assert idata32.posterior["mu_a"].values.dtype == np.float32
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            idata64 = pm.sample(model=self._radon(), **kwargs)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+        for var in ("mu_a", "sigma_a", "mu_b", "sigma_b", "sigma_y"):
+            v32 = idata32.posterior[var].values
+            v64 = idata64.posterior[var].values
+            se = float(np.hypot(mcse_mean(v32), mcse_mean(v64)))
+            dm = abs(float(v32.mean()) - float(v64.mean()))
+            assert dm < 5 * se + 1e-3, (var, dm, se)
+            s32, s64 = float(v32.std()), float(v64.std())
+            assert abs(s32 - s64) < 0.25 * max(s64, 1e-3), (var, s32, s64)
+
+        div32 = int(idata32.sample_stats["diverging"].values.sum())
+        div64 = int(idata64.sample_stats["diverging"].values.sum())
+        n_total = int(np.prod(idata32.sample_stats["diverging"].shape))
+        assert div32 <= div64 + max(2, n_total // 100), (div32, div64)

@@ -91,8 +91,26 @@ class TestPlots:
             (plots.plot_forest, {}),
             (plots.plot_energy, {}),
             (plots.plot_autocorr, {"var_names": ["mu"]}),
+            (plots.plot_pair, {"var_names": ["mu", "sigma"]}),
+            (plots.plot_pair, {"var_names": ["mu", "sigma", "a"],
+                               "kind": "hexbin"}),
+            (plots.plot_rank, {"var_names": ["mu"]}),
         ]:
             out = fn(small_idata, **kwargs)
+            assert out is not None
+            plt.close("all")
+
+    def test_plot_ppc(self, radon_like_model, small_idata):
+        import matplotlib.pyplot as plt
+
+        from pymc_tpu import plots
+
+        idata = pm.sample_posterior_predictive(
+            small_idata, model=radon_like_model, random_seed=1,
+            extend_inferencedata=True, progressbar=False,
+        )
+        for kind in ("kde", "hist"):
+            out = plots.plot_ppc(idata, kind=kind, num_pp_samples=10)
             assert out is not None
             plt.close("all")
 
