@@ -522,6 +522,7 @@ _DIST_NAMES = [
     "Normal", "HalfNormal", "LogNormal", "StudentT", "HalfStudentT",
     "Cauchy", "HalfCauchy", "Beta", "Gamma", "InverseGamma", "Exponential",
     "Laplace", "Uniform", "Logistic", "Gumbel", "Weibull", "Flat", "HalfFlat",
+    "TruncatedNormal", "DiracDelta",
     "Bernoulli", "Binomial", "Poisson", "NegativeBinomial",
     "Geometric", "DiscreteUniform", "Mixture", "Censored", "Truncated",
 ]
