@@ -297,7 +297,10 @@ def case_gp_hsgp(jax, pm, chains=None):
     if _MEASURE_BASELINE:
         chains = 4
     else:
-        chains = chains or (64 if platform == "tpu" else 8)
+        # the basis-approx model is tiny (35 params): at 64 chains the run
+        # is tunnel-dispatch-bound and a CPU anchor wins; the design point
+        # is many vectorized chains
+        chains = chains or (512 if platform == "tpu" else 8)
     n, X, y = _gp_data()
     with pm.Model() as m:
         ls = pm.Gamma("ls", 2, 1)

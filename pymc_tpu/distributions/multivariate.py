@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..ops.linalg import cholesky_batched
 from jax.scipy import special as jsp
 from jax.scipy.linalg import solve_triangular
 
@@ -47,10 +49,10 @@ def _solve_chol_params(mu=None, cov=None, tau=None, chol=None, lower=True):
             chol = apply(lambda c: jnp.swapaxes(c, -1, -2), chol)
         return chol
     if cov is not None:
-        return apply(jnp.linalg.cholesky, as_param(cov))
+        return apply(cholesky_batched, as_param(cov))
     # tau: Sigma = inv(tau); chol(Sigma) via cholesky of inverse
     return apply(
-        lambda t: jnp.linalg.cholesky(jnp.linalg.inv(t)), as_param(tau)
+        lambda t: cholesky_batched(jnp.linalg.inv(t)), as_param(tau)
     )
 
 
@@ -531,7 +533,7 @@ class LKJCorr(Continuous):
         log|d(packedC)/d(freeW)| = sum_j (n-j) log W_jj."""
         n = self.n
         C = self._to_matrix(value)
-        W = jnp.linalg.cholesky(C)
+        W = cholesky_batched(C)
         diag = jnp.clip(_diag(W), 1e-30, None)
         lkj = _lkj_cholesky_corr_logp(W, eta, n)
         js = jnp.arange(1, n + 1, dtype=floatX())
@@ -580,7 +582,7 @@ class CorrPackedTransform(tr.Transform):
         C = jnp.zeros(x.shape[:-1] + (self.n, self.n), dtype=x.dtype)
         C = C.at[..., self.rows, self.cols].set(x)
         C = C + jnp.swapaxes(C, -1, -2) + jnp.eye(self.n, dtype=x.dtype)
-        W = jnp.linalg.cholesky(C)
+        W = cholesky_batched(C)
         return self._chol_t.forward(W[..., self.rows, self.cols], env)
 
     def log_jac_det(self, v, env=None):
@@ -629,7 +631,7 @@ class Wishart(Continuous):
 
     def _logp(self, value, nu, V):
         p = value.shape[-1]
-        L_V = jnp.linalg.cholesky(V)
+        L_V = cholesky_batched(V)
         sign, logdet_x = jnp.linalg.slogdet(value)
         _, logdet_v = jnp.linalg.slogdet(V)
         # tr(V^-1 X) = || L^-1 X L^-T ||-trace via two broadcast tri-solves
@@ -657,7 +659,7 @@ class Wishart(Continuous):
         # Bartlett decomposition
         p = V.shape[-1]
         batch = shape[:-2]
-        L_V = jnp.linalg.cholesky(V)
+        L_V = cholesky_batched(V)
         kn, kc = jax.random.split(key)
         A = jnp.zeros(batch + (p, p), dtype=floatX())
         rows, cols = np.tril_indices(p, k=-1)
@@ -704,7 +706,7 @@ def WishartBartlett(name, S, nu, is_cholesky=False, return_cholesky=False,
         from ..model.core import Deterministic
 
         w = Wishart(f"_{name}_wishart", nu=nu, **kw)
-        return Deterministic(name, apply(jnp.linalg.cholesky, w))
+        return Deterministic(name, apply(cholesky_batched, w))
     return Wishart(name, nu=nu, **kw)
 
 
@@ -878,7 +880,7 @@ class CAR(Continuous):
             jnp.eye(W.shape[-1], dtype=floatX()) * d[..., None] - alpha[..., None, None] * W
         )
         cov = jnp.linalg.inv(prec)
-        L = jnp.linalg.cholesky(cov)
+        L = cholesky_batched(cov)
         z = jax.random.normal(key, shape, dtype=floatX())
         return mu + jnp.einsum("...ij,...j->...i", L, z)
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import floatX
+from ..ops.linalg import cholesky_batched
 from ..graph import apply, is_node
 from . import cov as gp_cov
 from . import mean as gp_mean
@@ -84,7 +85,7 @@ class Latent(Base):
         n = X.shape[0]
         mu = self.mean_func(X)
         K = _stabilize(self.cov_func(X), jitter)
-        chol = apply(jnp.linalg.cholesky, K)
+        chol = apply(cholesky_batched, K)
         if reparameterize:
             v = pm.Normal(f"{name}_rotated_", 0.0, 1.0, shape=(n,), **kwargs)
             from ..model.core import Deterministic
@@ -106,7 +107,7 @@ class Latent(Base):
         mu_s = self.mean_func(Xnew)
 
         def cond(kxx, kxs, kss, mx, ms, fv):
-            L = jnp.linalg.cholesky(kxx)
+            L = cholesky_batched(kxx)
             from jax.scipy.linalg import solve_triangular
 
             A = solve_triangular(L, kxs, lower=True)          # (n, m)
@@ -143,7 +144,7 @@ class TP(Latent):
         n = X.shape[0]
         mu = self.mean_func(X)
         K = _stabilize(self.cov_func(X), jitter)
-        chol = apply(jnp.linalg.cholesky, K)
+        chol = apply(cholesky_batched, K)
         if reparameterize:
             chi2 = pm.ChiSquared(f"{name}_chi2_", self.nu)
             v = pm.Normal(f"{name}_rotated_", 0.0, 1.0, shape=(n,), **kwargs)
@@ -202,7 +203,7 @@ class Marginal(Base):
             n = kxx.shape[0]
             jit_val = _resolve_jitter(jitter, kxx.dtype)
             Ky = kxx + (s**2 + jit_val) * jnp.eye(n, dtype=kxx.dtype)
-            L = jnp.linalg.cholesky(Ky)
+            L = cholesky_batched(Ky)
             from jax.scipy.linalg import solve_triangular
 
             A = solve_triangular(L, kxs, lower=True)
@@ -285,7 +286,7 @@ class MarginalApprox(Marginal):
 
             n = kuf.shape[1]
             m = kuf.shape[0]
-            Luu = jnp.linalg.cholesky(
+            Luu = cholesky_batched(
                 kuu + _resolve_jitter(jitter, kuu.dtype)
                 * jnp.eye(m, dtype=kuu.dtype)
             )
@@ -301,7 +302,7 @@ class MarginalApprox(Marginal):
                     if approx == "VFE" else 0.0
                 )
             A_l = A / Lamd
-            L_B = jnp.linalg.cholesky(
+            L_B = cholesky_batched(
                 jnp.eye(m, dtype=kuu.dtype) + A_l @ A.T
             )
             r = yv - mx
@@ -332,7 +333,7 @@ class MarginalApprox(Marginal):
             from jax.scipy.linalg import solve_triangular
 
             m = kuf.shape[0]
-            Luu = jnp.linalg.cholesky(
+            Luu = cholesky_batched(
                 kuu + _resolve_jitter(jitter, kuu.dtype)
                 * jnp.eye(m, dtype=kuu.dtype)
             )
@@ -343,7 +344,7 @@ class MarginalApprox(Marginal):
             else:
                 Lamd = jnp.full((kuf.shape[1],), s**2, dtype=kuu.dtype)
             A_l = A / Lamd
-            L_B = jnp.linalg.cholesky(jnp.eye(m, dtype=kuu.dtype) + A_l @ A.T)
+            L_B = cholesky_batched(jnp.eye(m, dtype=kuu.dtype) + A_l @ A.T)
             r = yv - mx
             r_l = r / Lamd
             c = solve_triangular(L_B, A @ r_l, lower=True)
@@ -387,7 +388,7 @@ class LatentKron(Base):
         N = int(np.prod(ns))
         chols = [
             apply(
-                lambda k: jnp.linalg.cholesky(
+                lambda k: cholesky_batched(
                     k + _resolve_jitter(jitter, k.dtype)
                     * jnp.eye(k.shape[-1], dtype=k.dtype)
                 ),

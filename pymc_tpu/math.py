@@ -406,7 +406,8 @@ unique = _wrap(jnp.unique)
 var = _wrap(jnp.var)
 
 # linalg
-cholesky = _wrap(jnp.linalg.cholesky)
+from .ops.linalg import cholesky_batched as _cholesky_batched
+cholesky = _wrap(_cholesky_batched)
 det = _wrap(jnp.linalg.det)
 slogdet = _wrap(jnp.linalg.slogdet)
 eigh = _wrap(jnp.linalg.eigh)
