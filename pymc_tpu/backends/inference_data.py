@@ -142,7 +142,9 @@ class Dataset:
     def items(self):
         return self._vars.items()
 
+    @property
     def data_vars(self):
+        # xarray parity: Dataset.data_vars is a mapping property, not a method.
         return dict(self._vars)
 
     def __getattr__(self, name):
