@@ -295,21 +295,45 @@ def _infer_dims(args, kwargs):
     return tuple(out)
 
 
+def _expand_ellipsis(declared, inferred):
+    """Expand ``...`` in a dims spec to every inferred dim not named
+    explicitly, in inferred order (reference
+    pymc/distributions/shape_utils.py:convert_dims_with_ellipsis +
+    pymc/dims/distributions/core.py transpose-with-ellipsis semantics)."""
+    if declared is Ellipsis:
+        declared = (Ellipsis,)
+    declared = (declared,) if isinstance(declared, str) else tuple(declared)
+    if Ellipsis not in declared:
+        return declared
+    if declared.count(Ellipsis) > 1:
+        raise ValueError("dims may contain at most one Ellipsis")
+    explicit = [d for d in declared if d is not Ellipsis]
+    rest = [d for d in inferred if d not in explicit]
+    i = declared.index(Ellipsis)
+    return tuple(list(declared[:i]) + rest + list(declared[i + 1:]))
+
+
 def _dims_first(dist_cls):
     event_ndim = getattr(dist_cls, "event_ndim", 0)
 
     @functools.wraps(dist_cls.__new__, assigned=("__doc__",))
     def ctor(name, *args, dims=None, **kwargs):
         modelcontext(None)  # require a model context
+        inferred = _infer_dims(args, kwargs)
+        obs_dims = _dims_of(kwargs.get("observed"))
+        if obs_dims:
+            inferred = inferred + tuple(
+                d for d in obs_dims if d not in inferred
+            )
         if dims is None:
-            dims = _infer_dims(args, kwargs)
+            dims = inferred
             if not dims and kwargs.get("observed") is None:
                 raise TypeError(
                     f"pm.dims.{dist_cls.__name__} requires dims= (or "
                     "parameters that carry named dims); use pm."
                     f"{dist_cls.__name__} for shape-based construction"
                 )
-        dims_t = (dims,) if isinstance(dims, str) else tuple(dims)
+        dims_t = _expand_ellipsis(dims, inferred)
         if event_ndim == 0 and dims_t:
             # align every named-dim parameter into the declared layout
             args = tuple(align(a, dims_t) if _dims_of(a) is not None else a
@@ -328,6 +352,12 @@ def _dims_first(dist_cls):
                 k: (_node_of(v) if k not in _CONTROL_KWS else v)
                 for k, v in kwargs.items()
             }
+        obs = kwargs.get("observed")
+        if isinstance(obs, DimVar):
+            # align named observed data (e.g. pm.dims.Data) into the declared
+            # layout and unwrap to the underlying node (reference
+            # dims/distributions/core.py: observed xtensor dims propagate)
+            kwargs["observed"] = align(obs, dims_t) if dims_t else obs.node
         rv = dist_cls(name, *args, dims=dims_t or None, **kwargs)
         out_dims = dims_t or tuple(getattr(rv, "dims", ()) or ())
         if out_dims and len(out_dims) == len(getattr(rv, "shape", ())):
@@ -432,7 +462,7 @@ def _vector_dims_first(dist_cls, spec):
                     if nm not in batch:
                         batch.append(nm)
         if dims is not None:
-            declared = (dims,) if isinstance(dims, str) else tuple(dims)
+            declared = _expand_ellipsis(dims, tuple(batch) + out_core)
             k = len(declared) - len(out_core)
             if k < 0 or tuple(declared[k:]) != out_core:
                 raise ValueError(

@@ -125,7 +125,8 @@ class Distribution:
             # infer shape from observed, as the reference does via make_obs_var
             obs_arr = model.normalize_observed(observed)
             kwargs.setdefault("shape", np.shape(obs_arr))
-        if dims is not None and kwargs.get("shape") is None and observed is None:
+        if (dims is not None and kwargs.get("shape") is None
+                and kwargs.get("size") is None and observed is None):
             kwargs.setdefault("shape", model.shape_from_dims(dims))
         dist = cls.dist(*args, **kwargs)
         return model.register_rv(
@@ -143,6 +144,11 @@ class Distribution:
     def dist(cls, *args, shape=None, size=None, **kwargs):
         """Unnamed-distribution path (reference distribution.py:597)."""
         obj = object.__new__(cls)
+        if shape is not None and size is not None:
+            raise ValueError(
+                f"Passing both `shape` ({shape}) and `size` ({size}) is not "
+                "supported (reference distribution.py:638)"
+            )
         if isinstance(shape, (int, np.integer)):
             shape = (int(shape),)
         if isinstance(size, (int, np.integer)):

@@ -251,6 +251,16 @@ class Model:
             var.dims = (dims,) if isinstance(dims, str) else tuple(dims)
         return var
 
+    @property
+    def named_vars_to_dims(self):
+        """Mapping of variable name -> named dims tuple (reference
+        model/core.py Model.named_vars_to_dims)."""
+        return {
+            name: tuple(v.dims)
+            for name, v in self.named_vars.items()
+            if getattr(v, "dims", None)
+        }
+
     def normalize_observed(self, observed):
         if is_node(observed):
             observed = evaluate(observed)

@@ -295,6 +295,72 @@ class TestVectorDims:
         )
 
 
+class TestDimsEllipsis:
+    """Ellipsis in dims specs (reference
+    shape_utils.convert_dims_with_ellipsis + dims/distributions/core.py
+    transpose-with-ellipsis: `...` stands for every remaining dim)."""
+
+    def test_scalar_trailing_ellipsis(self, coords):
+        with pm.Model(coords=coords):
+            mu = pm.dims.Normal("mu", 0, 1, dims=("a", "b"))
+            # "b" leads, ... fills with the remaining inferred dim "a"
+            y = pm.dims.Normal("y", mu=mu, sigma=1.0, dims=("b", ...))
+            assert y.dims == ("b", "a")
+            assert tuple(y.shape) == (4, 3)
+
+    def test_scalar_bare_ellipsis_is_inference(self, coords):
+        with pm.Model(coords=coords):
+            mu = pm.dims.Normal("mu", 0, 1, dims=("a", "b"))
+            y = pm.dims.Normal("y", mu=mu, sigma=1.0, dims=...)
+            assert y.dims == ("a", "b")
+
+    def test_double_ellipsis_rejected(self, coords):
+        with pm.Model(coords=coords):
+            mu = pm.dims.Normal("mu", 0, 1, dims=("a", "b"))
+            with pytest.raises(ValueError, match="at most one Ellipsis"):
+                pm.dims.Normal("y", mu=mu, dims=(..., "a", ...))
+
+    def test_vector_ellipsis_batch(self):
+        coords = {"batch": list(range(5)), "d": list("pq"), "d2": list("PQ")}
+        with pm.Model(coords=coords):
+            mu = pm.dims.Normal("mu", 0, 1, dims=("batch", "d"))
+            y = pm.dims.MvNormal(
+                "y", mu=mu, cov=np.eye(2), core_dims=("d", "d2"),
+                dims=(..., "d"),
+            )
+            assert y.dims == ("batch", "d")
+            assert tuple(y.shape) == (5, 2)
+
+    def test_ellipsis_from_observed_dims(self, coords):
+        with pm.Model(coords=coords) as m:
+            sd = pm.dims.HalfNormal("sd", 1.0, dims="a")
+            obs = pm.dims.Data("obs", np.zeros((3, 4)), dims=("a", "b"))
+            y = pm.dims.Normal("y", 0.0, sd, dims=...,
+                               observed=obs)
+            # inferred: param dim "a" first, then observed-only dim "b"
+            assert tuple(y.shape) == (3, 4)
+            lp = m.compile_logp()(m.initial_point())
+            assert np.isfinite(float(lp))
+
+    def test_observed_dimvar_transposed(self, coords):
+        # observed carries (b, a); declared layout (a, b): the data must be
+        # transposed into the declared order, not silently mismatched
+        rng = np.random.default_rng(3)
+        data = rng.normal(size=(4, 3))
+        with pm.Model(coords=coords) as m:
+            mu = pm.dims.Normal("mu", 0, 1, dims="a")
+            obs = pm.dims.Data("obs", data, dims=("b", "a"))
+            y = pm.dims.Normal("y", mu, 1.0, dims=("a", "b"), observed=obs)
+            assert tuple(y.shape) == (3, 4)
+        lp = m.compile_logp()(m.initial_point())
+        # oracle: logp of transposed data under mu=0 start point
+        import scipy.stats as st
+        start = m.initial_point()
+        expected = st.norm.logpdf(data.T, 0.0, 1.0).sum() + st.norm.logpdf(
+            np.zeros(3)).sum()
+        np.testing.assert_allclose(float(lp), expected, rtol=1e-6)
+
+
 class TestAlignHelpers:
     def test_align_and_with_dims(self, coords):
         with pm.Model(coords=coords):
