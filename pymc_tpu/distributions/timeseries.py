@@ -148,6 +148,17 @@ class GaussianRandomWalk(RandomWalk):
 
     def __dist_init__(self, mu=0.0, sigma=1.0, *, init_dist=None, steps=None):
         innovation = Normal.dist(mu=mu, sigma=sigma)
+        if init_dist is None:
+            # reference timeseries.py:286-292 warns and uses Normal(0, 100)
+            import warnings
+
+            warnings.warn(
+                "Initial distribution not specified, defaulting to "
+                "`Normal.dist(0, 100)`. You can specify an init_dist "
+                "manually to suppress this warning.",
+                UserWarning,
+            )
+            init_dist = Normal.dist(0.0, 100.0)
         super().__dist_init__(
             innovation_dist=innovation, init_dist=init_dist, steps=steps
         )

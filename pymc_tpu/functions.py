@@ -57,6 +57,48 @@ def draw(rv, draws=1, random_seed=None, **kwargs):
             draw(r, draws=draws, random_seed=jax.random.fold_in(key, i), **kwargs)
             for i, r in enumerate(rv)
         ]
+    if isinstance(rv, Node) and not isinstance(rv, (FreeRV, ObservedRV)):
+        # arbitrary graph expression (e.g. a Deterministic): sample its RV
+        # ancestors in dependency order and evaluate (reference draw()
+        # compiles a forward fn over any variables, forward.py:397)
+        return _draw_expression(rv, key, draws)
     dist = _dist_of(rv)
     sample_shape = () if draws == 1 else (draws,)
     return dist.sample(key, sample_shape, **kwargs)
+
+
+def _draw_expression(node, key, draws):
+    from .graph import _parents, ancestors, evaluate, rv_ancestors
+
+    rvs = rv_ancestors([node])
+    deps = {
+        id(rv): [
+            a for a in ancestors(list(_parents(rv)))
+            if isinstance(a, (FreeRV, ObservedRV)) and a is not rv
+        ]
+        for rv in rvs
+    }
+    order, placed = [], set()
+    while len(order) < len(rvs):
+        progressed = False
+        for rv in rvs:
+            if id(rv) in placed:
+                continue
+            if all(id(d) in placed for d in deps[id(rv)]):
+                order.append(rv)
+                placed.add(id(rv))
+                progressed = True
+        if not progressed:  # pragma: no cover - DAG by construction
+            raise RuntimeError("cyclic RV dependencies in draw()")
+
+    def one(k):
+        env, memo = {}, {}
+        for i, rv in enumerate(order):
+            env[rv.name] = rv.dist.sample(
+                jax.random.fold_in(k, i), (), env, memo
+            )
+        return evaluate(node, env, memo)
+
+    if draws == 1:
+        return one(key)
+    return jax.vmap(one)(jax.random.split(key, draws))

@@ -457,8 +457,9 @@ class Model:
             )
         return out
 
-    def logp_terms_fn(self, jacobian=True):
-        """Build fn(value_dict) -> {name: per-var summed logp}
+    def logp_terms_fn(self, jacobian=True, elementwise=False):
+        """Build fn(value_dict) -> {name: per-var summed logp}; with
+        elementwise=True the per-variable logps keep their batch shape
         (reference Model.logp sum=False, core.py:612)."""
         free_RVs = list(self.free_RVs)
         observed_RVs = list(self.observed_RVs)
@@ -479,20 +480,30 @@ class Model:
             terms = {}
             for rv in free_RVs:
                 lp = rv.dist.logp(env[rv.name], env, memo)
-                t = jnp.sum(lp)
                 if jacobian and rv.transform is not None:
-                    t = t + jnp.sum(
-                        rv.transform.log_jac_det(value_dict[rv.value_name], env)
+                    jac = rv.transform.log_jac_det(
+                        value_dict[rv.value_name], env
                     )
-                terms[rv.name] = t
+                    if elementwise and jnp.shape(jac) == jnp.shape(lp):
+                        lp = lp + jac
+                    elif elementwise:
+                        # transform reduces over core dims (e.g. Simplex):
+                        # its correction has the batch shape already
+                        lp = lp + jnp.reshape(jac, jnp.shape(lp))
+                    else:
+                        lp = jnp.sum(lp) + jnp.sum(jac)
+                terms[rv.name] = lp if elementwise else jnp.sum(lp)
             for orv in observed_RVs:
                 val = orv._eval(env, memo)
                 lp = orv.dist.logp(val, env, memo)
                 if orv.mask is not None:
                     lp = jnp.where(orv.mask, 0.0, lp)
-                terms[orv.name] = orv.scale * jnp.sum(lp)
+                terms[orv.name] = orv.scale * (
+                    lp if elementwise else jnp.sum(lp)
+                )
             for pot in potentials:
-                terms[pot.name] = jnp.sum(evaluate(pot, env, memo))
+                pv = evaluate(pot, env, memo)
+                terms[pot.name] = pv if elementwise else jnp.sum(pv)
             return terms
 
         return fn
@@ -548,8 +559,9 @@ class Model:
         return jax.value_and_grad(f)
 
     def compile_logp(self, vars=None, jacobian=True, sum=True):
-        """Jitted point-dict logp (reference Model.compile_logp)."""
-        terms_fn = self.logp_terms_fn(jacobian=jacobian)
+        """Jitted point-dict logp (reference Model.compile_logp); sum=False
+        returns {name: elementwise logp} for the requested vars."""
+        terms_fn = self.logp_terms_fn(jacobian=jacobian, elementwise=not sum)
         names = None
         if vars is not None:
             vars = [vars] if isinstance(vars, (Node,)) else list(vars)

@@ -33,18 +33,25 @@ def _fmt_param(p):
     return f"<{'x'.join(map(str, arr.shape))}>"
 
 
+def _latex_escape(s):
+    return str(s).replace("_", r"\_")
+
+
 def str_for_dist(rv, formatting="plain", include_params=True):
-    """'x ~ Normal(0, 1)' (reference printing.py str_for_dist)."""
+    """'x ~ Normal(0, 1)' (reference printing.py str_for_dist; the latex
+    form mirrors '$x \\sim \\operatorname{Normal}(0,~1)$')."""
     dist = rv.dist if isinstance(rv, (FreeRV, ObservedRV)) else rv
     name = getattr(rv, "name", None) or "<unnamed>"
     dist_name = type(dist).__name__
-    if include_params:
-        params = ", ".join(_fmt_param(p) for p in dist.param_values())
-        core = f"{dist_name}({params})"
-    else:
-        core = dist_name
+    params = [_fmt_param(p) for p in dist.param_values()]
     if formatting == "latex":
-        return rf"${name} \sim \operatorname{{{dist_name}}}$"
+        ltx_name = _latex_escape(name)
+        if include_params:
+            body = ",~".join(_latex_escape(p) for p in params)
+            return (rf"$\text{{{ltx_name}}} \sim "
+                    rf"\operatorname{{{dist_name}}}({body})$")
+        return rf"$\text{{{ltx_name}}} \sim \operatorname{{{dist_name}}}$"
+    core = f"{dist_name}({', '.join(params)})" if include_params else dist_name
     return f"{name} ~ {core}"
 
 
@@ -66,8 +73,12 @@ def str_for_model_latex(model):
     rows = []
     for rv in model.free_RVs + model.observed_RVs:
         dist_name = type(rv.dist).__name__
+        params = ",~".join(
+            _latex_escape(_fmt_param(p)) for p in rv.dist.param_values()
+        )
         rows.append(
-            rf"{rv.name} &\sim \operatorname{{{dist_name}}}"
+            rf"\text{{{_latex_escape(rv.name)}}} &\sim "
+            rf"\operatorname{{{dist_name}}}({params})"
         )
     for det in model.deterministics:
         rows.append(rf"{det.name} &\sim \operatorname{{Deterministic}}")
@@ -116,3 +127,29 @@ def model_table(model, formatting="plain"):
 
 __all__ += ["str_for_data_var", "str_for_potential_or_deterministic",
             "model_table"]
+
+
+def _wire_reprs():
+    """Attach str_repr/_repr_latex_ to Model and RV node classes (reference
+    model/core.py:433-434 + :2541-2544 attach these per-instance; class-level
+    methods give the same IPython display behavior)."""
+    from .model.core import Model
+
+    Model.str_repr = lambda self, formatting="plain": (
+        str_for_model_latex(self) if formatting == "latex"
+        else str_for_model(self, formatting)
+    )
+    Model._repr_latex_ = lambda self: str_for_model_latex(self)
+    for _cls in (FreeRV, ObservedRV):
+        _cls.str_repr = (
+            lambda self, formatting="plain", include_params=True:
+            str_for_dist(self, formatting, include_params)
+        )
+        _cls._repr_latex_ = lambda self: str_for_dist(self, "latex")
+    DeterministicNode.str_repr = (
+        lambda self, formatting="plain", **kw:
+        str_for_potential_or_deterministic(self, formatting)
+    )
+
+
+_wire_reprs()
