@@ -1,0 +1,568 @@
+"""Derived densities for invertible elementwise transforms of one RV.
+
+Parity: reference pymc/logprob/transforms.py (MeasurableTransform rewrites
+for exp/log/add/mul/div/pow/sqrt/cbrt/reciprocal/sinh/cosh-family/
+sigmoid/logit/erf, transforms.py:387-900) and the user entrypoint
+``pm.logp(pt.exp(rv), value)`` (logprob/basic.py:105).
+
+The reference discovers measurable transforms by rewriting its graph IR.
+Here the graph is a static Node DAG, so the same capability is a direct
+pattern walk: ``dist_from_expression`` recognizes a chain of invertible
+elementwise ops (``DeterministicNode(fn, args)`` with known ``fn``) whose
+single random leaf is a FreeRV/ObservedRV and whose other operands are
+RV-free, and builds a :class:`TransformedDistribution` implementing the
+change-of-variables density
+
+    logp_Y(y) = logp_X(g^{-1}(y)) + log|d g^{-1}/ dy|        (continuous)
+    logp_Y(y) = logp_X(g^{-1}(y))                            (discrete)
+
+logcdf/logccdf/icdf follow when every link has a determinate monotone
+direction; sampling is the forward map of a base draw. Open-ended
+expression measurability (multiple RV leaves, reductions, non-invertible
+maps) stays out of scope by design (SURVEY §7 hard-part #2).
+"""
+
+from __future__ import annotations
+
+import math as _pymath
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy import special as jsp
+
+from ..graph import (
+    DeterministicNode,
+    FreeRV,
+    Node,
+    ObservedRV,
+    evaluate,
+    rv_ancestors,
+)
+from .distribution import Distribution
+
+__all__ = ["TransformedDistribution", "dist_from_expression"]
+
+
+class _Op:
+    """One invertible elementwise link y = forward(x).
+
+    ``const`` may be a Node (e.g. pm.Data) — it is resolved with the
+    evaluation env at call time. ``monotone`` is +1 / -1 / None (unknown:
+    logp works, cdf-family raises).
+    """
+
+    def __init__(self, name, forward, inverse, ljd_inv, monotone, const=None):
+        self.name = name
+        self._forward = forward
+        self._inverse = inverse
+        self._ljd_inv = ljd_inv
+        self._monotone = monotone
+        self.const = const
+
+    def _c(self, env, memo):
+        c = self.const
+        if isinstance(c, Node):
+            return c._eval(env, memo if memo is not None else {})
+        return c
+
+    def forward(self, x, env=None, memo=None):
+        return self._forward(x, self._c(env, memo))
+
+    def inverse(self, y, env=None, memo=None):
+        return self._inverse(y, self._c(env, memo))
+
+    def ljd_inv(self, y, env=None, memo=None):
+        """log |d inverse(y) / dy| (elementwise)."""
+        return self._ljd_inv(y, self._c(env, memo))
+
+    def monotone(self, env=None, memo=None):
+        m = self._monotone
+        return m(self._c(env, memo)) if callable(m) else m
+
+
+def _sign_of_const(c):
+    """+1/-1 if every element of a CONCRETE constant shares that sign."""
+    if isinstance(c, Node):
+        return None
+    arr = np.asarray(c)
+    if np.all(arr > 0):
+        return 1
+    if np.all(arr < 0):
+        return -1
+    return None
+
+
+# --------------------------------------------------------------- unary ops
+def _u(name, forward, inverse, ljd_inv, monotone):
+    return lambda: _Op(
+        name,
+        lambda x, c: forward(x),
+        lambda y, c: inverse(y),
+        lambda y, c: ljd_inv(y),
+        monotone,
+    )
+
+
+_LOG_2 = _pymath.log(2.0)
+_LOG_3 = _pymath.log(3.0)
+_HALF_LOG_PI = 0.5 * _pymath.log(_pymath.pi)
+
+_UNARY = {
+    jnp.exp: _u("exp", jnp.exp, jnp.log, lambda y: -jnp.log(y), 1),
+    jnp.log: _u("log", jnp.log, jnp.exp, lambda y: y, 1),
+    jnp.log1p: _u("log1p", jnp.log1p, jnp.expm1, lambda y: y, 1),
+    jnp.expm1: _u("expm1", jnp.expm1, jnp.log1p, lambda y: -jnp.log1p(y), 1),
+    jnp.sqrt: _u(
+        "sqrt", jnp.sqrt, jnp.square, lambda y: _LOG_2 + jnp.log(y), 1
+    ),
+    jnp.cbrt: _u(
+        "cbrt",
+        jnp.cbrt,
+        lambda y: y * y * y,
+        lambda y: _LOG_3 + 2.0 * jnp.log(jnp.abs(y)),
+        1,
+    ),
+    jnp.negative: _u(
+        "negative", jnp.negative, jnp.negative, lambda y: jnp.zeros_like(y), -1
+    ),
+    jnp.reciprocal: _u(
+        # sign flips across 0, so the global monotone direction is unknown
+        # unless the support is one-sided — cdf-family raises (logp is exact)
+        "reciprocal",
+        jnp.reciprocal,
+        jnp.reciprocal,
+        lambda y: -2.0 * jnp.log(jnp.abs(y)),
+        None,
+    ),
+    jax.nn.sigmoid: _u(
+        "sigmoid",
+        jax.nn.sigmoid,
+        jsp.logit,
+        lambda y: -jnp.log(y) - jnp.log1p(-y),
+        1,
+    ),
+    jsp.expit: _u(
+        "sigmoid",
+        jsp.expit,
+        jsp.logit,
+        lambda y: -jnp.log(y) - jnp.log1p(-y),
+        1,
+    ),
+    jsp.logit: _u(
+        "logit",
+        jsp.logit,
+        jsp.expit,
+        lambda y: jnp.log(jsp.expit(y)) + jnp.log(jsp.expit(-y)),
+        1,
+    ),
+    jsp.ndtr: _u(
+        # invprobit: x -> Phi(x)
+        "invprobit",
+        jsp.ndtr,
+        jsp.ndtri,
+        lambda y: _HALF_LOG_PI + _LOG_2 / 2.0 + 0.5 * jsp.ndtri(y) ** 2,
+        1,
+    ),
+    jsp.ndtri: _u(
+        # probit: x -> Phi^{-1}(x)
+        "probit",
+        jsp.ndtri,
+        jsp.ndtr,
+        lambda y: -_HALF_LOG_PI - _LOG_2 / 2.0 - 0.5 * y**2,
+        1,
+    ),
+    jnp.sinh: _u(
+        "sinh",
+        jnp.sinh,
+        jnp.arcsinh,
+        lambda y: -0.5 * jnp.log1p(y * y),
+        1,
+    ),
+    jnp.arcsinh: _u(
+        "arcsinh", jnp.arcsinh, jnp.sinh, lambda y: jnp.log(jnp.cosh(y)), 1
+    ),
+    jnp.tanh: _u(
+        "tanh",
+        jnp.tanh,
+        jnp.arctanh,
+        lambda y: -jnp.log1p(-y * y),
+        1,
+    ),
+    jnp.arctanh: _u(
+        "arctanh",
+        jnp.arctanh,
+        jnp.tanh,
+        lambda y: jnp.log1p(-jnp.tanh(y) ** 2),
+        1,
+    ),
+    jsp.erf: _u(
+        "erf",
+        jsp.erf,
+        jsp.erfinv,
+        lambda y: _HALF_LOG_PI - _LOG_2 + jsp.erfinv(y) ** 2,
+        1,
+    ),
+    jsp.erfinv: _u(
+        "erfinv",
+        jsp.erfinv,
+        jsp.erf,
+        lambda y: _LOG_2 - _HALF_LOG_PI - y**2,
+        1,
+    ),
+    jax.nn.softplus: _u(
+        "softplus",
+        jax.nn.softplus,
+        lambda y: y + jnp.log(-jnp.expm1(-y)),
+        lambda y: -jnp.log(-jnp.expm1(-y)),
+        1,
+    ),
+}
+
+_NON_INVERTIBLE = {
+    jnp.abs: "abs", jnp.square: "square", jnp.sign: "sign",
+    jnp.floor: "floor", jnp.ceil: "ceil", jnp.round: "round",
+    jnp.cos: "cos", jnp.cosh: "cosh", jnp.sin: "sin", jnp.tan: "tan",
+}
+
+
+# -------------------------------------------------------------- binary ops
+def _add_op(c, const_first):
+    return _Op(
+        "add",
+        lambda x, c: c + x,
+        lambda y, c: y - c,
+        lambda y, c: jnp.zeros(jnp.broadcast_shapes(jnp.shape(y), jnp.shape(c))),
+        1,
+        const=c,
+    )
+
+
+def _sub_op(c, const_first):
+    if const_first:  # c - x
+        return _Op(
+            "rsub",
+            lambda x, c: c - x,
+            lambda y, c: c - y,
+            lambda y, c: jnp.zeros(
+                jnp.broadcast_shapes(jnp.shape(y), jnp.shape(c))
+            ),
+            -1,
+            const=c,
+        )
+    return _Op(
+        "sub",
+        lambda x, c: x - c,
+        lambda y, c: y + c,
+        lambda y, c: jnp.zeros(jnp.broadcast_shapes(jnp.shape(y), jnp.shape(c))),
+        1,
+        const=c,
+    )
+
+
+def _mul_op(c, const_first):
+    return _Op(
+        "mul",
+        lambda x, c: c * x,
+        lambda y, c: y / c,
+        lambda y, c: jnp.broadcast_to(
+            -jnp.log(jnp.abs(c)), jnp.broadcast_shapes(jnp.shape(y), jnp.shape(c))
+        ),
+        _sign_of_const(c),
+        const=c,
+    )
+
+
+def _div_op(c, const_first):
+    if const_first:  # c / x — sign flips across 0: cdf undetermined
+        return _Op(
+            "rdiv",
+            lambda x, c: c / x,
+            lambda y, c: c / y,
+            lambda y, c: jnp.log(jnp.abs(c)) - 2.0 * jnp.log(jnp.abs(y)),
+            None,
+            const=c,
+        )
+    return _Op(
+        "div",
+        lambda x, c: x / c,
+        lambda y, c: y * c,
+        lambda y, c: jnp.broadcast_to(
+            jnp.log(jnp.abs(c)), jnp.broadcast_shapes(jnp.shape(y), jnp.shape(c))
+        ),
+        _sign_of_const(c),
+        const=c,
+    )
+
+
+def _pow_op(c, const_first):
+    if const_first:  # c ** x
+        if isinstance(c, Node):
+            raise TypeError(
+                "base of a measurable c**x must be a concrete constant"
+            )
+        base = float(np.asarray(c))
+        if base <= 0 or base == 1.0:
+            raise TypeError(
+                f"c**x is only measurable for constant c > 0, c != 1 (got {base})"
+            )
+        return _Op(
+            "rpow",
+            lambda x, c: jnp.asarray(c) ** x,
+            lambda y, c: jnp.log(y) / _pymath.log(base),
+            lambda y, c: -jnp.log(y) - _pymath.log(abs(_pymath.log(base))),
+            1 if base > 1 else -1,
+            const=c,
+        )
+    if isinstance(c, Node):
+        raise TypeError("exponent of a measurable x**p must be concrete")
+    p = np.asarray(c)
+    if p.ndim != 0:
+        raise TypeError("exponent of a measurable x**p must be scalar")
+    p = float(p)
+    if p == 0:
+        raise TypeError("x**0 is not an invertible transform")
+    is_int = float(p).is_integer()
+    if is_int and int(p) % 2 == 0:
+        raise TypeError(
+            f"x**{int(p)} (even power) is not invertible on the real line; "
+            "reference logprob/transforms.py likewise restricts MeasurablePower"
+        )
+    if is_int:
+        # odd integer power: bijective on R, sign-preserving inverse
+        def inv(y, c):
+            return jnp.sign(y) * jnp.abs(y) ** (1.0 / p)
+    else:
+        # fractional power: defined on the positive half-line
+        def inv(y, c):
+            return y ** (1.0 / p)
+
+    return _Op(
+        "pow",
+        lambda x, c: x**p,
+        inv,
+        lambda y, c: (
+            -_pymath.log(abs(p)) + (1.0 / p - 1.0) * jnp.log(jnp.abs(y))
+        ),
+        (1 if p > 0 else None),
+        const=c,
+    )
+
+
+_BINARY = {
+    jnp.add: _add_op,
+    jnp.subtract: _sub_op,
+    jnp.multiply: _mul_op,
+    jnp.divide: _div_op,
+    jnp.true_divide: _div_op,
+    jnp.power: _pow_op,
+}
+
+
+# ---------------------------------------------------------------- the walk
+def _is_rv_free(x):
+    """True when operand contributes no randomness (usable as a constant)."""
+    if not isinstance(x, Node):
+        return True
+    return not rv_ancestors([x])
+
+
+def dist_from_expression(node):
+    """Pattern-match an invertible elementwise-op chain over one RV leaf.
+
+    Returns a :class:`TransformedDistribution`; raises TypeError when the
+    expression is not a recognized measurable transform.
+    """
+    ops = []  # outer-to-inner
+    current = node
+    while isinstance(current, DeterministicNode):
+        fn = current.fn
+        fn = getattr(fn, "_base_fn", fn)
+        if fn in _NON_INVERTIBLE:
+            raise TypeError(
+                f"{_NON_INVERTIBLE[fn]}(...) is not invertible — no derived "
+                "density. Use explicit combinators (Censored, Discretized, "
+                "OrderStatistic, CustomDist) for non-bijective maps."
+            )
+        if fn in _UNARY:
+            args = [a for a in current.args if isinstance(a, Node)]
+            if len(current.args) != 1 or len(args) != 1:
+                raise TypeError(
+                    f"measurable {getattr(fn, '__name__', fn)} must be unary"
+                )
+            ops.append(_UNARY[fn]())
+            current = args[0]
+            continue
+        if fn in _BINARY:
+            if len(current.args) != 2:
+                raise TypeError("measurable binary op must have 2 operands")
+            a, b = current.args
+            a_free, b_free = _is_rv_free(a), _is_rv_free(b)
+            if a_free == b_free:
+                raise TypeError(
+                    "measurable binary op needs exactly one random operand "
+                    "(expressions mixing two RVs have no derived density here)"
+                )
+            const, rv_side, const_first = (
+                (a, b, True) if a_free else (b, a, False)
+            )
+            ops.append(_BINARY[fn](const, const_first))
+            current = rv_side
+            continue
+        raise TypeError(
+            f"no derived density for op {getattr(fn, '__name__', fn)!r}"
+        )
+    if not isinstance(current, (FreeRV, ObservedRV)):
+        raise TypeError(
+            f"measurable-transform chain must terminate at a random variable, "
+            f"found {type(current).__name__}"
+        )
+    if not ops:
+        raise TypeError("expression is the bare RV; use its distribution")
+    return TransformedDistribution._make(current.dist, ops)
+
+
+# ----------------------------------------------------------- distribution
+class TransformedDistribution(Distribution):
+    """Invertible elementwise transform chain applied to a base dist.
+
+    ``ops`` are stored outer-to-inner: value-space -> base-space walks the
+    list forward through ``inverse``; sampling walks it backward through
+    ``forward``.
+    """
+
+    param_names = ()
+    event_ndim = 0
+
+    @classmethod
+    def _make(cls, base, ops):
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.base = base
+        obj.ops = list(ops)
+        obj.is_discrete = bool(base.is_discrete)
+        shapes = [base.shape]
+        for op in ops:
+            c = op.const
+            if c is not None:
+                shapes.append(tuple(getattr(c, "shape", np.shape(c))))
+        full = tuple(np.broadcast_shapes(*shapes))
+        # the transform is elementwise, so the event structure is the base's
+        obj.event_shape = tuple(base.event_shape)
+        ev = len(obj.event_shape)
+        obj.batch_shape = full[: len(full) - ev] if ev else full
+        return obj
+
+    @property
+    def _event_axes(self):
+        ev = len(self.event_shape)
+        return tuple(range(-ev, 0)) if ev else ()
+
+    @property
+    def dtype(self):
+        from ..config import floatX
+
+        # even discrete bases map to floats under these transforms
+        return floatX()
+
+    # -- helpers ---------------------------------------------------------
+    def _to_base(self, value, env, memo):
+        """value-space -> base-space, accumulating log|d inv / dy|."""
+        x = jnp.asarray(value)
+        acc = 0.0
+        for op in self.ops:
+            acc = acc + op.ljd_inv(x, env, memo)
+            x = op.inverse(x, env, memo)
+        return x, acc
+
+    def _direction(self, env, memo):
+        s = 1
+        for op in self.ops:
+            m = op.monotone(env, memo)
+            if m is None:
+                raise NotImplementedError(
+                    f"cdf-family of a transformed RV needs a determinate "
+                    f"monotone direction; op {op.name!r} is sign-ambiguous"
+                )
+            s *= m
+        return s
+
+    def _bcast(self, out):
+        """Broadcast with the dist shape without squeezing the value shape."""
+        return jnp.broadcast_to(
+            out, jnp.broadcast_shapes(jnp.shape(out), self.shape)
+        )
+
+    def _bcast_density(self, out):
+        """Densities are event-reduced: broadcast with batch shape only."""
+        return jnp.broadcast_to(
+            out, jnp.broadcast_shapes(jnp.shape(out), tuple(self.batch_shape))
+        )
+
+    # -- densities -------------------------------------------------------
+    def logp(self, value, env=None, memo=None):
+        x, ljd = self._to_base(value, env, memo)
+        ax = self._event_axes
+        if self.is_discrete:
+            # counting measure: inverse must land on the integer lattice
+            xr = jnp.round(x)
+            on_lattice = jnp.isclose(x, xr, rtol=0, atol=1e-6)
+            if ax:
+                on_lattice = jnp.all(on_lattice, axis=ax)
+            lp = jnp.where(on_lattice, self.base.logp(xr, env, memo), -jnp.inf)
+            return self._bcast_density(lp)
+        lp = self.base.logp(x, env, memo)
+        if ax:
+            # base logp is event-reduced; reduce the elementwise Jacobian too
+            ljd = jnp.sum(jnp.broadcast_to(ljd, jnp.shape(x)), axis=ax)
+        return self._bcast_density(lp + ljd)
+
+    def logcdf(self, value, env=None, memo=None):
+        s = self._direction(env, memo)
+        x, _ = self._to_base(value, env, memo)
+        if s > 0:
+            return self._bcast_density(self.base.logcdf(x, env, memo))
+        if self.is_discrete:
+            raise NotImplementedError(
+                "logcdf of a decreasing transform of a discrete RV"
+            )
+        return self._bcast_density(self.base.logccdf(x, env, memo))
+
+    def logccdf(self, value, env=None, memo=None):
+        s = self._direction(env, memo)
+        x, _ = self._to_base(value, env, memo)
+        if s > 0:
+            return self._bcast_density(self.base.logccdf(x, env, memo))
+        if self.is_discrete:
+            raise NotImplementedError(
+                "logccdf of a decreasing transform of a discrete RV"
+            )
+        return self._bcast_density(self.base.logcdf(x, env, memo))
+
+    def icdf(self, q, env=None, memo=None):
+        s = self._direction(env, memo)
+        q = jnp.asarray(q)
+        base_q = q if s > 0 else 1.0 - q
+        x = self.base.icdf(base_q, env, memo)
+        for op in reversed(self.ops):
+            x = op.forward(x, env, memo)
+        return self._bcast(x)
+
+    # -- sampling --------------------------------------------------------
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        x = self.base.sample(key, sample_shape, env, memo)
+        for op in reversed(self.ops):
+            x = op.forward(x, env, memo)
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        return jnp.broadcast_to(
+            x, tuple(sample_shape) + self.shape
+        )
+
+    def support_point(self, env=None, memo=None):
+        x = self.base.support_point(env, memo)
+        for op in reversed(self.ops):
+            x = op.forward(x, env, memo)
+        return jnp.broadcast_to(x, self.shape)

@@ -22,9 +22,17 @@ def _dist_of(rv):
         return rv
     if isinstance(rv, (FreeRV, ObservedRV)):
         return rv.dist
+    if isinstance(rv, Node):
+        # invertible elementwise-op chain over a single RV leaf gets a
+        # derived change-of-variables density (reference
+        # logprob/transforms.py MeasurableTransform rewrites)
+        from .distributions.transformed import dist_from_expression
+
+        return dist_from_expression(rv)
     raise TypeError(
         f"Expected a Distribution or random-variable node, got {type(rv).__name__}. "
-        "Derived-expression densities are expressed via explicit combinators "
+        "Derived-expression densities cover invertible elementwise transforms "
+        "of one RV; anything else is expressed via explicit combinators "
         "(Censored, Truncated, Mixture, CustomDist) in this framework."
     )
 

@@ -45,6 +45,10 @@ def _wrap(fn):
     @functools.wraps(fn)
     def inner(*args, **kwargs):
         node_args = [a for a in args]
+        if not kwargs:
+            # kwarg-free call: pass fn itself so derived-density pattern
+            # matching (distributions/transformed.py) can recognize the op
+            return apply(fn, *node_args)
         return apply(lambda *xs: fn(*xs, **kwargs), *node_args)
 
     return inner
