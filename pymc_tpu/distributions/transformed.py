@@ -368,14 +368,21 @@ def _is_rv_free(x):
 
 
 def dist_from_expression(node):
-    """Pattern-match an invertible elementwise-op chain over one RV leaf.
+    """Pattern-match an invertible elementwise-op chain over one RV leaf
+    OR a measurable join (stack/concatenate) of component expressions.
 
-    Returns a :class:`TransformedDistribution`; raises TypeError when the
-    expression is not a recognized measurable transform.
+    Returns a :class:`TransformedDistribution` / :class:`StackedDistribution`;
+    raises TypeError when the expression is not a recognized measurable
+    transform.
     """
     ops = []  # outer-to-inner
     current = node
+    base = None
     while isinstance(current, DeterministicNode):
+        join = getattr(current.fn, "_measurable_join", None)
+        if join is not None:
+            base = StackedDistribution._make(join[0], join[1], current)
+            break
         fn = current.fn
         fn = getattr(fn, "_base_fn", fn)
         if fn in _NON_INVERTIBLE:
@@ -412,14 +419,24 @@ def dist_from_expression(node):
         raise TypeError(
             f"no derived density for op {getattr(fn, '__name__', fn)!r}"
         )
-    if not isinstance(current, (FreeRV, ObservedRV)):
+    if base is None:
+        if not isinstance(current, (FreeRV, ObservedRV)):
+            raise TypeError(
+                f"measurable-transform chain must terminate at a random "
+                f"variable, found {type(current).__name__}"
+            )
+        if not ops:
+            raise TypeError("expression is the bare RV; use its distribution")
+        base = current.dist
+    elif not ops:
+        return base
+    if getattr(base, "_mixed_discrete", False):
         raise TypeError(
-            f"measurable-transform chain must terminate at a random variable, "
-            f"found {type(current).__name__}"
+            "elementwise transforms over a join mixing discrete and "
+            "continuous components are not measurable (the Jacobian applies "
+            "only to the continuous part)"
         )
-    if not ops:
-        raise TypeError("expression is the bare RV; use its distribution")
-    return TransformedDistribution._make(current.dist, ops)
+    return TransformedDistribution._make(base, ops)
 
 
 # ----------------------------------------------------------- distribution
@@ -566,3 +583,236 @@ class TransformedDistribution(Distribution):
         for op in reversed(self.ops):
             x = op.forward(x, env, memo)
         return jnp.broadcast_to(x, self.shape)
+
+
+# ----------------------------------------------------- measurable joins
+class _Part:
+    """One component of a measurable stack/concatenate.
+
+    kind: "rv" (a named FreeRV/ObservedRV — its value is injected into the
+    env so later components' parameters may depend on it, the chain-rule
+    factorization of reference logprob/tensor.py's interdependent joins),
+    "expr" (a derived-density expression), or "const" (RV-free: point mass).
+    """
+
+    def __init__(self, kind, node, dist, shape, size):
+        self.kind = kind
+        self.node = node
+        self.dist = dist
+        self.shape = shape  # component shape (static)
+        self.size = size  # length along the join axis (concatenate only)
+
+
+def _chain_leaves(node):
+    """The random LEAF nodes of a measurable expression (not conditioning
+    parents): the RV(s) a transform chain / join terminates at."""
+    current = node
+    while isinstance(current, DeterministicNode):
+        if getattr(current.fn, "_measurable_join", None) is not None:
+            leaves = []
+            for a in current.args:
+                if isinstance(a, Node) and rv_ancestors([a]):
+                    leaves.extend(_chain_leaves(a))
+            return leaves
+        rand = [
+            a for a in current.args if isinstance(a, Node) and rv_ancestors([a])
+        ]
+        if len(rand) != 1:
+            return []
+        current = rand[0]
+    return [current] if isinstance(current, (FreeRV, ObservedRV)) else []
+
+
+class StackedDistribution(Distribution):
+    """Joint density of ``stack([...])`` / ``concatenate([...])`` over
+    independent-or-sequentially-dependent component expressions.
+
+    Parity: reference pymc/logprob/tensor.py (MeasurableMakeVector:44-85,
+    MeasurableJoin:88-157) and tests/logprob/test_tensor.py. The logp is
+    ELEMENTWISE: each component's (conditional) log-density occupies its
+    slice of the value's layout, so summation yields the joint. Components
+    must be univariate (event_ndim 0); interdependent components factorize
+    by the chain rule — each named RV's value slice is injected into the
+    evaluation env before later components' parameters resolve.
+    """
+
+    param_names = ()
+    event_ndim = 0
+
+    @classmethod
+    def _make(cls, kind, axis, node):
+        parts = []
+        for arg in node.args:
+            if isinstance(arg, (FreeRV, ObservedRV)):
+                d = arg.dist
+                if len(d.event_shape):
+                    raise TypeError(
+                        "measurable joins support univariate components "
+                        f"only; {arg.name!r} has event shape {d.event_shape}"
+                    )
+                parts.append(_Part("rv", arg, d, tuple(arg.shape), None))
+            elif isinstance(arg, Node) and rv_ancestors([arg]):
+                d = dist_from_expression(arg)
+                if len(getattr(d, "event_shape", ())):
+                    raise TypeError(
+                        "measurable joins support univariate components only"
+                    )
+                parts.append(_Part("expr", arg, d, tuple(d.shape), None))
+            else:
+                shape = tuple(getattr(arg, "shape", np.shape(arg)))
+                parts.append(_Part("const", arg, None, shape, None))
+
+        seen = set()
+        for leaf in _chain_leaves(node):
+            if id(leaf) in seen:
+                raise TypeError(
+                    f"random variable {getattr(leaf, 'name', leaf)!r} is the "
+                    "random leaf of more than one join component — the joint "
+                    "density of a replicated RV is not measurable (it may "
+                    "still CONDITION later components through its parameters)"
+                )
+            seen.add(id(leaf))
+
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.kind = kind
+        obj.parts = parts
+        full = tuple(node.shape)
+        # store the join axis from the right so values with extra leading
+        # batch dims split correctly
+        ax = axis if axis < 0 else axis - len(full)
+        obj.axis = ax
+        if kind == "concatenate":
+            for p in parts:
+                p.size = p.shape[ax] if len(p.shape) >= -ax else 1
+        discretes = [
+            (p.dist.is_discrete if p.dist is not None else True) for p in parts
+        ]
+        obj.is_discrete = all(discretes)
+        obj._mixed_discrete = len(set(discretes)) > 1
+        obj.event_shape = ()
+        obj.batch_shape = full
+        return obj
+
+    @property
+    def dtype(self):
+        from ..config import floatX
+
+        return floatX()
+
+    # -- split / join ----------------------------------------------------
+    def _split(self, value):
+        value = jnp.asarray(value)
+        if self.kind == "stack":
+            return [jnp.take(value, i, axis=self.axis) for i in range(len(self.parts))]
+        out, start = [], 0
+        for p in self.parts:
+            out.append(
+                jnp.take(value, jnp.arange(start, start + p.size), axis=self.axis)
+            )
+            start += p.size
+        return out
+
+    def _join(self, pieces, extra_shape=()):
+        if self.kind == "stack":
+            target = tuple(extra_shape) + tuple(
+                np.broadcast_shapes(*(p.shape for p in self.parts))
+            )
+            pieces = [jnp.broadcast_to(x, target) for x in pieces]
+            return jnp.stack(pieces, axis=self.axis)
+        pieces2 = []
+        for p, x in zip(self.parts, pieces):
+            pieces2.append(jnp.broadcast_to(x, tuple(extra_shape) + p.shape))
+        return jnp.concatenate(pieces2, axis=self.axis)
+
+    def _resolve_const(self, c, env, memo):
+        if isinstance(c, Node):
+            return c._eval(env, memo if memo is not None else {})
+        return jnp.asarray(c)
+
+    # -- densities -------------------------------------------------------
+    def _conditional_terms(self, value, env, memo, method):
+        slices = self._split(value)
+        env2 = dict(env or {})
+        for p, sl in zip(self.parts, slices):
+            if p.kind == "rv":
+                env2[p.node.name] = sl
+        out = []
+        for p, sl in zip(self.parts, slices):
+            if p.kind == "const":
+                c = self._resolve_const(p.node, env2, memo)
+                match = jnp.isclose(
+                    jnp.asarray(sl, dtype=self.dtype),
+                    jnp.asarray(c, dtype=self.dtype),
+                )
+                if method == "logp":
+                    term = jnp.where(match, 0.0, -jnp.inf)
+                else:
+                    raise NotImplementedError(
+                        "cdf-family is undefined for a constant join component"
+                    )
+            else:
+                # fresh memo: env2 differs from the caller's env
+                term = getattr(p.dist, method)(sl, env2, None)
+            out.append(jnp.broadcast_to(term, jnp.shape(sl)))
+        return out
+
+    def logp(self, value, env=None, memo=None):
+        return self._join_like_value(
+            value, self._conditional_terms(value, env, memo, "logp")
+        )
+
+    def logcdf(self, value, env=None, memo=None):
+        """Elementwise (conditional) marginal logcdf per component slice."""
+        return self._join_like_value(
+            value, self._conditional_terms(value, env, memo, "logcdf")
+        )
+
+    def logccdf(self, value, env=None, memo=None):
+        return self._join_like_value(
+            value, self._conditional_terms(value, env, memo, "logccdf")
+        )
+
+    def _join_like_value(self, value, pieces):
+        extra = jnp.shape(jnp.asarray(value))[: jnp.asarray(value).ndim - len(self.shape)]
+        return self._join(pieces, extra_shape=extra)
+
+    def icdf(self, q, env=None, memo=None):
+        raise NotImplementedError(
+            "icdf of a joint stacked density is not defined componentwise"
+        )
+
+    # -- sampling --------------------------------------------------------
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        sample_shape = tuple(sample_shape)
+        keys = jax.random.split(key, len(self.parts))
+        env2 = dict(env or {})
+        draws = []
+        for p, k in zip(self.parts, keys):
+            if p.kind == "const":
+                x = jnp.broadcast_to(
+                    self._resolve_const(p.node, env2, memo), sample_shape + p.shape
+                )
+            else:
+                x = p.dist.sample(k, sample_shape, env2, None)
+            if p.kind == "rv":
+                env2[p.node.name] = x
+            draws.append(x)
+        return self._join(draws, extra_shape=sample_shape)
+
+    def support_point(self, env=None, memo=None):
+        env2 = dict(env or {})
+        out = []
+        for p in self.parts:
+            if p.kind == "const":
+                x = jnp.broadcast_to(self._resolve_const(p.node, env2, memo), p.shape)
+            else:
+                x = p.dist.support_point(env2, None)
+            if p.kind == "rv":
+                env2[p.node.name] = x
+            out.append(x)
+        return self._join(out)

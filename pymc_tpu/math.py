@@ -321,11 +321,17 @@ def clip(x, lo, hi):
 
 
 def concatenate(xs, axis=0):
-    return apply(lambda *vs: jnp.concatenate(vs, axis=axis), *xs)
+    fn = lambda *vs: jnp.concatenate(vs, axis=axis)
+    # tag so derived-density pattern matching (distributions/transformed.py)
+    # can recognize a measurable join of RVs
+    fn._measurable_join = ("concatenate", axis)
+    return apply(fn, *xs)
 
 
 def stack(xs, axis=0):
-    return apply(lambda *vs: jnp.stack(vs, axis=axis), *xs)
+    fn = lambda *vs: jnp.stack(vs, axis=axis)
+    fn._measurable_join = ("stack", axis)
+    return apply(fn, *xs)
 
 
 def full(shape, fill_value, dtype=None):
