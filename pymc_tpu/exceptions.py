@@ -14,6 +14,10 @@ __all__ = [
     "DtypeError",
     "ParameterValueError",
     "BlockModelAccessError",
+    "ImplicitFreezeWarning",
+    "NotConstantValueError",
+    "TraceDirectoryError",
+    "UndefinedMomentException",
 ]
 
 

@@ -47,6 +47,9 @@ __all__ = [
     "MutableData",
     "set_data",
     "compile_fn",
+    "BaseModel",
+    "FrozenModel",
+    "Point",
 ]
 
 

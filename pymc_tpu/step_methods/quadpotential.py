@@ -18,7 +18,7 @@ import jax.numpy as jnp
 __all__ = [
     "QuadPotential", "QuadPotentialDiag", "QuadPotentialDiagAdapt",
     "QuadPotentialFull", "QuadPotentialFullInv", "QuadPotentialFullAdapt",
-    "quad_potential", "isquadpotential",
+    "QuadPotentialSparse", "quad_potential", "isquadpotential",
 ]
 
 
@@ -100,6 +100,20 @@ class QuadPotentialFullAdapt(QuadPotentialFull):
         super().__init__(cov)
         self.initial_mean = jnp.asarray(initial_mean)
         self.initial_weight = initial_weight
+
+
+class QuadPotentialSparse(QuadPotential):
+    """Sparse mass matrix (reference quadpotential.py:925, gated there on
+    sparse support). XLA has no general sparse linear algebra on TPU — the
+    matrix is densified at construction; the class exists so code written
+    against the reference's sparse API keeps working unchanged."""
+
+    def __init__(self, A):
+        try:  # scipy.sparse matrix
+            A = A.toarray()
+        except AttributeError:
+            pass
+        super().__init__(jnp.linalg.inv(jnp.asarray(A)))
 
 
 def quad_potential(C, is_cov):
