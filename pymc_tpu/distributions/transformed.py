@@ -62,6 +62,11 @@ class _Op:
 
     def _c(self, env, memo):
         c = self.const
+        if isinstance(c, tuple):
+            m = memo if memo is not None else {}
+            return tuple(
+                x._eval(env, m) if isinstance(x, Node) else x for x in c
+            )
         if isinstance(c, Node):
             return c._eval(env, memo if memo is not None else {})
         return c
@@ -359,6 +364,90 @@ _BINARY = {
 }
 
 
+# ------------------------------------------------ non-overlapping switch
+_SIGN_CONDS = {
+    jnp.greater: 1, jnp.greater_equal: 1, jnp.less: -1, jnp.less_equal: -1,
+}
+
+
+def _branch_scale(branch, leaf):
+    """Return the RV-free scale s for branch == s * leaf (1.0 when the
+    branch IS the leaf); None when the branch doesn't match."""
+    if branch is leaf:
+        return 1.0
+    if isinstance(branch, DeterministicNode) and len(branch.args) == 2:
+        bfn = getattr(branch.fn, "_base_fn", branch.fn)
+        a, b = branch.args
+        if bfn is jnp.multiply:
+            if a is leaf and _is_rv_free(b):
+                return b
+            if b is leaf and _is_rv_free(a):
+                return a
+        if bfn in (jnp.divide, jnp.true_divide):
+            # leaf / c  ==  (1/c) * leaf
+            if a is leaf and _is_rv_free(b) and not isinstance(b, Node):
+                return 1.0 / np.asarray(b)
+    return None
+
+
+def _match_switch_scale(node):
+    """Reference logprob/transforms.py MeasurableSwitchNonOverlapping
+    (tests/logprob/test_switch.py): ``switch(x > 0, s_pos * x, s_neg * x)``
+    with positive RV-free scales is a piecewise-linear increasing bijection
+    (the two half-lines map to disjoint half-lines). Returns (op, leaf)."""
+    if len(node.args) != 3:
+        return None
+    cond, a, b = node.args
+    if not isinstance(cond, DeterministicNode):
+        return None
+    cfn = getattr(cond.fn, "_base_fn", cond.fn)
+    if cfn not in _SIGN_CONDS or len(cond.args) != 2:
+        return None
+    lhs, rhs = cond.args
+    # condition must be the RV leaf against a literal zero
+    if not isinstance(lhs, (FreeRV, ObservedRV)):
+        return None
+    if isinstance(rhs, Node) or np.ndim(rhs) != 0 or float(rhs) != 0.0:
+        return None
+    leaf = lhs
+    if _SIGN_CONDS[cfn] < 0:  # x < 0 selects branch a: swap to sign order
+        a, b = b, a
+    s_pos = _branch_scale(a, leaf)  # applied where x > 0
+    s_neg = _branch_scale(b, leaf)  # applied where x <= 0
+    if s_pos is None or s_neg is None:
+        return None
+    # reference restriction: the condition must not broadcast x, and the
+    # scales must not expand x's shape (injectivity per element)
+    if tuple(node.shape) != tuple(leaf.shape):
+        raise TypeError(
+            "measurable switch must not broadcast the base RV "
+            "(condition/scale shapes expand it)"
+        )
+    for s in (s_pos, s_neg):
+        if not isinstance(s, Node) and np.any(np.asarray(s) <= 0):
+            raise TypeError(
+                "switch non-overlapping scale > 0 is required for a "
+                "measurable piecewise transform"
+            )
+
+    def fwd(x, c):
+        return jnp.where(x > 0, c[0] * x, c[1] * x)
+
+    def inv(y, c):
+        return jnp.where(y > 0, y / c[0], y / c[1])
+
+    def ljd(y, c):
+        def safe(s):
+            s = jnp.asarray(s)
+            return jnp.where(s > 0, -jnp.log(jnp.where(s > 0, s, 1.0)), -jnp.inf)
+
+        return jnp.where(y > 0, safe(c[0]), safe(c[1]))
+
+    op = _Op("switch_scale", fwd, inv, ljd, 1, const=(s_pos, s_neg))
+    op.continuous_only = True
+    return op, leaf
+
+
 # ---------------------------------------------------------------- the walk
 def _is_rv_free(x):
     """True when operand contributes no randomness (usable as a constant)."""
@@ -385,6 +474,19 @@ def dist_from_expression(node):
             break
         fn = current.fn
         fn = getattr(fn, "_base_fn", fn)
+        if fn is jnp.where:
+            matched = _match_switch_scale(current)
+            if matched is None:
+                raise TypeError(
+                    "switch(...) is only measurable in the non-overlapping "
+                    "form switch(x > 0, s_pos * x, s_neg * x) with positive "
+                    "RV-free scales (reference logprob switch rewrite); use "
+                    "Mixture for component-selection semantics"
+                )
+            op, leaf = matched
+            ops.append(op)
+            current = leaf
+            continue
         if fn in _NON_INVERTIBLE:
             raise TypeError(
                 f"{_NON_INVERTIBLE[fn]}(...) is not invertible — no derived "
@@ -460,11 +562,21 @@ class TransformedDistribution(Distribution):
         obj.base = base
         obj.ops = list(ops)
         obj.is_discrete = bool(base.is_discrete)
+        if obj.is_discrete and any(
+            getattr(op, "continuous_only", False) for op in ops
+        ):
+            raise TypeError(
+                "measurable switch applies to continuous RVs only "
+                "(reference logprob switch rewrite rejects discrete bases)"
+            )
         shapes = [base.shape]
         for op in ops:
             c = op.const
-            if c is not None:
-                shapes.append(tuple(getattr(c, "shape", np.shape(c))))
+            if c is None:
+                continue
+            consts = c if isinstance(c, tuple) else (c,)
+            for ci in consts:
+                shapes.append(tuple(getattr(ci, "shape", np.shape(ci))))
         full = tuple(np.broadcast_shapes(*shapes))
         # the transform is elementwise, so the event structure is the base's
         obj.event_shape = tuple(base.event_shape)
