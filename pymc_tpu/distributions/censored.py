@@ -105,6 +105,19 @@ class Censored(Distribution):
             res = jnp.where(value >= upper, 0.0, res)
         return res
 
+    def icdf(self, q, env=None, memo=None):
+        """Quantiles: the point masses at the bounds absorb the tail
+        quantiles (q <= F(lower) -> lower, q >= F(upper^-) -> upper), which
+        is exactly clip(base.icdf(q), lower, upper); NaN outside [0, 1]
+        propagates through the clip. Reference logprob/censoring.py clip
+        icdf semantics (tests/logprob/test_censoring.py:447)."""
+        if memo is None:
+            memo = {}
+        base_q = self.base.icdf(q, env, memo)
+        lo = evaluate(self.lower, env, memo) if self.lower is not None else None
+        hi = evaluate(self.upper, env, memo) if self.upper is not None else None
+        return jnp.clip(base_q, lo, hi)
+
     def sample(self, key, sample_shape=(), env=None, memo=None):
         if isinstance(sample_shape, int):
             sample_shape = (sample_shape,)

@@ -226,8 +226,16 @@ _UNARY = {
 
 _NON_INVERTIBLE = {
     jnp.abs: "abs", jnp.square: "square", jnp.sign: "sign",
-    jnp.floor: "floor", jnp.ceil: "ceil", jnp.round: "round",
     jnp.cos: "cos", jnp.cosh: "cosh", jnp.sin: "sin", jnp.tan: "tan",
+}
+
+# mass-pooling maps (reference logprob/censoring.py MeasurableClip:86,
+# MeasurableMaximum/Minimum via find_measurable_max_min, and
+# MeasurableRound:343) — handled by dedicated matchers below, not _Op links
+_CENSORING_FNS = (jnp.clip, jnp.maximum, jnp.minimum)
+_ROUNDING_FNS = {
+    jnp.round: "round", jnp.floor: "floor", jnp.ceil: "ceil",
+    jnp.trunc: "trunc",
 }
 
 
@@ -448,6 +456,183 @@ def _match_switch_scale(node):
     return op, leaf
 
 
+# ----------------------------------------------------- censoring / rounding
+def _inner_dist(x):
+    """Distribution of the sub-expression below a mass-pooling op: a bare
+    RV's dist, or a recursively derived measurable-expression density."""
+    if isinstance(x, (FreeRV, ObservedRV)):
+        return x.dist
+    if isinstance(x, Node):
+        return dist_from_expression(x)
+    raise TypeError("mass-pooling op needs a random operand")
+
+
+def _resolve_censor_bound(b, rv_operand, side):
+    """Normalize one clip/max/min bound: None for the unbounded idioms
+    (bound is the RV itself — ``clip(x, x, hi)`` — or an infinite constant),
+    the bound otherwise. Bounds may be other random expressions (evaluated
+    from the env at logp time) but must not depend on the censored leaf."""
+    if b is rv_operand:
+        return None
+    if isinstance(b, Node):
+        leaf_ids = {id(r) for r in rv_ancestors([rv_operand])}
+        if any(id(r) in leaf_ids for r in rv_ancestors([b])):
+            raise TypeError(
+                "censoring bound depends on the censored variable itself — "
+                "no derived density"
+            )
+        return b
+    arr = np.asarray(b)
+    if arr.ndim == 0 and np.isinf(arr):
+        if (side == "lower") == (arr < 0):
+            return None
+    return b
+
+
+def _acc_bound(old, new, combine):
+    """Nested bounds combine with maximum (lower) / minimum (upper) —
+    reference find_measurable_clips nested-clip fusion."""
+    if new is None:
+        return old
+    if old is None:
+        return new
+    from ..graph import apply as _gapply
+
+    return _gapply(combine, old, new)
+
+
+def _match_censoring(node):
+    """Unwrap a chain of clip / maximum / minimum ops over one random
+    sub-expression into a Censored distribution (reference
+    logprob/censoring.py:86 MeasurableClip + max/min censoring)."""
+    from .censored import Censored
+
+    lower = upper = None
+    current = node
+    while isinstance(current, DeterministicNode):
+        fn = getattr(current.fn, "_base_fn", current.fn)
+        if fn is jnp.clip:
+            if len(current.args) != 3:
+                raise TypeError("measurable clip must be clip(x, lower, upper)")
+            x, lo, hi = current.args
+            if _is_rv_free(x):
+                raise TypeError("clip(x, ...) needs a random first operand")
+            lower = _acc_bound(
+                lower, _resolve_censor_bound(lo, x, "lower"), jnp.maximum
+            )
+            upper = _acc_bound(
+                upper, _resolve_censor_bound(hi, x, "upper"), jnp.minimum
+            )
+            current = x
+        elif fn is jnp.maximum or fn is jnp.minimum:
+            if len(current.args) != 2:
+                raise TypeError("measurable maximum/minimum must be binary")
+            a, b = current.args
+            a_free, b_free = _is_rv_free(a), _is_rv_free(b)
+            if a_free == b_free:
+                raise TypeError(
+                    "maximum/minimum of two random expressions is not "
+                    "censoring — no derived density (use OrderStatistic "
+                    "for iid order statistics)"
+                )
+            const, rv_side = (a, b) if a_free else (b, a)
+            bound = _resolve_censor_bound(
+                const, rv_side, "lower" if fn is jnp.maximum else "upper"
+            )
+            if fn is jnp.maximum:
+                lower = _acc_bound(lower, bound, jnp.maximum)
+            else:
+                upper = _acc_bound(upper, bound, jnp.minimum)
+            current = rv_side
+        else:
+            break
+    base = _inner_dist(current)
+    if lower is None and upper is None:
+        # clip(x, x, x) — the useless clip; plain base density (reference
+        # test_useless_clip)
+        return base
+    return Censored.dist(base, lower=lower, upper=upper)
+
+
+def _match_rounding(node, method):
+    """round/floor/ceil/trunc of a continuous measurable expression →
+    Discretized (reference logprob/censoring.py:343 round_logprob)."""
+    from .censored import Censored
+    from .derived import Discretized
+
+    args = [a for a in node.args if isinstance(a, Node)]
+    if len(node.args) != 1 or len(args) != 1:
+        raise TypeError(f"measurable {method} must be unary")
+    base = _inner_dist(args[0])
+    if isinstance(base, Censored):
+        # A censored base pools mass at its bounds: treating it as continuous
+        # would drop the bound cells' atoms (reference
+        # test_rounding_censored_base_not_measurable)
+        raise TypeError(
+            f"{method}(...) of a censored expression is not measurable: the "
+            "point masses at the censoring bounds are not a density"
+        )
+    if base.is_discrete:
+        # rounding an integer-supported RV is the identity (reference
+        # find_measurable_roundings reduces it to a cast)
+        return base
+    return Discretized.dist(base, method=method)
+
+
+def _match_order_reduction(node, kind, axis, keepdims):
+    """max/min over ALL axes of an iid scalar RV → Max/Min order-statistic
+    density (reference logprob/order.py find_measurable_max; partial-axis
+    reductions are rejected there too, tests/logprob/test_order.py:118)."""
+    from .derived import Max, Min
+    from .distribution import _shape_of
+    from .shape_utils import change_dist_size
+
+    args = [a for a in node.args if isinstance(a, Node)]
+    if len(node.args) != 1 or len(args) != 1:
+        raise TypeError(f"measurable {kind} must be unary")
+    x = args[0]
+    if not isinstance(x, (FreeRV, ObservedRV)):
+        raise TypeError(
+            f"{kind}(...) order statistic requires a bare iid random "
+            "variable operand (use OrderStatistic/Max/Min explicitly for "
+            "derived bases)"
+        )
+    dist = x.dist
+    if dist.event_ndim != 0:
+        raise TypeError(
+            f"{kind} of a multivariate distribution has no derived density"
+        )
+    shape = tuple(int(s) for s in dist.shape)
+    ndim = len(shape)
+    if axis is None:
+        reduced = tuple(range(ndim))
+    else:
+        ax = (axis,) if isinstance(axis, int) else tuple(axis)
+        reduced = tuple(sorted(a % ndim for a in ax))
+    if reduced != tuple(range(ndim)):
+        raise TypeError(
+            f"{kind} over a partial axis subset is not measurable — the "
+            "un-reduced components remain random; reduce over all axes "
+            "(reference logprob/order.py)"
+        )
+    for pname in dist.param_names:
+        p = getattr(dist, pname, None)
+        if p is None:
+            continue
+        if tuple(_shape_of(p)) != ():
+            raise TypeError(
+                f"{kind} order statistic requires iid components; parameter "
+                f"{pname!r} varies across them"
+            )
+    n = 1
+    for s in shape:
+        n *= s
+    if n < 1:
+        raise TypeError(f"{kind} of an empty variable has no density")
+    base = change_dist_size(dist, ())
+    return (Max if kind == "max" else Min).dist(base, n)
+
+
 # ---------------------------------------------------------------- the walk
 def _is_rv_free(x):
     """True when operand contributes no randomness (usable as a constant)."""
@@ -472,6 +657,10 @@ def dist_from_expression(node):
         if join is not None:
             base = StackedDistribution._make(join[0], join[1], current)
             break
+        red = getattr(current.fn, "_measurable_reduction", None)
+        if red is not None:
+            base = _match_order_reduction(current, *red)
+            break
         fn = current.fn
         fn = getattr(fn, "_base_fn", fn)
         if fn is jnp.where:
@@ -487,6 +676,19 @@ def dist_from_expression(node):
             ops.append(op)
             current = leaf
             continue
+        if fn in _CENSORING_FNS:
+            if ops:
+                raise TypeError(
+                    "censoring (clip/maximum/minimum) pools probability mass "
+                    "at the bounds; an elementwise transform OVER a censored "
+                    "expression has no derived density (the Jacobian does "
+                    "not apply at the atoms) — censor outermost, or use "
+                    "pm.Censored explicitly"
+                )
+            return _match_censoring(current)
+        if fn in _ROUNDING_FNS:
+            base = _match_rounding(current, _ROUNDING_FNS[fn])
+            break
         if fn in _NON_INVERTIBLE:
             raise TypeError(
                 f"{_NON_INVERTIBLE[fn]}(...) is not invertible — no derived "

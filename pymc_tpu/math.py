@@ -172,11 +172,17 @@ def mean(x, axis=None, keepdims=False):
 
 
 def max(x, axis=None, keepdims=False):  # noqa: A001
-    return apply(lambda v: jnp.max(v, axis=axis, keepdims=keepdims), x)
+    fn = lambda v: jnp.max(v, axis=axis, keepdims=keepdims)  # noqa: E731
+    # order-statistic measurability marker (distributions/transformed.py):
+    # pm.logp(pm.math.max(rv), v) derives the iid-max density
+    fn._measurable_reduction = ("max", axis, keepdims)
+    return apply(fn, x)
 
 
 def min(x, axis=None, keepdims=False):  # noqa: A001
-    return apply(lambda v: jnp.min(v, axis=axis, keepdims=keepdims), x)
+    fn = lambda v: jnp.min(v, axis=axis, keepdims=keepdims)  # noqa: E731
+    fn._measurable_reduction = ("min", axis, keepdims)
+    return apply(fn, x)
 
 
 maximum = _wrap(jnp.maximum)
