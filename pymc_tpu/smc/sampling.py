@@ -90,15 +90,30 @@ def sample_smc(
     from ..sampling.mcmc import _make_postprocess_fn, _resolve_seed
 
     model = modelcontext(model)
-    if model.discrete_value_vars:
-        raise NotImplementedError(
-            "SMC over discrete free variables: marginalize or use pm.sample"
-        )
     key = _resolve_seed(random_seed)
     k_init, k_stages = jax.random.split(key)
 
-    info = model.raveled_info()
+    # Discrete free variables ride as continuous particle coordinates that
+    # are ROUNDED to the lattice before every density evaluation (reference
+    # smc/kernels.py _logp_forw floor-casting, tests/smc/test_smc.py
+    # test_discrete_rounding_proposal: -0.49 -> 0, 0.51 -> 1, -0.51 -> -inf).
+    # Proposals/mutations stay continuous; only the logp sees the lattice.
+    info = model.raveled_info(vars=model.free_RVs)
     D = info.total_size
+    disc_names = {rv.value_name for rv in model.discrete_value_vars}
+    if disc_names:
+        mask = np.zeros(D, dtype=bool)
+        for name, sl in info.slices().items():
+            if name in disc_names:
+                mask[sl] = True
+        disc_mask = jnp.asarray(mask)
+
+        def snap(q):
+            return jnp.where(disc_mask, jnp.round(q), q)
+    else:
+        def snap(q):
+            return q
+
     split_logp = model.logp_fn(split=True)
 
     has_simulator = any(
@@ -106,7 +121,7 @@ def sample_smc(
     )
 
     def prior_like_one(q, sim_key):
-        vals = unravel_vector(q, info)
+        vals = unravel_vector(snap(q), info)
         if has_simulator:
             vals[("__simulator_key__",)] = sim_key
         varlogp, datalogp = split_logp(vals)
@@ -185,11 +200,14 @@ def sample_smc(
 
     flat = np.asarray(jax.device_get(state.particles)).reshape(chains * draws, D)
     post_fn = jax.jit(jax.vmap(_make_postprocess_fn(model, info)))
-    out = post_fn(jnp.asarray(flat))
+    out = post_fn(snap(jnp.asarray(flat)))
     posterior = {
         k: np.asarray(jax.device_get(v)).reshape((chains, draws) + v.shape[1:])
         for k, v in out.items()
     }
+    for rv in model.discrete_value_vars:
+        if rv.name in posterior:
+            posterior[rv.name] = posterior[rv.name].astype(rv.dtype)
 
     lml = np.asarray(jax.device_get(state.log_marginal))
     stats = {

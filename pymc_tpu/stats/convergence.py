@@ -74,6 +74,18 @@ def _rhat_base(x):
         return np.sqrt(vhat / within)
 
 
+def _to_param_major(x, C, S, K):
+    """(C, S, *extra) -> private WRITABLE param-major (K, C, S) buffer.
+
+    ascontiguousarray alone can alias a read-only input when K == 1 (the
+    transpose of a (C, S, 1) array is already C-contiguous), and device_get
+    arrays are read-only views — the in-place rank scatter then crashes."""
+    xt = np.ascontiguousarray(x.reshape(C, S, K).transpose(2, 0, 1))
+    if not xt.flags.writeable:
+        xt = xt.copy()
+    return xt
+
+
 def _rank_rows_inplace(xt, lut):
     """Scatter normal scores through each contiguous (C*S,) row's sort order."""
     K = xt.shape[0]
@@ -111,7 +123,7 @@ def rhat(x):
     C, S = x.shape[:2]
     extra = x.shape[2:]
     K = int(np.prod(extra)) if extra else 1
-    xt = np.ascontiguousarray(x.reshape(C, S, K).transpose(2, 0, 1))
+    xt = _to_param_major(x, C, S, K)
     s = C * S
     lut = ndtri((np.arange(1, s + 1) - 3.0 / 8.0) / (s + 1.0 / 4.0))
 
@@ -204,7 +216,7 @@ def _ess_fused(x, rank_normalize):
     if S < 4 or C < 1:
         return np.full(extra, np.nan)
     K = int(np.prod(extra)) if extra else 1
-    xt = np.ascontiguousarray(x.reshape(C, S, K).transpose(2, 0, 1))
+    xt = _to_param_major(x, C, S, K)
 
     if rank_normalize:
         s = C * S

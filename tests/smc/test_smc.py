@@ -304,3 +304,75 @@ def test_systematic_resampling_unit():
     lw = jnp.log(jnp.array([0.99, 0.01]))
     out = _systematic_resample(jax.random.PRNGKey(1), lw, jnp.arange(2))
     np.testing.assert_array_equal(np.asarray(out), [0, 0])
+
+
+class TestDiscreteLatents:
+    """SMC over discrete free variables via rounded lattice proposals
+    (reference smc/kernels.py value rounding; tests/smc/test_smc.py:91-135)."""
+
+    def test_rounding_semantics(self):
+        # particles are continuous; the density sees round(q): -0.49 -> 0,
+        # 0.51 -> 1, -0.51 -> -1 (outside support => -inf)
+        import scipy.stats as st
+        with pm.Model() as m:
+            pm.Bernoulli("z", p=0.7)
+        info = m.raveled_info(vars=m.free_RVs)
+        from pymc_tpu.blocking import unravel_vector
+        logp = m.logp_fn()
+
+        def rounded_logp(qv):
+            q = jnp.where(jnp.array([True]), jnp.round(jnp.array([qv])),
+                          jnp.array([qv]))
+            return float(logp(unravel_vector(q, info)))
+
+        assert rounded_logp(-0.51) == -np.inf
+        np.testing.assert_allclose(rounded_logp(-0.49), np.log(0.3))
+        np.testing.assert_allclose(rounded_logp(0.49), np.log(0.3))
+        np.testing.assert_allclose(rounded_logp(0.51), np.log(0.7))
+        assert rounded_logp(1.51) == -np.inf
+
+    def test_unobserved_bernoulli(self):
+        # reference test_unobserved_bernoulli: mixture-assignment recovery
+        import scipy.stats as st
+        n = 10
+        rng = np.random.RandomState(20160911)
+        z_true = np.zeros(n, dtype=int)
+        z_true[n // 2:] = 1
+        y = st.norm(np.array([-1, 1])[z_true], 0.25).rvs(random_state=rng)
+        with pm.Model() as m:
+            z = pm.Bernoulli("z", p=0.5, size=n)
+            mu = pm.math.switch(z, 1.0, -1.0)
+            pm.Normal("like", mu=mu, sigma=0.25, observed=y)
+            post = pm.sample_smc(chains=1, draws=800, progressbar=False,
+                                 return_inferencedata=False, random_seed=1)
+        zmed = np.median(post["z"].reshape(-1, n), axis=0)
+        np.testing.assert_array_equal(zmed, z_true)
+        assert post["z"].dtype.kind == "i"
+
+    def test_unobserved_categorical(self):
+        # reference test_unobserved_categorical
+        with pm.Model() as m:
+            mu = pm.Categorical("mu", p=[0.1, 0.3, 0.6], size=2)
+            pm.Normal("like", mu=mu, sigma=0.1, observed=[1, 2])
+            post = pm.sample_smc(chains=1, draws=800, progressbar=False,
+                                 return_inferencedata=False, random_seed=2)
+        mmed = np.median(post["mu"].reshape(-1, 2), axis=0)
+        np.testing.assert_array_equal(mmed, [1, 2])
+
+    def test_mixed_discrete_continuous(self):
+        # joint discrete + continuous free vars: both recovered
+        import scipy.stats as st
+        rng = np.random.default_rng(5)
+        z_true = np.array([0, 0, 1, 1, 1, 0, 1, 0])
+        shift = 2.0
+        y = rng.normal(z_true * shift, 0.3)
+        with pm.Model() as m:
+            z = pm.Bernoulli("z", p=0.5, size=8)
+            delta = pm.Normal("delta", 0, 5)
+            pm.Normal("like", mu=z * delta, sigma=0.3, observed=y)
+            idata = pm.sample_smc(chains=2, draws=600, progressbar=False,
+                                  random_seed=3)
+        zmed = np.median(
+            idata.posterior["z"].values.reshape(-1, 8), axis=0)
+        np.testing.assert_array_equal(zmed, z_true)
+        assert abs(idata.posterior["delta"].values.mean() - shift) < 0.3
