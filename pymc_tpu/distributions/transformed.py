@@ -579,6 +579,88 @@ def _match_rounding(node, method):
     return Discretized.dist(base, method=method)
 
 
+def _match_layout(node):
+    """transpose / reshape / ravel / squeeze / expand_dims of a measurable
+    expression → LayoutDistribution (reference logprob/tensor.py
+    MeasurableDimShuffle:255): the op is a bijection on the index set, so
+    the elementwise density rides the same re-indexing, Jacobian-free."""
+    fn = node.fn
+    raw = getattr(fn, "_base_fn", fn)
+    marker = getattr(fn, "_measurable_layout", None)
+    args = [a for a in node.args if isinstance(a, Node)]
+    if len(args) != 1:
+        raise TypeError("measurable layout op must have one random operand")
+    x = args[0]
+    in_shape = tuple(int(s) for s in x.shape)
+    out_shape = tuple(int(s) for s in node.shape)
+    if marker is not None:
+        kind, ax = marker
+    elif raw in (jnp.reshape, jnp.ravel, jnp.squeeze, jnp.expand_dims):
+        kind, ax = "reshape", None
+    elif raw is jnp.transpose:
+        extra = [a for a in node.args if not isinstance(a, Node)]
+        kind, ax = "transpose", (tuple(extra[0]) if extra and extra[0]
+                                 is not None else None)
+    elif raw is jnp.swapaxes:
+        extra = [a for a in node.args if not isinstance(a, Node)]
+        a, b = int(extra[0]), int(extra[1])
+        perm = list(range(len(in_shape)))
+        perm[a], perm[b] = perm[b], perm[a]
+        kind, ax = "transpose", tuple(perm)
+    elif raw is jnp.moveaxis:
+        extra = [a for a in node.args if not isinstance(a, Node)]
+        src, dst = extra[0], extra[1]
+        src = (src,) if np.isscalar(src) else tuple(src)
+        dst = (dst,) if np.isscalar(dst) else tuple(dst)
+        perm = [a for a in range(len(in_shape))
+                if a not in {s % len(in_shape) for s in src}]
+        for d, s in sorted(zip((d % len(in_shape) for d in dst),
+                               (s % len(in_shape) for s in src))):
+            perm.insert(d, s)
+        kind, ax = "transpose", tuple(perm)
+    else:  # pragma: no cover - guarded by caller
+        raise TypeError("unrecognized layout op")
+
+    base = _inner_dist(x)
+    if base.event_ndim != 0:
+        raise TypeError(
+            "layout ops over multivariate distributions would mix event "
+            "dimensions — no derived density"
+        )
+    if kind == "transpose":
+        axes = tuple(a % len(in_shape) for a in ax) if ax is not None else \
+            tuple(reversed(range(len(in_shape))))
+        inv_axes = tuple(int(i) for i in np.argsort(axes))
+        k = len(in_shape)
+
+        def fwd(arr):
+            lead = arr.ndim - k
+            return jnp.transpose(
+                arr, tuple(range(lead)) + tuple(lead + a for a in axes)
+            )
+
+        def inv(arr):
+            lead = arr.ndim - k
+            return jnp.transpose(
+                arr, tuple(range(lead)) + tuple(lead + a for a in inv_axes)
+            )
+    else:  # C-order-preserving reshape family
+        if int(np.prod(in_shape) if in_shape else 1) != int(
+            np.prod(out_shape) if out_shape else 1
+        ):
+            raise TypeError("layout reshape must preserve the element count")
+
+        def fwd(arr):
+            lead = arr.shape[: arr.ndim - len(in_shape)]
+            return jnp.reshape(arr, lead + out_shape)
+
+        def inv(arr):
+            lead = arr.shape[: arr.ndim - len(out_shape)]
+            return jnp.reshape(arr, lead + in_shape)
+
+    return LayoutDistribution._make(base, fwd, inv, out_shape)
+
+
 def _match_order_reduction(node, kind, axis, keepdims):
     """max/min over ALL axes of an iid scalar RV → Max/Min order-statistic
     density (reference logprob/order.py find_measurable_max; partial-axis
@@ -688,6 +770,13 @@ def dist_from_expression(node):
             return _match_censoring(current)
         if fn in _ROUNDING_FNS:
             base = _match_rounding(current, _ROUNDING_FNS[fn])
+            break
+        if (
+            getattr(current.fn, "_measurable_layout", None) is not None
+            or fn in (jnp.reshape, jnp.ravel, jnp.squeeze, jnp.expand_dims,
+                      jnp.transpose, jnp.swapaxes, jnp.moveaxis)
+        ):
+            base = _match_layout(current)
             break
         if fn in _NON_INVERTIBLE:
             raise TypeError(
@@ -1130,3 +1219,54 @@ class StackedDistribution(Distribution):
                 env2[p.node.name] = x
             out.append(x)
         return self._join(out)
+
+
+class LayoutDistribution(Distribution):
+    """Index-bijective layout op (transpose / C-order reshape) over a
+    scalar-event base distribution: every element keeps its own density, so
+    logp/logcdf/icdf ride the same re-indexing with no Jacobian.
+
+    Parity: reference pymc/logprob/tensor.py:255 (MeasurableDimShuffle).
+    """
+
+    param_names = ()
+    event_ndim = 0
+
+    @classmethod
+    def _make(cls, base, fwd, inv, out_shape):
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.base = base
+        obj._fwd = fwd   # plain instance attrs: no binding
+        obj._inv = inv
+        obj.is_discrete = bool(base.is_discrete)
+        obj._mixed_discrete = bool(getattr(base, "_mixed_discrete", False))
+        obj.batch_shape = tuple(out_shape)
+        obj.event_shape = ()
+        return obj
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def logp(self, value, env=None, memo=None):
+        return self._fwd(self.base.logp(self._inv(jnp.asarray(value)), env, memo))
+
+    def logcdf(self, value, env=None, memo=None):
+        return self._fwd(self.base.logcdf(self._inv(jnp.asarray(value)), env, memo))
+
+    def logccdf(self, value, env=None, memo=None):
+        return self._fwd(self.base.logccdf(self._inv(jnp.asarray(value)), env, memo))
+
+    def icdf(self, q, env=None, memo=None):
+        return self._fwd(self.base.icdf(self._inv(jnp.asarray(q)), env, memo))
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        return self._fwd(self.base.sample(key, sample_shape, env, memo))
+
+    def support_point(self, env=None, memo=None):
+        return self._fwd(self.base.support_point(env, memo))

@@ -156,7 +156,11 @@ class Node:
     def reshape(self, *shape):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])
-        return apply(lambda x: jnp.reshape(x, shape), self)
+        fn = lambda x: jnp.reshape(x, shape)  # noqa: E731
+        # C-order index bijection: measurable-layout marker
+        # (distributions/transformed.py LayoutDistribution)
+        fn._measurable_layout = ("reshape", None)
+        return apply(fn, self)
 
     def ravel(self):
         return apply(jnp.ravel, self)
@@ -165,13 +169,17 @@ class Node:
         return apply(jnp.ravel, self)
 
     def squeeze(self, axis=None):
-        return apply(lambda x: jnp.squeeze(x, axis=axis), self)
+        fn = lambda x: jnp.squeeze(x, axis=axis)  # noqa: E731
+        fn._measurable_layout = ("reshape", None)
+        return apply(fn, self)
 
     def transpose(self, *axes):
         ax = axes if axes else None
         if len(axes) == 1 and isinstance(axes[0], (tuple, list)):
             ax = tuple(axes[0])
-        return apply(lambda x: jnp.transpose(x, ax), self)
+        fn = lambda x: jnp.transpose(x, ax)  # noqa: E731
+        fn._measurable_layout = ("transpose", ax)
+        return apply(fn, self)
 
     def sum(self, axis=None, keepdims=False):
         return apply(lambda x: jnp.sum(x, axis=axis, keepdims=keepdims), self)
@@ -491,8 +499,19 @@ class DeterministicNode(Node):
         self._infer_shape()
 
     def _infer_shape(self):
-        avals = [_aval(a) for a in self.args]
-        out = jax.eval_shape(lambda *xs: self.fn(*xs, **self.kwargs), *avals)
+        # only Node args become abstract values; everything else stays a
+        # static closure constant — ops like swapaxes/take need their int
+        # axis arguments concrete at trace time
+        node_idx = [i for i, a in enumerate(self.args) if isinstance(a, Node)]
+        avals = [_aval(self.args[i]) for i in node_idx]
+
+        def shell(*xs):
+            full = list(self.args)
+            for i, x in zip(node_idx, xs):
+                full[i] = x
+            return self.fn(*full, **self.kwargs)
+
+        out = jax.eval_shape(shell, *avals)
         if not isinstance(out, jax.ShapeDtypeStruct):
             raise TypeError(
                 f"Deterministic fn must return a single array, got {type(out)}"
