@@ -248,3 +248,58 @@ class TestF32StatisticalGate:
         div64 = int(idata64.sample_stats["diverging"].values.sum())
         n_total = int(np.prod(idata32.sample_stats["diverging"].shape))
         assert div32 <= div64 + max(2, n_total // 100), (div32, div64)
+
+
+class TestF32StressGate:
+    """f32 gate on the BASELINE config #3 shape (hierarchical logistic GLM,
+    non-centered, Bernoulli likelihood) — scaled to CI size. The bench runs
+    this family at 10k params on-device at float32; this gate pins the f32
+    posterior to the x64 oracle within MCSE (VERDICT r2 #5)."""
+
+    def _stress(self, n_groups=100, n_obs=1500, seed=7):
+        rng = np.random.default_rng(seed)
+        g = rng.integers(0, n_groups, n_obs)
+        x = rng.normal(size=n_obs)
+        true_a = rng.normal(0, 0.5, n_groups)
+        true_b = rng.normal(0.3, 0.2, n_groups)
+        logits = true_a[g] + true_b[g] * x
+        y = (rng.uniform(size=n_obs) < 1 / (1 + np.exp(-logits))).astype(int)
+        with pm.Model() as m:
+            mu_a = pm.Normal("mu_a", 0, 1)
+            sd_a = pm.HalfNormal("sd_a", 1)
+            mu_b = pm.Normal("mu_b", 0, 1)
+            sd_b = pm.HalfNormal("sd_b", 1)
+            a_t = pm.Normal("a_t", 0, 1, shape=(n_groups,))
+            b_t = pm.Normal("b_t", 0, 1, shape=(n_groups,))
+            a = mu_a + sd_a * a_t
+            b = mu_b + sd_b * b_t
+            pm.Bernoulli("y", logit_p=a[g] + b[g] * x, observed=y)
+        return m
+
+    def test_stress_f32_within_mcse_of_x64(self):
+        from pymc_tpu.stats.convergence import mcse_mean
+
+        kwargs = dict(draws=400, tune=400, chains=8, random_seed=0,
+                      progressbar=False, compute_convergence_checks=False)
+        idata32 = pm.sample(model=self._stress(), **kwargs)
+        assert idata32.posterior["mu_a"].values.dtype == np.float32
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            idata64 = pm.sample(model=self._stress(), **kwargs)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+        for var in ("mu_a", "sd_a", "mu_b", "sd_b"):
+            v32 = idata32.posterior[var].values
+            v64 = idata64.posterior[var].values
+            se = float(np.hypot(mcse_mean(v32), mcse_mean(v64)))
+            dm = abs(float(v32.mean()) - float(v64.mean()))
+            assert dm < 5 * se + 1e-3, (var, dm, se)
+            s32, s64 = float(v32.std()), float(v64.std())
+            assert abs(s32 - s64) < 0.25 * max(s64, 1e-3), (var, s32, s64)
+
+        div32 = int(idata32.sample_stats["diverging"].values.sum())
+        div64 = int(idata64.sample_stats["diverging"].values.sum())
+        n_total = int(np.prod(idata32.sample_stats["diverging"].shape))
+        assert div32 <= div64 + max(2, n_total // 100), (div32, div64)
