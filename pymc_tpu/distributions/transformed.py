@@ -661,6 +661,135 @@ def _match_layout(node):
     return LayoutDistribution._make(base, fwd, inv, out_shape)
 
 
+def _match_argext(node, kind, axis):
+    """argmax/argmin with a closed-form winner distribution → Categorical
+    (reference logprob/order.py:256 categorical_from_argmax):
+
+        argmax(Gumbel(mu, beta))      -> Cat(softmax(mu / beta))
+        argmin(Exponential(lam))      -> Cat(lam / sum lam)
+        argmin(Weibull(alpha, beta))  -> Cat(beta^-alpha / sum beta^-alpha)
+
+    Loc/scale lifts (`a + b * rv`, RV-free a/b) fold into the base params
+    (reference lift_loc_scale); Gumbel's race is scale-invariant so only
+    its per-index location matters. The Gumbel scale / Weibull shape must
+    be constant across the race axes.
+    """
+    from ..graph import apply as gapply
+    from .continuous import Exponential, Gumbel, Weibull
+    from .discrete import Categorical
+    from .distribution import _shape_of
+
+    args = [a for a in node.args if isinstance(a, Node)]
+    if len(node.args) != 1 or len(args) != 1:
+        raise TypeError(f"measurable arg{kind} must be unary")
+    current = args[0]
+
+    # unwrap a + b * rv (one affine layer, RV-free coefficients)
+    shift, scale = 0.0, 1.0
+    while isinstance(current, DeterministicNode):
+        fn = getattr(current.fn, "_base_fn", current.fn)
+        if fn in (jnp.add, jnp.multiply) and len(current.args) == 2:
+            a, b = current.args
+            a_free, b_free = _is_rv_free(a), _is_rv_free(b)
+            if a_free == b_free:
+                raise TypeError(
+                    f"arg{kind} has a closed form only for one random "
+                    "operand races"
+                )
+            const, rv_side = (a, b) if a_free else (b, a)
+            # walking outer->inner through y = shift + scale * (...):
+            # an inner add A folds as shift += scale*A; an inner mul A as
+            # scale *= A
+            if fn is jnp.add:
+                shift = gapply(
+                    jnp.add, shift, gapply(jnp.multiply, scale, const)
+                )
+            else:
+                if not isinstance(const, Node):
+                    arr = np.asarray(const)
+                    if not np.all(arr > 0):
+                        raise TypeError(
+                            f"arg{kind} scale lift needs positive scales"
+                        )
+                scale = gapply(jnp.multiply, scale, const)
+            current = rv_side
+            continue
+        break
+    if not isinstance(current, (FreeRV, ObservedRV)):
+        raise TypeError(
+            f"arg{kind}(...) requires a Gumbel (argmax) or "
+            "Exponential/Weibull (argmin) random operand"
+        )
+    dist = current.dist
+    shape = tuple(int(s) for s in dist.shape)
+    ndim = len(shape)
+    if axis is None:
+        reduced = tuple(range(ndim))
+    else:
+        reduced = (axis % ndim,)
+    if not shape or any(shape[a] == 0 for a in reduced):
+        raise TypeError(f"arg{kind} of an empty race has no density")
+
+    def _const_across(p):
+        ps = _shape_of(p)
+        padded = (1,) * (ndim - len(ps)) + tuple(ps)
+        return all(padded[a] == 1 for a in reduced)
+
+    if kind == "max" and isinstance(dist, Gumbel):
+        if not _const_across(dist.beta) or not _const_across(scale):
+            raise TypeError(
+                "argmax(gumbel): the scale must be constant across the "
+                "race axes (reference order.py:286)"
+            )
+        # exp((a + b*mu) / (b*beta)) — b cancels only in the ratio mu/beta
+        # when a == 0; keep the general affine form
+        logits = gapply(
+            lambda sh, sc, mu, beta: (sh + sc * mu) / (sc * beta),
+            shift, scale, dist.mu, dist.beta,
+        )
+        weights = gapply(jnp.exp, logits)
+    elif kind == "min" and isinstance(dist, Exponential):
+        if not (np.isscalar(shift) and shift == 0.0):
+            raise TypeError(
+                "argmin(exponential): location shifts break the closed "
+                "form (a shifted exponential is not exponential)"
+            )
+        weights = gapply(lambda lam, sc: lam / sc, dist.lam, scale)
+    elif kind == "min" and isinstance(dist, Weibull):
+        if not (np.isscalar(shift) and shift == 0.0):
+            raise TypeError(
+                "argmin(weibull): location shifts break the closed form"
+            )
+        if not _const_across(dist.alpha):
+            raise TypeError(
+                "argmin(weibull): the shape must be constant across the "
+                "race axes (reference order.py:313)"
+            )
+        weights = gapply(
+            lambda a, b, sc: (b * sc) ** (-a), dist.alpha, dist.beta, scale
+        )
+    else:
+        raise TypeError(
+            f"arg{kind} has a closed-form density only for "
+            "argmax(Gumbel) and argmin(Exponential/Weibull) races "
+            "(reference logprob/order.py categorical_from_argmax)"
+        )
+
+    n_red = 1
+    for a in reduced:
+        n_red *= shape[a]
+    rest = tuple(a for a in range(ndim) if a not in reduced)
+    out_shape = tuple(shape[a] for a in rest)
+
+    def to_probs(w):
+        w = jnp.broadcast_to(jnp.asarray(w), shape)
+        w = jnp.moveaxis(w, reduced, tuple(range(-len(reduced), 0)))
+        w = jnp.reshape(w, out_shape + (n_red,))
+        return w / jnp.sum(w, axis=-1, keepdims=True)
+
+    return Categorical.dist(p=gapply(to_probs, weights))
+
+
 def _match_order_reduction(node, kind, axis, keepdims):
     """max/min over ALL axes of an iid scalar RV → Max/Min order-statistic
     density (reference logprob/order.py find_measurable_max; partial-axis
@@ -742,6 +871,10 @@ def dist_from_expression(node):
         red = getattr(current.fn, "_measurable_reduction", None)
         if red is not None:
             base = _match_order_reduction(current, *red)
+            break
+        argext = getattr(current.fn, "_measurable_argext", None)
+        if argext is not None:
+            base = _match_argext(current, *argext)
             break
         fn = current.fn
         fn = getattr(fn, "_base_fn", fn)

@@ -397,8 +397,18 @@ def floatX(x):
 
 all = _wrap(jnp.all)
 any = _wrap(jnp.any)
-argmax = _wrap(jnp.argmax)
-argmin = _wrap(jnp.argmin)
+def argmax(x, axis=None):
+    fn = lambda v: jnp.argmax(v, axis=axis)  # noqa: E731
+    # competing-risks measurability marker: pm.logp(argmax(gumbel_rv), v)
+    # derives the closed-form Categorical (distributions/transformed.py)
+    fn._measurable_argext = ("max", axis)
+    return apply(fn, x)
+
+
+def argmin(x, axis=None):
+    fn = lambda v: jnp.argmin(v, axis=axis)  # noqa: E731
+    fn._measurable_argext = ("min", axis)
+    return apply(fn, x)
 argsort = _wrap(jnp.argsort)
 broadcast_to = _wrap(jnp.broadcast_to)
 diag = _wrap(jnp.diag)

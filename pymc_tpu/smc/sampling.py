@@ -70,6 +70,7 @@ def sample_smc(
     cores=None,
     model=None,
     random_seed=None,
+    start=None,
     threshold=0.5,
     correlation_threshold=0.01,
     compute_convergence_checks=True,
@@ -161,6 +162,36 @@ def sample_smc(
     keys = jax.random.split(k_init, chains * draws)
     particles = jax.jit(jax.vmap(init_particle))(keys).reshape(chains, draws, D)
 
+    if start is not None:
+        # reference smc/kernels.py:286: `start` seeds the initial population
+        # as {name: (draws,)+shape} arrays in VALUE space (transformed names
+        # like "b_log__", or rv names for untransformed vars); unlisted vars
+        # keep their prior-sampled particles. A list gives one dict per chain.
+        starts = list(start) if isinstance(start, (list, tuple)) else \
+            [start] * chains
+        if len(starts) != chains:
+            raise ValueError(
+                f"start must be one dict or a list of {chains} dicts"
+            )
+        buf = np.asarray(particles).copy()
+        sl = info.slices()
+        for c, sdict in enumerate(starts):
+            for rv in model.free_RVs:
+                arr = sdict.get(rv.value_name)
+                if arr is None and rv.value_name != rv.name:
+                    arr = sdict.get(rv.name)
+                    if arr is not None:
+                        arr = np.asarray(
+                            jax.vmap(
+                                lambda x: rv.transform.forward(x, {})
+                            )(jnp.asarray(arr, dtype=floatX()))
+                        )
+                if arr is None:
+                    continue
+                arr = np.asarray(arr, dtype=np.float64).reshape(draws, -1)
+                buf[c, :, sl[rv.value_name]] = arr
+        particles = jnp.asarray(buf, dtype=particles.dtype)
+
     init_keys = jax.random.split(jax.random.fold_in(k_stages, 999983), chains)
     state = jax.jit(
         jax.vmap(lambda p, k: smc_init(p, prior_like_fn, k))
@@ -240,6 +271,8 @@ def sample_smc(
             "correlation_threshold": getattr(
                 kernel, "correlation_threshold", correlation_threshold
             ),
+            "threshold": threshold,
+            "n_draws": draws,
         },
     )
     if compute_convergence_checks:

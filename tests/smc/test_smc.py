@@ -376,3 +376,63 @@ class TestDiscreteLatents:
             idata.posterior["z"].values.reshape(-1, 8), axis=0)
         np.testing.assert_array_equal(zmed, z_true)
         assert abs(idata.posterior["delta"].values.mean() - shift) < 0.3
+
+
+class TestStartAndReport:
+    """Reference tests/smc/test_smc.py:173-218 (start= population seeding and
+    kernel-kwargs report fields)."""
+
+    def test_start_population(self):
+        with pm.Model():
+            a = pm.Poisson("a", 5)
+            b = pm.HalfNormal("b", 10)
+            pm.Normal("y", a, b, observed=[1, 2, 3, 4])
+            start = {
+                "a": np.random.default_rng(0).poisson(5, size=300),
+                "b_log__": np.abs(
+                    np.random.default_rng(1).normal(0, 10, size=300)
+                ),
+            }
+            idata = pm.sample_smc(
+                300, chains=1, start=start, progressbar=False,
+                compute_convergence_checks=False, random_seed=1,
+            )
+        assert idata.posterior["a"].shape == (1, 300)
+
+    def test_start_rv_name_applies_transform(self):
+        # rv-name keys are constrained-space: the forward transform maps
+        # them into the particle (value) space
+        with pm.Model():
+            b = pm.HalfNormal("b", 10)
+            pm.Normal("y", 0, b, observed=[1.0, 2.0, 3.0])
+            idata = pm.sample_smc(
+                200, chains=2, progressbar=False, random_seed=2,
+                compute_convergence_checks=False,
+                start={"b": np.abs(np.random.default_rng(2).normal(1, 2, 200))},
+            )
+        assert np.isfinite(idata.posterior["b"].values).all()
+        assert (idata.posterior["b"].values > 0).all()
+
+    def test_start_wrong_length_rejected(self):
+        with pm.Model():
+            pm.Normal("x", 0, 1)
+            pm.Normal("y", 0, 1, observed=[0.5])
+            with pytest.raises(ValueError, match="list of"):
+                pm.sample_smc(100, chains=3, start=[{}, {}],
+                              progressbar=False, random_seed=0)
+
+    def test_report_fields(self):
+        # reference test_kernel_kwargs: threshold / n_draws /
+        # correlation_threshold land in the result metadata
+        with pm.Model():
+            pm.Normal("x", 0, 1)
+            pm.Normal("y", 0, 1, observed=[0.1, -0.2])
+            idata = pm.sample_smc(
+                100, chains=1, threshold=0.7, correlation_threshold=0.02,
+                progressbar=False, compute_convergence_checks=False,
+                random_seed=3,
+            )
+        attrs = idata.posterior.attrs
+        assert attrs["threshold"] == 0.7
+        assert attrs["n_draws"] == 100
+        assert attrs["correlation_threshold"] == 0.02
