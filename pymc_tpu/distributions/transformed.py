@@ -661,6 +661,44 @@ def _match_layout(node):
     return LayoutDistribution._make(base, fwd, inv, out_shape)
 
 
+def _match_index(node, marker):
+    """Basic (int/slice) indexing of an independent-components expression →
+    marginal density of the selected components (reference logprob joint-
+    subtensor support; valid because batch components are independent, so
+    dropping components marginalizes them)."""
+    if marker is None:
+        raise TypeError(
+            "indexing an RV with a RANDOM index is component selection — "
+            "use pm.Mixture for the marginal, or condition on the index"
+        )
+    (idx,) = marker
+    idx_t = idx if isinstance(idx, tuple) else (idx,)
+    for i in idx_t:
+        if not (isinstance(i, (int, np.integer)) or isinstance(i, slice)):
+            raise TypeError(
+                "measurable indexing supports ints and slices only — "
+                "advanced indices can replicate components, whose joint "
+                "density is degenerate"
+            )
+    args = [a for a in node.args if isinstance(a, Node)]
+    if len(args) != 1:
+        raise TypeError("measurable indexing needs one random operand")
+    base = _inner_dist(args[0])
+    if base.event_ndim != 0:
+        raise TypeError(
+            "indexing into a multivariate event has no independent marginal "
+            "here (use the distribution's own marginalization)"
+        )
+    if isinstance(base, StackedDistribution):
+        raise TypeError(
+            "indexing a join of interdependent components has no product "
+            "marginal; index the components before joining"
+        )
+    return SelectionDistribution._make(
+        base, idx_t, tuple(int(s) for s in node.shape)
+    )
+
+
 def _match_argext(node, kind, axis):
     """argmax/argmin with a closed-form winner distribution → Categorical
     (reference logprob/order.py:256 categorical_from_argmax):
@@ -875,6 +913,9 @@ def dist_from_expression(node):
         argext = getattr(current.fn, "_measurable_argext", None)
         if argext is not None:
             base = _match_argext(current, *argext)
+            break
+        if hasattr(current.fn, "_measurable_index"):
+            base = _match_index(current, current.fn._measurable_index)
             break
         fn = current.fn
         fn = getattr(fn, "_base_fn", fn)
@@ -1403,3 +1444,77 @@ class LayoutDistribution(Distribution):
 
     def support_point(self, env=None, memo=None):
         return self._fwd(self.base.support_point(env, memo))
+
+
+class SelectionDistribution(Distribution):
+    """Marginal of basic-indexed independent components: for an elementwise
+    base (batch components independent by construction), ``x[idx]`` keeps
+    the selected components' product density and marginalizes the rest.
+
+    Densities evaluate by scattering the value into a full-shape buffer
+    (support_point filler keeps the discarded positions in-support) and
+    selecting the same positions of the elementwise result.
+    """
+
+    param_names = ()
+    event_ndim = 0
+
+    @classmethod
+    def _make(cls, base, idx_t, out_shape):
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.base = base
+        obj.idx = tuple(idx_t)
+        obj.is_discrete = bool(base.is_discrete)
+        obj.batch_shape = tuple(out_shape)
+        obj.event_shape = ()
+        return obj
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def _sel(self, lead_ndim):
+        # the index applies to the FIRST base axes, after any leading
+        # sample/batch dims
+        return (slice(None),) * lead_ndim + self.idx
+
+    def _through(self, method, value, env, memo):
+        v = jnp.asarray(value)
+        filler = self.base.support_point(env, memo)
+        lead = v.shape[: v.ndim - len(self.shape)]
+        full = jnp.broadcast_to(filler, lead + tuple(self.base.shape))
+        full = full.astype(jnp.result_type(full.dtype, v.dtype))
+        sel = self._sel(len(lead))
+        full = full.at[sel].set(v)
+        return getattr(self.base, method)(full, env, memo)[sel]
+
+    def logp(self, value, env=None, memo=None):
+        return self._through("logp", value, env, memo)
+
+    def logcdf(self, value, env=None, memo=None):
+        return self._through("logcdf", value, env, memo)
+
+    def logccdf(self, value, env=None, memo=None):
+        return self._through("logccdf", value, env, memo)
+
+    def icdf(self, q, env=None, memo=None):
+        # quantiles need an in-[0,1] filler, not the support point
+        q = jnp.asarray(q)
+        lead = q.shape[: q.ndim - len(self.shape)]
+        sel = self._sel(len(lead))
+        full = jnp.full(lead + tuple(self.base.shape), 0.5, dtype=q.dtype)
+        full = full.at[sel].set(q)
+        return self.base.icdf(full, env, memo)[sel]
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        draw = self.base.sample(key, sample_shape, env, memo)
+        return draw[self._sel(len(tuple(sample_shape)))]
+
+    def support_point(self, env=None, memo=None):
+        pt = self.base.support_point(env, memo)
+        return jnp.broadcast_to(pt, tuple(self.base.shape))[self._sel(0)]

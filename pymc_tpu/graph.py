@@ -223,9 +223,17 @@ class Node:
             isinstance(idx, tuple) and any(isinstance(i, Node) for i in idx)
         ):
             if isinstance(idx, tuple):
-                return apply(lambda x, *ix: x[tuple(ix)], self, *idx)
-            return apply(lambda x, ix: x[ix], self, idx)
-        return apply(lambda x: x[idx], self)
+                fn = lambda x, *ix: x[tuple(ix)]  # noqa: E731
+                fn._measurable_index = None  # random index: no marginal
+                return apply(fn, self, *idx)
+            fn = lambda x, ix: x[ix]  # noqa: E731
+            fn._measurable_index = None
+            return apply(fn, self, idx)
+        fn = lambda x: x[idx]  # noqa: E731
+        # static basic index: measurable selection marker
+        # (distributions/transformed.py SelectionDistribution)
+        fn._measurable_index = (idx,)
+        return apply(fn, self)
 
     # -- arithmetic ----------------------------------------------------------
     @staticmethod
