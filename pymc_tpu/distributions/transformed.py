@@ -456,6 +456,52 @@ def _match_switch_scale(node):
     return op, leaf
 
 
+def _match_switch_mixture(node):
+    """``switch(cond, comp_true, comp_false)`` with an RV-free condition and
+    at least one measurable branch → elementwise component-selection mixture
+    (reference logprob/mixture.py:383 MeasurableSwitchMixture + :434
+    logprob_switch_mixture). Deterministic branches behave as point masses;
+    random components must not be broadcast by the condition (broadcast
+    draws are identical, hence dependent — reference
+    find_measurable_switch_mixture rejects component broadcast). Returns
+    None when the pattern does not apply (caller raises)."""
+    from .distribution import DiracDelta
+
+    if len(node.args) != 3:
+        return None
+    cond, t, f = node.args
+    if isinstance(cond, Node) and rv_ancestors([cond]):
+        # measurable condition → not a selection mixture (the
+        # non-overlapping bijection form already had its chance)
+        return None
+    out_shape = tuple(int(s) for s in node.shape)
+    comps, n_meas, has_atoms = [], 0, False
+    for br in (t, f):
+        if isinstance(br, Node) and rv_ancestors([br]):
+            d = _inner_dist(br)
+            if d.event_ndim != 0:
+                raise TypeError(
+                    "switch mixtures select elementwise; multivariate "
+                    "components are not measurable here"
+                )
+            if tuple(d.shape) != out_shape:
+                raise TypeError(
+                    "switch mixture must not broadcast a random component — "
+                    "broadcast draws are identical (dependent), so the "
+                    "product density does not apply (reference rejects "
+                    "component broadcast)"
+                )
+            n_meas += 1
+            comps.append(d)
+        else:
+            has_atoms = True
+            comps.append(DiracDelta.dist(br))
+    if n_meas == 0:
+        return None
+    return SwitchMixtureDistribution._make(cond, comps[0], comps[1],
+                                           out_shape, has_atoms)
+
+
 # ----------------------------------------------------- censoring / rounding
 def _inner_dist(x):
     """Distribution of the sub-expression below a mass-pooling op: a bare
@@ -667,10 +713,7 @@ def _match_index(node, marker):
     subtensor support; valid because batch components are independent, so
     dropping components marginalizes them)."""
     if marker is None:
-        raise TypeError(
-            "indexing an RV with a RANDOM index is component selection — "
-            "use pm.Mixture for the marginal, or condition on the index"
-        )
+        return _match_index_mixture(node)
     (idx,) = marker
     idx_t = idx if isinstance(idx, tuple) else (idx,)
     for i in idx_t:
@@ -697,6 +740,76 @@ def _match_index(node, marker):
     return SelectionDistribution._make(
         base, idx_t, tuple(int(s) for s in node.shape)
     )
+
+
+def _match_index_mixture(node):
+    """``stack(comps)[I]`` / ``rv[I]`` with a RANDOM scalar discrete index
+    ``I`` → component-selection mixture: the density CONDITIONAL on I's
+    value, which resolves from the evaluation env exactly like model logps
+    condition on value variables (reference logprob/mixture.py:262
+    find_measurable_index_mixture + :309 logprob_MixtureRV — the reference
+    likewise rejects non-scalar integer random indices, which can pick
+    repeated — hence dependent — components)."""
+    from .distribution import DiracDelta
+
+    args = list(node.args)
+    base_arg, idx_args = args[0], args[1:]
+    if len(idx_args) != 1:
+        raise TypeError(
+            "random-index selection supports a single scalar index only "
+            "(reference mixture logprob rejects multi-axis random indexing)"
+        )
+    idx = idx_args[0]
+    if not (isinstance(idx, Node) and rv_ancestors([idx])):
+        raise TypeError("random-index selection needs a random index")
+    if tuple(idx.shape) != ():
+        raise TypeError(
+            "a non-scalar random index can select the same component more "
+            "than once — repeated selections are perfectly dependent, so "
+            "the product density does not apply (reference "
+            "find_measurable_index_mixture rejects integer-array indices); "
+            "use pm.Mixture for marginal mixture semantics"
+        )
+    if not jnp.issubdtype(jnp.dtype(idx.dtype), jnp.integer):
+        raise TypeError("mixture index must be an integer-valued (discrete) RV")
+
+    out_shape = tuple(int(s) for s in node.shape)
+    join = getattr(getattr(base_arg, "fn", None), "_measurable_join", None)
+    if join is not None:
+        kind, axis = join
+        if kind != "stack" or (axis % (len(out_shape) + 1)) != 0:
+            raise TypeError(
+                "random-index mixtures select whole components along the "
+                "leading stack axis; concatenations interleave components "
+                "within the axis (use pm.Mixture)"
+            )
+        comps = []
+        for c in base_arg.args:
+            if isinstance(c, Node) and rv_ancestors([c]):
+                comps.append(_inner_dist(c))
+            else:
+                # RV-free slot behaves as a point mass (reference
+                # test_mixture_with_DiracDelta)
+                comps.append(DiracDelta.dist(c))
+    else:
+        base = _inner_dist(base_arg)
+        if base.event_ndim != 0:
+            raise TypeError(
+                "random-index selection into a multivariate event has no "
+                "independent component density"
+            )
+        if isinstance(base, StackedDistribution):
+            raise TypeError(
+                "random-index selection from a join of interdependent "
+                "components is not measurable; stack independent components "
+                "instead"
+            )
+        K = int(base_arg.shape[0])
+        comps = [
+            SelectionDistribution._make(base, (k,), out_shape)
+            for k in range(K)
+        ]
+    return MixtureSelectionDistribution._make(comps, idx, out_shape)
 
 
 def _match_argext(node, kind, axis):
@@ -828,10 +941,55 @@ def _match_argext(node, kind, axis):
     return Categorical.dist(p=gapply(to_probs, weights))
 
 
+def _match_sum_reduction(node, axis, keepdims):
+    """sum(Normal(mu, sigma), axis) → Normal(sum mu, sqrt(sum sigma^2)) —
+    reference logprob/arithmetic.py:51 sum_of_normals. Partial-axis sums are
+    fine (unlike order statistics): the un-summed components remain
+    independent normals."""
+    from ..graph import apply as _gapply
+    from .continuous import Normal
+
+    args = [a for a in node.args if isinstance(a, Node)]
+    if len(node.args) != 1 or len(args) != 1:
+        raise TypeError("measurable sum must be unary")
+    x = args[0]
+    if not isinstance(x, (FreeRV, ObservedRV)) or not isinstance(x.dist, Normal):
+        raise TypeError(
+            "sum(...) of a random expression has a closed-form derived "
+            "density only for a Normal base (sum of independent normals is "
+            "normal — reference logprob/arithmetic.py sum_of_normals); "
+            "other bases have no derived density"
+        )
+    if len(x.dist.event_shape):
+        raise TypeError("sum of a multivariate base has no derived density")
+    shape = tuple(int(s) for s in x.shape)
+    mu, sigma = x.dist.mu, x.dist.sigma
+    mu_s = _gapply(
+        lambda m: jnp.sum(
+            jnp.broadcast_to(m, shape), axis=axis, keepdims=keepdims
+        ),
+        mu,
+    )
+    sd_s = _gapply(
+        lambda s: jnp.sqrt(
+            jnp.sum(
+                jnp.broadcast_to(jnp.square(s), shape),
+                axis=axis,
+                keepdims=keepdims,
+            )
+        ),
+        sigma,
+    )
+    return Normal.dist(mu=mu_s, sigma=sd_s)
+
+
 def _match_order_reduction(node, kind, axis, keepdims):
     """max/min over ALL axes of an iid scalar RV → Max/Min order-statistic
     density (reference logprob/order.py find_measurable_max; partial-axis
-    reductions are rejected there too, tests/logprob/test_order.py:118)."""
+    reductions are rejected there too, tests/logprob/test_order.py:118).
+    kind == "sum" routes to the sum-of-normals closed form."""
+    if kind == "sum":
+        return _match_sum_reduction(node, axis, keepdims)
     from .derived import Max, Min
     from .distribution import _shape_of
     from .shape_utils import change_dist_size
@@ -921,17 +1079,22 @@ def dist_from_expression(node):
         fn = getattr(fn, "_base_fn", fn)
         if fn is jnp.where:
             matched = _match_switch_scale(current)
-            if matched is None:
+            if matched is not None:
+                op, leaf = matched
+                ops.append(op)
+                current = leaf
+                continue
+            mix = _match_switch_mixture(current)
+            if mix is None:
                 raise TypeError(
-                    "switch(...) is only measurable in the non-overlapping "
+                    "switch(...) is only measurable as the non-overlapping "
                     "form switch(x > 0, s_pos * x, s_neg * x) with positive "
-                    "RV-free scales (reference logprob switch rewrite); use "
-                    "Mixture for component-selection semantics"
+                    "RV-free scales, or as a component-selection mixture "
+                    "switch(cond, comp_true, comp_false) with an RV-free "
+                    "condition (reference logprob switch/mixture rewrites)"
                 )
-            op, leaf = matched
-            ops.append(op)
-            current = leaf
-            continue
+            base = mix
+            break
         if fn in _CENSORING_FNS:
             if ops:
                 raise TypeError(
@@ -1002,6 +1165,12 @@ def dist_from_expression(node):
             "elementwise transforms over a join mixing discrete and "
             "continuous components are not measurable (the Jacobian applies "
             "only to the continuous part)"
+        )
+    if getattr(base, "_has_atoms", False):
+        raise TypeError(
+            "elementwise transforms over a mixture with point-mass "
+            "(deterministic) components are not measurable — the Jacobian "
+            "does not apply at the atoms"
         )
     return TransformedDistribution._make(base, ops)
 
@@ -1518,3 +1687,198 @@ class SelectionDistribution(Distribution):
     def support_point(self, env=None, memo=None):
         pt = self.base.support_point(env, memo)
         return jnp.broadcast_to(pt, tuple(self.base.shape))[self._sel(0)]
+
+
+class MixtureSelectionDistribution(Distribution):
+    """Density of ``stack(comps)[I]`` CONDITIONAL on the random scalar index
+    ``I``: the selected component's density, with out-of-range index values
+    yielding -inf mass.
+
+    The index value resolves from the evaluation env at density time — the
+    same mechanism by which model logps condition on value variables
+    (reference logprob/mixture.py:309 logprob_MixtureRV selects the
+    component logp by ``eq(index_value, i)``). Forward sampling draws the
+    index from its own distribution when the env carries no value for it.
+    """
+
+    param_names = ()
+    event_ndim = 0
+
+    @classmethod
+    def _make(cls, comps, idx_node, out_shape):
+        comps = list(comps)
+        ev = {int(d.event_ndim) for d in comps}
+        if len(ev) != 1:
+            raise TypeError(
+                "mixture components must share event structure"
+            )
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.comps = comps
+        obj.idx_node = idx_node
+        obj.event_ndim = ev.pop()
+        split = len(out_shape) - obj.event_ndim
+        obj.batch_shape = tuple(out_shape[:split])
+        obj.event_shape = tuple(out_shape[split:])
+        from .distribution import DiracDelta
+
+        obj.is_discrete = all(bool(d.is_discrete) for d in comps)
+        obj._has_atoms = any(
+            isinstance(d, DiracDelta) or getattr(d, "_has_atoms", False)
+            for d in comps
+        )
+        return obj
+
+    @property
+    def dtype(self):
+        return jnp.result_type(*[d.dtype for d in self.comps])
+
+    def _index(self, env, memo):
+        from ..graph import evaluate
+
+        return jnp.asarray(evaluate(self.idx_node, env, memo))
+
+    def _select(self, i, vals, oob):
+        out = jnp.zeros(
+            jnp.broadcast_shapes(*[jnp.shape(v) for v in vals]),
+            dtype=jnp.result_type(*[jnp.asarray(v).dtype for v in vals]),
+        )
+        for k, v in enumerate(vals):
+            out = out + jnp.where(jnp.equal(i, k), v, jnp.zeros_like(v))
+        valid = jnp.logical_and(
+            jnp.greater_equal(i, 0), jnp.less(i, len(self.comps))
+        )
+        return jnp.where(valid, out, oob)
+
+    def _through(self, method, value, env, memo, oob):
+        i = self._index(env, memo)
+        vals = [getattr(d, method)(value, env, memo) for d in self.comps]
+        return self._select(i, vals, oob)
+
+    def logp(self, value, env=None, memo=None):
+        return self._through("logp", value, env, memo, -jnp.inf)
+
+    def logcdf(self, value, env=None, memo=None):
+        return self._through("logcdf", value, env, memo, -jnp.inf)
+
+    def logccdf(self, value, env=None, memo=None):
+        return self._through("logccdf", value, env, memo, -jnp.inf)
+
+    def icdf(self, q, env=None, memo=None):
+        return self._through("icdf", q, env, memo, jnp.nan)
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        sample_shape = tuple(sample_shape)
+        k_idx, k_comp = jax.random.split(key)
+        try:
+            i = self._index(env, memo)
+        except KeyError:
+            if not isinstance(self.idx_node, (FreeRV, ObservedRV)):
+                raise
+            i = self.idx_node.dist.sample(k_idx, sample_shape, env, memo)
+        draws = [
+            d.sample(jax.random.fold_in(k_comp, k), sample_shape, env, memo)
+            for k, d in enumerate(self.comps)
+        ]
+        i = jnp.asarray(i)
+        i_b = jnp.reshape(i, i.shape + (1,) * len(self.shape))
+        out = jnp.zeros(
+            jnp.broadcast_shapes(*[jnp.shape(v) for v in draws]),
+            dtype=self.dtype,
+        )
+        for k, v in enumerate(draws):
+            out = out + jnp.where(
+                jnp.equal(i_b, k), v, jnp.zeros_like(v)
+            ).astype(self.dtype)
+        return out
+
+    def support_point(self, env=None, memo=None):
+        pts = [
+            jnp.broadcast_to(d.support_point(env, memo), tuple(self.shape))
+            for d in self.comps
+        ]
+        try:
+            i = self._index(env, memo)
+        except KeyError:
+            return pts[0]
+        return self._select(i, pts, jnp.nan)
+
+
+class SwitchMixtureDistribution(Distribution):
+    """Elementwise component-selection mixture ``switch(cond, d_true,
+    d_false)`` with an RV-free condition (reference logprob/mixture.py:434
+    logprob_switch_mixture): every density/cdf query evaluates both
+    components and selects per element. The condition may depend on data
+    nodes; being RV-free, it always evaluates without value-env entries.
+    """
+
+    param_names = ()
+    event_ndim = 0
+
+    @classmethod
+    def _make(cls, cond, d_true, d_false, out_shape, has_atoms):
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.cond = cond
+        obj.d_true = d_true
+        obj.d_false = d_false
+        obj.batch_shape = tuple(out_shape)
+        obj.event_shape = ()
+        obj.is_discrete = bool(d_true.is_discrete) and bool(
+            d_false.is_discrete
+        )
+        obj._has_atoms = bool(has_atoms)
+        return obj
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self.d_true.dtype, self.d_false.dtype)
+
+    def _cond(self, env, memo):
+        from ..graph import evaluate
+
+        return jnp.asarray(evaluate(self.cond, env, memo))
+
+    def _through(self, method, value, env, memo):
+        c = self._cond(env, memo)
+        t = getattr(self.d_true, method)(value, env, memo)
+        f = getattr(self.d_false, method)(value, env, memo)
+        return jnp.where(c, t, f)
+
+    def logp(self, value, env=None, memo=None):
+        return self._through("logp", value, env, memo)
+
+    def logcdf(self, value, env=None, memo=None):
+        return self._through("logcdf", value, env, memo)
+
+    def logccdf(self, value, env=None, memo=None):
+        return self._through("logccdf", value, env, memo)
+
+    def icdf(self, q, env=None, memo=None):
+        return self._through("icdf", q, env, memo)
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        sample_shape = tuple(sample_shape)
+        kt, kf = jax.random.split(key)
+        c = self._cond(env, memo)
+        t = self.d_true.sample(kt, sample_shape, env, memo)
+        f = self.d_false.sample(kf, sample_shape, env, memo)
+        return jnp.where(c, t, f).astype(self.dtype)
+
+    def support_point(self, env=None, memo=None):
+        c = self._cond(env, memo)
+        t = jnp.broadcast_to(
+            self.d_true.support_point(env, memo), tuple(self.shape)
+        )
+        f = jnp.broadcast_to(
+            self.d_false.support_point(env, memo), tuple(self.shape)
+        )
+        return jnp.where(c, t, f)

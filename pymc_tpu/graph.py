@@ -182,7 +182,9 @@ class Node:
         return apply(fn, self)
 
     def sum(self, axis=None, keepdims=False):
-        return apply(lambda x: jnp.sum(x, axis=axis, keepdims=keepdims), self)
+        fn = lambda x: jnp.sum(x, axis=axis, keepdims=keepdims)  # noqa: E731
+        fn._measurable_reduction = ("sum", axis, keepdims)
+        return apply(fn, self)
 
     def prod(self, axis=None, keepdims=False):
         return apply(lambda x: jnp.prod(x, axis=axis, keepdims=keepdims), self)
@@ -197,10 +199,14 @@ class Node:
         return apply(lambda x: jnp.var(x, axis=axis, keepdims=keepdims), self)
 
     def max(self, axis=None, keepdims=False):
-        return apply(lambda x: jnp.max(x, axis=axis, keepdims=keepdims), self)
+        fn = lambda x: jnp.max(x, axis=axis, keepdims=keepdims)  # noqa: E731
+        fn._measurable_reduction = ("max", axis, keepdims)
+        return apply(fn, self)
 
     def min(self, axis=None, keepdims=False):
-        return apply(lambda x: jnp.min(x, axis=axis, keepdims=keepdims), self)
+        fn = lambda x: jnp.min(x, axis=axis, keepdims=keepdims)  # noqa: E731
+        fn._measurable_reduction = ("min", axis, keepdims)
+        return apply(fn, self)
 
     def cumsum(self, axis=None):
         return apply(lambda x: jnp.cumsum(x, axis=axis), self)

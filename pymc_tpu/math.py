@@ -160,7 +160,13 @@ def exprel(x):
 
 # reductions / linalg
 def sum(x, axis=None, keepdims=False):  # noqa: A001
-    return apply(lambda v: jnp.sum(v, axis=axis, keepdims=keepdims), x)
+    fn = lambda v: jnp.sum(v, axis=axis, keepdims=keepdims)  # noqa: E731
+    # sum-of-normals measurability marker (distributions/transformed.py):
+    # pm.logp(pm.math.sum(normal_rv, axis), v) derives the closed-form
+    # Normal(sum mu, sqrt(sum sigma^2)) density (reference
+    # logprob/arithmetic.py sum_of_normals)
+    fn._measurable_reduction = ("sum", axis, keepdims)
+    return apply(fn, x)
 
 
 def prod(x, axis=None, keepdims=False):

@@ -104,12 +104,19 @@ class TestComposition:
 
 
 class TestRejections:
-    def test_random_index_rejected(self):
+    def test_random_index_is_conditional_mixture(self):
+        # a scalar random index is the component-selection mixture:
+        # logp conditions on the index value from the env
+        # (tests/logprob/test_measurable_mixture.py covers it in depth)
         x = _grid_rv()
         with pm.Model():
             i = pm.Categorical("i", p=[0.5, 0.5])
-        with pytest.raises(TypeError, match="Mixture"):
-            pm.logp(x[i], 1.0)
+        v = np.ones(3)
+        np.testing.assert_allclose(
+            np.asarray(pm.logp(x[i], v, env={"i": 1})),
+            st.norm(MU[1], 1).logpdf(v),
+            rtol=1e-6,
+        )
 
     def test_advanced_index_rejected(self):
         # replication makes the joint density degenerate
