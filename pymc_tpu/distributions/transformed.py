@@ -456,6 +456,63 @@ def _match_switch_scale(node):
     return op, leaf
 
 
+def _match_matmul(node):
+    """``A @ x`` / ``x @ A`` with a square RV-free matrix ``A`` → linear
+    change-of-variables density (reference logprob/linalg.py:24
+    MeasurableMatMul + :59 find_measurable_matmul).
+
+    NOTE on the Jacobian: the reference subtracts ``slogdet(A)`` ONCE
+    (logprob/linalg.py:55) regardless of how many independent columns
+    (rows) of a matrix-valued ``x`` transform; the correct factor is
+    ``|det A|^k`` with k the count of transformed columns (rows) — verified
+    numerically against the transformed MatrixNormal closed form (the
+    reference's own test masks the difference behind rtol=1e-5 on
+    |logp| ~ 1e7, tests/logprob/test_linalg.py:54-77). We implement the
+    correct Jacobian."""
+    if len(node.args) != 2:
+        raise TypeError("measurable matmul needs two operands")
+    lhs, rhs = node.args
+    l_rand = isinstance(lhs, Node) and bool(rv_ancestors([lhs]))
+    r_rand = isinstance(rhs, Node) and bool(rv_ancestors([rhs]))
+    if l_rand == r_rand:
+        raise TypeError(
+            "measurable matmul needs exactly one random operand "
+            "(products of two RVs have no derived density)"
+        )
+    right_measurable = r_rand
+    rv_op, A = (rhs, lhs) if right_measurable else (lhs, rhs)
+    a_shape = tuple(
+        int(s) for s in (A.shape if isinstance(A, Node) else np.shape(A))
+    )
+    if len(a_shape) < 2 or a_shape[-1] != a_shape[-2]:
+        raise TypeError(
+            "measurable matmul requires a square matrix operand — a "
+            "non-square map loses or adds dimensions (no density)"
+        )
+    rv_shape = tuple(int(s) for s in rv_op.shape)
+    if len(rv_shape) < 1:
+        raise TypeError("measurable matmul needs a vector or matrix RV")
+    core = 1 if len(rv_shape) == 1 else 2
+    out_shape = tuple(int(s) for s in node.shape)
+    # the RV must carry the full output batch itself: a broadcast RV would
+    # reuse the same draw across batch members (dependent rows) — reference
+    # find_measurable_matmul rejects broadcast measurable inputs
+    if rv_shape[:-core] != out_shape[: len(out_shape) - core]:
+        raise TypeError(
+            "measurable matmul must not broadcast the random operand "
+            "across batch dimensions (broadcast draws are dependent)"
+        )
+    base = _inner_dist(rv_op)
+    if base.is_discrete:
+        raise TypeError(
+            "matmul of a discrete RV has no derived density (the linear "
+            "map does not preserve the lattice)"
+        )
+    return MatMulDistribution._make(
+        base, A, right_measurable, core, out_shape
+    )
+
+
 def _match_switch_mixture(node):
     """``switch(cond, comp_true, comp_false)`` with an RV-free condition and
     at least one measurable branch → elementwise component-selection mixture
@@ -1094,6 +1151,14 @@ def dist_from_expression(node):
                     "condition (reference logprob switch/mixture rewrites)"
                 )
             base = mix
+            break
+        if fn in (jnp.matmul, jnp.dot):
+            if ops:
+                raise TypeError(
+                    "elementwise transforms OVER a matmul-coupled density "
+                    "are not supported; apply the linear map outermost"
+                )
+            base = _match_matmul(current)
             break
         if fn in _CENSORING_FNS:
             if ops:
@@ -1882,3 +1947,111 @@ class SwitchMixtureDistribution(Distribution):
             self.d_false.support_point(env, memo), tuple(self.shape)
         )
         return jnp.where(c, t, f)
+
+
+class MatMulDistribution(Distribution):
+    """Linear change of variables ``y = A @ x`` (or ``x @ A``) for a square
+    RV-free matrix A: ``logp_y(y) = logp_x(A^{-1} y) - k log|det A|`` with
+    k the number of independently transformed columns (rows) of x.
+
+    Reference parity: logprob/linalg.py MeasurableMatMul — with the
+    Jacobian multiplicity corrected (see _match_matmul). The matmul couples
+    the core axes, so the result is a JOINT density over them
+    (event_ndim = x's core ndim); logcdf/icdf do not exist for the coupled
+    block. A singular A yields -inf (XLA cannot raise).
+    """
+
+    param_names = ()
+    event_ndim = 0
+
+    @classmethod
+    def _make(cls, base, A, right_measurable, core, out_shape):
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.base = base
+        obj.A_op = A
+        obj.right_measurable = bool(right_measurable)
+        obj.core = int(core)
+        obj.event_ndim = int(core)
+        split = len(out_shape) - core
+        obj.batch_shape = tuple(out_shape[:split])
+        obj.event_shape = tuple(out_shape[split:])
+        obj.is_discrete = False
+        return obj
+
+    @property
+    def dtype(self):
+        a_dtype = (
+            self.A_op.dtype
+            if isinstance(self.A_op, Node)
+            else jnp.asarray(self.A_op).dtype
+        )
+        return jnp.result_type(self.base.dtype, a_dtype)
+
+    def _A(self, env, memo):
+        return jnp.asarray(evaluate(self.A_op, env, memo))
+
+    def _x_from_y(self, A, y):
+        if self.right_measurable:  # y = A @ x
+            if self.core == 1:
+                return jnp.linalg.solve(A, y[..., None])[..., 0]
+            return jnp.linalg.solve(A, y)
+        # y = x @ A
+        if self.core == 1:
+            return jnp.linalg.solve(jnp.swapaxes(A, -1, -2), y[..., None])[
+                ..., 0
+            ]
+        return jnp.swapaxes(
+            jnp.linalg.solve(
+                jnp.swapaxes(A, -1, -2), jnp.swapaxes(y, -1, -2)
+            ),
+            -1,
+            -2,
+        )
+
+    def _jac_count(self, y):
+        if self.core == 1:
+            return 1
+        # columns transform under A @ x; rows under x @ A
+        return y.shape[-1] if self.right_measurable else y.shape[-2]
+
+    def logp(self, value, env=None, memo=None):
+        y = jnp.asarray(value)
+        A = self._A(env, memo)
+        x_val = self._x_from_y(A, y)
+        lp = self.base.logp(x_val, env, memo)
+        target = y.ndim - self.core
+        while jnp.ndim(lp) > target:
+            lp = jnp.sum(lp, axis=-1)
+        sign, sld = jnp.linalg.slogdet(A)
+        lp = lp - self._jac_count(y) * sld
+        return jnp.where(sign == 0, -jnp.inf, lp)
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        x = self.base.sample(key, tuple(sample_shape), env, memo)
+        A = self._A(env, memo)
+        if self.right_measurable:
+            if self.core == 1:
+                return jnp.matmul(A, x[..., None])[..., 0]
+            return jnp.matmul(A, x)
+        if self.core == 1:
+            return jnp.matmul(x[..., None, :], A)[..., 0, :]
+        return jnp.matmul(x, A)
+
+    def support_point(self, env=None, memo=None):
+        pt = jnp.broadcast_to(
+            self.base.support_point(env, memo),
+            tuple(self.base.shape),
+        )
+        A = self._A(env, memo)
+        if self.right_measurable:
+            if self.core == 1:
+                return jnp.matmul(A, pt[..., None])[..., 0]
+            return jnp.matmul(A, pt)
+        if self.core == 1:
+            return jnp.matmul(pt[..., None, :], A)[..., 0, :]
+        return jnp.matmul(pt, A)
