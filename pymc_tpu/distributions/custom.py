@@ -66,19 +66,63 @@ class CustomDist(Distribution):
         self._dtype_arg = dtype
         self._transform = transform
         self._name = class_name
+        self._derived = None
         if logp is None and dist is None:
             raise TypeError(
-                "CustomDist requires logp= (and optionally random=/dist= for "
-                "forward sampling). The reference's automatic logp derivation "
-                "from dist= is replaced by explicit logp in this framework."
+                "CustomDist requires logp= or a symbolic dist= generating "
+                "function (reference custom.py:477)"
             )
+        if dist is not None:
+            # symbolic variant (reference CustomSymbolicDistRV, custom.py:214):
+            # call the generative fn with the params and derive the density
+            # from the returned expression via the measurability engine;
+            # explicit logp=/logcdf=/support_point= callables still override
+            # the derived methods (reference test_custom_methods)
+            self._derived = self._derive_dist()
+
+    def _derive_dist(self):
+        """Build the expression the generative fn returns and derive its
+        density (reference custom.py:214 CustomSymbolicDistRV — the
+        reference rewrites the returned RandomVariable graph; here the
+        expression's Distribution comes from dist_from_expression)."""
+        from ..graph import FreeRV, Node, ObservedRV
+        from .transformed import dist_from_expression
+
+        size = self._size_arg
+        if size is None and self._shape_arg is not None:
+            sa = self._shape_arg
+            size = (
+                sa[: len(sa) - self.event_ndim] if self.event_ndim else sa
+            )
+        expr = self._dist_fn(*self.dist_params, size)
+        if isinstance(expr, Distribution):
+            derived = expr
+        elif isinstance(expr, (FreeRV, ObservedRV)):
+            derived = expr.dist
+        elif isinstance(expr, Node):
+            derived = dist_from_expression(expr)
+        else:
+            raise TypeError(
+                f"{self._name}: dist= must return a distribution or a "
+                "random expression (got "
+                f"{type(expr).__name__}); eager samplers belong in random="
+            )
+        # adopt the derived result's full shape/event structure
+        self._shape_arg = tuple(int(s) for s in derived.shape)
+        if self.event_ndim == 0:
+            self.event_ndim = int(derived.event_ndim)
+        return derived
 
     def param_values(self):
         return list(self.dist_params)
 
     @property
     def is_discrete(self):
-        return self._dtype_arg in ("int32", "int64", "int")
+        if self._dtype_arg in ("int32", "int64", "int"):
+            return True
+        if self._derived is not None:
+            return bool(self._derived.is_discrete)
+        return False
 
     @is_discrete.setter
     def is_discrete(self, v):
@@ -86,12 +130,24 @@ class CustomDist(Distribution):
 
     @property
     def dtype(self):
-        return intX() if self.is_discrete else floatX()
+        if self._dtype_arg in ("int32", "int64", "int"):
+            return intX()
+        if self._derived is not None:
+            return self._derived.dtype
+        return floatX()
 
     def default_transform(self):
-        return self._transform
+        if self._transform is not None:
+            return self._transform
+        if self._derived is not None and self._logp_fn is None:
+            # the derived density knows its own support (reference infers
+            # value transforms from the rewritten graph)
+            return self._derived.default_transform()
+        return None
 
     def _event_shape(self, *param_shapes):
+        if self._derived is not None:
+            return tuple(self._derived.event_shape)
         if self.event_ndim == 0:
             return ()
         if self._shape_arg is not None:
@@ -103,6 +159,38 @@ class CustomDist(Distribution):
         raise ValueError(
             f"{self._name}: cannot infer event shape; pass shape= explicitly"
         )
+
+    # explicit user callables override; otherwise the symbolic dist='s
+    # derived density serves every query (reference custom.py:214)
+    def logp(self, value, env=None, memo=None):
+        if self._logp_fn is None and self._derived is not None:
+            return self._derived.logp(value, env, memo)
+        return super().logp(value, env, memo)
+
+    def logcdf(self, value, env=None, memo=None):
+        if self._logcdf_fn is None and self._derived is not None:
+            return self._derived.logcdf(value, env, memo)
+        return super().logcdf(value, env, memo)
+
+    def logccdf(self, value, env=None, memo=None):
+        if self._logcdf_fn is None and self._derived is not None:
+            return self._derived.logccdf(value, env, memo)
+        return super().logccdf(value, env, memo)
+
+    def icdf(self, q, env=None, memo=None):
+        if self._derived is not None:
+            return self._derived.icdf(q, env, memo)
+        return super().icdf(q, env, memo)
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if self._random_fn is None and self._derived is not None:
+            return self._derived.sample(key, sample_shape, env, memo)
+        return super().sample(key, sample_shape, env, memo)
+
+    def support_point(self, env=None, memo=None):
+        if self._support_point_fn is None and self._derived is not None:
+            return self._derived.support_point(env, memo)
+        return super().support_point(env, memo)
 
     def _logp(self, value, *params):
         if self._logp_fn is None:
@@ -117,10 +205,8 @@ class CustomDist(Distribution):
     def _sample(self, key, shape, *params):
         if self._random_fn is not None:
             return jnp.asarray(self._random_fn(*params, rng=key, size=shape))
-        if self._dist_fn is not None:
-            return jnp.asarray(self._dist_fn(*params, size=shape, rng=key))
         raise NotImplementedError(
-            f"{self._name} has no random=/dist= generating function"
+            f"{self._name} has no random= generating function"
         )
 
     def _support_point(self, *params):

@@ -77,6 +77,9 @@ def _shape_of(p):
     return tuple(np.shape(p))
 
 
+_ANON_RV_COUNTER = 0
+
+
 class Distribution:
     """Base class. Subclasses define:
 
@@ -102,6 +105,94 @@ class Distribution:
     event_ndim: int = 0
     support: str = "real"
     is_discrete: bool = False
+    # graph.apply lifts Distribution operands to anonymous RV nodes (the
+    # reference's ``.dist()`` variables participate in expressions directly;
+    # here the lift creates the FreeRV leaf the measurability walk needs)
+    _lift_to_node: bool = True
+    __array_ufunc__ = None  # make numpy defer to our reflected operators
+    __array_priority__ = 1000
+
+    # --------------------------------------------------- expression lifting
+    def to_node(self, name=None):
+        """Anonymous FreeRV node for this distribution, so unnamed
+        ``.dist()`` objects compose into measurable expressions exactly like
+        the reference's RandomVariable graph vars (e.g.
+        ``pm.logp(pm.math.exp(pm.Normal.dist()), v)``, CustomDist ``dist=``).
+        Cached: reusing the same dist object references the SAME random leaf
+        (matching ``x = Normal.dist(); x + x`` reference semantics)."""
+        node = getattr(self, "_anon_node", None)
+        if node is None:
+            from ..graph import FreeRV
+
+            global _ANON_RV_COUNTER
+            _ANON_RV_COUNTER += 1
+            node = FreeRV(
+                name or f"_anon_rv_{_ANON_RV_COUNTER}",
+                dist=self,
+                shape=self.shape,
+                dtype=self.dtype,
+            )
+            self._anon_node = node
+        return node
+
+    # operator overloads delegate to the anonymous node so arithmetic over
+    # unnamed dists builds graph expressions (reference TensorVariable ops)
+    def __add__(self, o):
+        return self.to_node() + o
+
+    def __radd__(self, o):
+        return o + self.to_node()
+
+    def __sub__(self, o):
+        return self.to_node() - o
+
+    def __rsub__(self, o):
+        return o - self.to_node()
+
+    def __mul__(self, o):
+        return self.to_node() * o
+
+    def __rmul__(self, o):
+        return o * self.to_node()
+
+    def __truediv__(self, o):
+        return self.to_node() / o
+
+    def __rtruediv__(self, o):
+        return o / self.to_node()
+
+    def __pow__(self, o):
+        return self.to_node() ** o
+
+    def __rpow__(self, o):
+        return o ** self.to_node()
+
+    def __neg__(self):
+        return -self.to_node()
+
+    def __abs__(self):
+        return abs(self.to_node())
+
+    def __matmul__(self, o):
+        return self.to_node() @ o
+
+    def __rmatmul__(self, o):
+        return o @ self.to_node()
+
+    def __getitem__(self, idx):
+        return self.to_node()[idx]
+
+    def __gt__(self, o):
+        return self.to_node() > o
+
+    def __lt__(self, o):
+        return self.to_node() < o
+
+    def __ge__(self, o):
+        return self.to_node() >= o
+
+    def __le__(self, o):
+        return self.to_node() <= o
 
     # ------------------------------------------------------------------ init
     def __new__(cls, name=None, *args, **kwargs):
@@ -296,11 +387,9 @@ class Distribution:
         params = self.resolve_params(env, memo)
         full = tuple(sample_shape) + self.shape
         draw = self._sample(key, full, *params)
-        if self.is_discrete:
-            draw = jnp.asarray(draw, dtype=intX())
-        else:
-            draw = jnp.asarray(draw, dtype=floatX())
-        return draw
+        # cast through the dist's dtype property (NOT intX blindly):
+        # DiracDelta at a float point mass keeps the float dtype
+        return jnp.asarray(draw, dtype=self.dtype)
 
     def _sample(self, key, shape, *params):  # pragma: no cover - abstract
         raise NotImplementedError(

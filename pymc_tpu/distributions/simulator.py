@@ -128,4 +128,10 @@ class Simulator(Distribution):
         self.event_shape = ()
 
     def support_point(self, env=None, memo=None):
-        return jnp.zeros(self.shape, dtype=floatX())
+        # mean of 10 simulations at the current params (reference
+        # simulator.py:258 simulator_support_point) — a data-scale initial
+        # value, deterministic under the fixed key
+        draws = self.sample(
+            jax.random.PRNGKey(42), (10,), env, memo
+        )
+        return jnp.mean(draws, axis=0)

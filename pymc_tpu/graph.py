@@ -97,8 +97,16 @@ def evaluate(x, env=None, memo=None):
 def apply(fn, *args, **kwargs):
     """Apply `fn` symbolically if any argument is a Node, else eagerly.
 
-    kwargs must be static (non-Node).
+    kwargs must be static (non-Node). Unnamed Distribution operands lift to
+    anonymous FreeRV nodes (Distribution.to_node) so expressions over
+    ``.dist()`` objects build measurable graphs like the reference's
+    RandomVariable vars.
     """
+    if any(getattr(a, "_lift_to_node", False) for a in args):
+        args = tuple(
+            a.to_node() if getattr(a, "_lift_to_node", False) else a
+            for a in args
+        )
     if any(isinstance(a, Node) for a in args) or any(
         isinstance(v, Node) for v in kwargs.values()
     ):
