@@ -514,12 +514,14 @@ def _match_matmul(node):
 
 
 def _match_switch_mixture(node):
-    """``switch(cond, comp_true, comp_false)`` with an RV-free condition and
-    at least one measurable branch → elementwise component-selection mixture
-    (reference logprob/mixture.py:383 MeasurableSwitchMixture + :434
-    logprob_switch_mixture). Deterministic branches behave as point masses;
-    random components must not be broadcast by the condition (broadcast
-    draws are identical, hence dependent — reference
+    """``switch(cond, comp_true, comp_false)`` with at least one measurable
+    branch → elementwise component-selection mixture (reference
+    logprob/mixture.py:383 MeasurableSwitchMixture + :434
+    logprob_switch_mixture; :459 MeasurableIfElse + :535
+    find_measurable_ifelse_mixture for random conditions, whose density is
+    conditional on the condition's value). Deterministic branches behave as
+    point masses; random components must not be broadcast by the condition
+    (broadcast draws are identical, hence dependent — reference
     find_measurable_switch_mixture rejects component broadcast). Returns
     None when the pattern does not apply (caller raises)."""
     from .distribution import DiracDelta
@@ -527,10 +529,25 @@ def _match_switch_mixture(node):
     if len(node.args) != 3:
         return None
     cond, t, f = node.args
-    if isinstance(cond, Node) and rv_ancestors([cond]):
-        # measurable condition → not a selection mixture (the
-        # non-overlapping bijection form already had its chance)
-        return None
+    cond_rvs = (
+        rv_ancestors([cond]) if isinstance(cond, Node) else []
+    )
+    if cond_rvs:
+        # a RANDOM condition selects like a random index: the density is
+        # CONDITIONAL on the condition's (env-resolved) value — reference
+        # logprob/mixture.py:459 MeasurableIfElse / split_valued_ifelse.
+        # Valid only when the condition shares no randomness with the
+        # branches (otherwise it replicates the branch RV piecewise — the
+        # non-overlapping bijection form's territory, which already had
+        # its chance).
+        branch_leaf_ids = {
+            id(r)
+            for br in (t, f)
+            if isinstance(br, Node)
+            for r in rv_ancestors([br])
+        }
+        if any(id(r) in branch_leaf_ids for r in cond_rvs):
+            return None
     out_shape = tuple(int(s) for s in node.shape)
     comps, n_meas, has_atoms = [], 0, False
     for br in (t, f):
@@ -1875,10 +1892,12 @@ class MixtureSelectionDistribution(Distribution):
 
 class SwitchMixtureDistribution(Distribution):
     """Elementwise component-selection mixture ``switch(cond, d_true,
-    d_false)`` with an RV-free condition (reference logprob/mixture.py:434
-    logprob_switch_mixture): every density/cdf query evaluates both
-    components and selects per element. The condition may depend on data
-    nodes; being RV-free, it always evaluates without value-env entries.
+    d_false)`` (reference logprob/mixture.py:434 logprob_switch_mixture;
+    :459 MeasurableIfElse for random conditions): every density/cdf query
+    evaluates both components and selects per element. The condition may
+    be RV-free (data-dependent fine) or a random expression DISJOINT from
+    the branch RVs — in the latter case the density is conditional on the
+    condition's env-resolved value, and forward sampling draws it.
     """
 
     param_names = ()
@@ -1932,17 +1951,32 @@ class SwitchMixtureDistribution(Distribution):
         if isinstance(sample_shape, int):
             sample_shape = (sample_shape,)
         sample_shape = tuple(sample_shape)
-        kt, kf = jax.random.split(key)
-        c = self._cond(env, memo)
+        kc, kt, kf = jax.random.split(key, 3)
+        try:
+            c = self._cond(env, memo)
+        except KeyError:
+            # random condition with no env value: draw it forward
+            # (per-sample, like the reference's generative ifelse graph)
+            from ..functions import _draw_expression
+
+            if sample_shape:
+                n = int(np.prod(sample_shape))
+                c = _draw_expression(self.cond, kc, n)
+                c = jnp.reshape(c, sample_shape + c.shape[1:])
+            else:
+                c = _draw_expression(self.cond, kc, 1)
         t = self.d_true.sample(kt, sample_shape, env, memo)
         f = self.d_false.sample(kf, sample_shape, env, memo)
         return jnp.where(c, t, f).astype(self.dtype)
 
     def support_point(self, env=None, memo=None):
-        c = self._cond(env, memo)
         t = jnp.broadcast_to(
             self.d_true.support_point(env, memo), tuple(self.shape)
         )
+        try:
+            c = self._cond(env, memo)
+        except KeyError:
+            return t
         f = jnp.broadcast_to(
             self.d_false.support_point(env, memo), tuple(self.shape)
         )

@@ -201,16 +201,41 @@ class TestSwitchMixture:
         assert got[1] == 0.0
         assert np.isneginf(np.asarray(pm.logp(y, np.array([0.2, 4.9])))[1])
 
-    def test_measurable_condition_not_a_mixture(self):
-        """Reference test_switch_mixture_measurable_cond_fails: a random
-        condition is not a selection mixture (and not the non-overlapping
-        bijection either)."""
+    def test_random_condition_is_conditional_mixture(self):
+        """Reference logprob/mixture.py MeasurableIfElse (test_ifelse_mixture):
+        a random condition DISJOINT from the branches selects conditionally
+        on its env-resolved value."""
+        with pm.Model():
+            X = pm.Normal("X", 2.0, 1.0)
+            A = pm.Normal("A", -3.0, 1.0)
+            B = pm.Normal("B", 3.0, 2.0)
+        y = pmm.where(X > 0, A, B)
+        np.testing.assert_allclose(
+            float(pm.logp(y, 0.5, env={"X": 1.0})),
+            st.norm.logpdf(0.5, -3.0),
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            float(pm.logp(y, 0.5, env={"X": -1.0})),
+            st.norm.logpdf(0.5, 3.0, 2.0),
+            rtol=1e-12,
+        )
+        # forward draws with no env marginalize the condition
+        d = np.asarray(pm.draw(y, draws=600, random_seed=11))
+        frac_low = float(np.mean(d < 0))
+        # P(X > 0) for N(2,1) is ~0.977 -> mostly the A=-3 component
+        assert 0.9 < frac_low < 1.0
+
+    def test_condition_sharing_branch_rv_not_a_mixture(self):
+        """A condition on the SAME RV as a branch replicates it piecewise —
+        that is the non-overlapping-bijection form's territory, and with
+        plain branches it is not measurable at all (reference
+        find_measurable_ifelse_mixture rejects shared randomness)."""
         with pm.Model():
             X = pm.Normal("X")
-            A = pm.Normal("A")
             B = pm.Normal("B")
         with pytest.raises(TypeError, match="switch"):
-            pm.logp(pmm.where(X > 0, A, B), 0.0)
+            pm.logp(pmm.where(X > 0, X + 1.0, B), 0.0)
 
     def test_component_broadcast_rejected(self):
         """Reference test_switch_mixture_invalid_bcast: a broadcast random
