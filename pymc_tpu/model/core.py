@@ -777,6 +777,17 @@ def Data(name, value, *, dims=None, coords=None, model=None, mutable=None):
     """Named data container (reference pymc/data.py:222)."""
     model = modelcontext(model)
     name = model.name_for(name)
+    if isinstance(value, np.ma.MaskedArray) or (
+        np.issubdtype(np.asarray(value).dtype, np.floating)
+        and np.isnan(np.asarray(value)).any()
+    ):
+        # missing values belong on `observed=` (imputation), not in a
+        # deterministic container (reference data.py determine_coords guard)
+        raise NotImplementedError(
+            "Masked arrays or arrays with `nan` entries are not supported. "
+            "Pass them directly to `observed` if you want to trigger "
+            "auto-imputation"
+        )
     arr = np.asarray(value)
     if np.issubdtype(arr.dtype, np.floating):
         arr = arr.astype(np.asarray(0, dtype=floatX()).dtype)
