@@ -168,6 +168,76 @@ def test_discrete_sampler_marginal(name):
     assert pval > 1e-4, f"{name}: pmf mismatch (chi2 p={pval:.2e})"
 
 
+# family -> (dist builder from a scalar theta, theta0, value at which to eval)
+PARAM_GRAD = {
+    "Normal_sigma": (lambda t: pm.Normal.dist(0.0, t), 1.3, 0.7),
+    "TruncatedNormal_mu": (
+        lambda t: pm.TruncatedNormal.dist(t, 1.0, lower=-1.0, upper=2.0),
+        0.4, 0.5),
+    "HalfNormal_sigma": (lambda t: pm.HalfNormal.dist(t), 1.5, 0.8),
+    "SkewNormal_alpha": (
+        lambda t: pm.SkewNormal.dist(mu=0.0, sigma=1.0, alpha=t), 2.0, 0.6),
+    "Beta_alpha": (lambda t: pm.Beta.dist(t, 3.0), 2.0, 0.4),
+    "Kumaraswamy_a": (lambda t: pm.Kumaraswamy.dist(t, 3.0), 2.0, 0.4),
+    "Exponential_lam": (lambda t: pm.Exponential.dist(lam=t), 1.5, 0.9),
+    "Laplace_b": (lambda t: pm.Laplace.dist(mu=0.0, b=t), 1.2, 0.5),
+    "AsymmetricLaplace_kappa": (
+        lambda t: pm.AsymmetricLaplace.dist(b=1.0, kappa=t, mu=0.0),
+        2.0, 0.5),
+    "StudentT_nu": (lambda t: pm.StudentT.dist(nu=t, mu=0.0, sigma=1.0),
+                    4.0, 0.8),
+    "HalfStudentT_nu": (lambda t: pm.HalfStudentT.dist(nu=t, sigma=1.0),
+                        5.0, 0.8),
+    "Cauchy_beta": (lambda t: pm.Cauchy.dist(alpha=0.0, beta=t), 1.0, 0.5),
+    "HalfCauchy_beta": (lambda t: pm.HalfCauchy.dist(beta=t), 2.0, 1.0),
+    "Gamma_alpha": (lambda t: pm.Gamma.dist(alpha=t, beta=2.0), 3.0, 1.2),
+    "InverseGamma_alpha": (
+        lambda t: pm.InverseGamma.dist(alpha=t, beta=2.0), 3.0, 0.8),
+    "Weibull_alpha": (lambda t: pm.Weibull.dist(alpha=t, beta=1.5),
+                      2.0, 1.0),
+    "LogNormal_sigma": (lambda t: pm.LogNormal.dist(mu=0.0, sigma=t),
+                        0.8, 1.5),
+    "ChiSquared_nu": (lambda t: pm.ChiSquared.dist(nu=t), 4.0, 3.0),
+    "Wald_lam": (lambda t: pm.Wald.dist(mu=2.0, lam=t), 3.0, 1.5),
+    "Pareto_alpha": (lambda t: pm.Pareto.dist(alpha=t, m=1.0), 3.0, 1.5),
+    "ExGaussian_nu": (
+        lambda t: pm.ExGaussian.dist(mu=0.0, sigma=1.0, nu=t), 1.5, 0.7),
+    "VonMises_kappa": (lambda t: pm.VonMises.dist(mu=0.0, kappa=t),
+                       2.0, 0.5),
+    "Triangular_c": (
+        lambda t: pm.Triangular.dist(lower=-1.0, c=t, upper=2.0), 0.5, 0.8),
+    "Gumbel_beta": (lambda t: pm.Gumbel.dist(mu=0.0, beta=t), 1.5, 1.0),
+    "Rice_b": (lambda t: pm.Rice.dist(b=t, sigma=1.0), 1.5, 1.8),
+    "Logistic_s": (lambda t: pm.Logistic.dist(mu=0.0, s=t), 1.2, 0.6),
+    "LogitNormal_sigma": (
+        lambda t: pm.LogitNormal.dist(mu=0.0, sigma=t), 0.9, 0.4),
+    "Moyal_sigma": (lambda t: pm.Moyal.dist(mu=0.0, sigma=t), 1.2, 1.0),
+    "Poisson_mu": (lambda t: pm.Poisson.dist(mu=t), 3.5, 2),
+    "NegativeBinomial_alpha": (
+        lambda t: pm.NegativeBinomial.dist(mu=4.0, alpha=t), 2.0, 3),
+    "Binomial_p": (lambda t: pm.Binomial.dist(n=10, p=t), 0.4, 4),
+    "BetaBinomial_alpha": (
+        lambda t: pm.BetaBinomial.dist(n=8, alpha=t, beta=3.0), 2.0, 3),
+    "Geometric_p": (lambda t: pm.Geometric.dist(p=t), 0.35, 3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PARAM_GRAD))
+def test_param_gradient_finite(name):
+    """d logp / d theta finiteness: hierarchical models differentiate
+    through distribution parameters — a formula whose parameter autodiff
+    is NaN at legitimate values breaks NUTS on the parent."""
+    build, theta0, value = PARAM_GRAD[name]
+
+    def lp(t):
+        return jnp.sum(build(t).logp(value))
+
+    gv = np.asarray(jax.grad(lp)(jnp.asarray(theta0, dtype=jnp.float64)))
+    assert np.isfinite(gv).all(), (
+        f"{name}: NaN/inf d logp/d param at theta={theta0}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(CONTINUOUS))
 def test_value_gradient_finite_in_support(name):
     factory, _, points = CONTINUOUS[name]
