@@ -179,3 +179,41 @@ class TestCustomSymbolicDist:
     def test_requires_logp_or_dist(self):
         with pytest.raises(TypeError, match="logp"):
             pm.CustomDist.dist(1.0, random=lambda mu, rng, size: mu)
+
+
+class TestCombinatorComposition:
+    """Derived symbolic dists compose under the explicit combinators
+    (reference: Truncated/Censored/Mixture accept CustomSymbolicDistRV)."""
+
+    def test_truncated_over_symbolic(self):
+        c = pm.CustomDist.dist(0.0, 1.0, dist=_lognormal_dist)
+        t = pm.Truncated.dist(c, lower=0.5, upper=3.0)
+        Z = st.lognorm.cdf(3.0, 1.0) - st.lognorm.cdf(0.5, 1.0)
+        np.testing.assert_allclose(
+            float(pm.logp(t, 1.0)),
+            st.lognorm.logpdf(1.0, 1.0) - np.log(Z),
+            rtol=1e-10,
+        )
+
+    def test_censored_over_symbolic(self):
+        cen = pm.Censored.dist(
+            pm.CustomDist.dist(0.0, 1.0, dist=_lognormal_dist),
+            lower=None, upper=2.0,
+        )
+        np.testing.assert_allclose(
+            float(pm.logp(cen, 2.0)), st.lognorm.logsf(2.0, 1.0), rtol=1e-10
+        )
+
+    def test_mixture_with_symbolic_component(self):
+        mix = pm.Mixture.dist(
+            w=[0.3, 0.7],
+            comp_dists=[
+                pm.CustomDist.dist(0.0, 1.0, dist=_lognormal_dist),
+                pm.Exponential.dist(lam=1.0),
+            ],
+        )
+        np.testing.assert_allclose(
+            float(pm.logp(mix, 1.5)),
+            np.log(0.3 * st.lognorm.pdf(1.5, 1.0) + 0.7 * st.expon.pdf(1.5)),
+            rtol=1e-10,
+        )
