@@ -290,6 +290,30 @@ class TestSwitchMixture:
         np.testing.assert_allclose(got, exp, rtol=1e-10)
 
 
+class TestMixtureCompositions:
+    def test_transform_over_index_mixture(self):
+        with pm.Model():
+            X = pm.Normal("X", 0.0, 1.0)
+            Y = pm.Normal("Y", 1.0, 2.0)
+            I = pm.Bernoulli("I", p=0.5)  # noqa: E741
+        got = float(pm.logp(pmm.exp(pmm.stack([X, Y])[I]), 1.7, env={"I": 1}))
+        np.testing.assert_allclose(
+            got, st.lognorm.logpdf(1.7, 2.0, scale=np.exp(1.0)), rtol=1e-12
+        )
+
+    def test_index_mixture_of_transformed_components_logcdf(self):
+        with pm.Model():
+            X = pm.Normal("X", 0.0, 1.0)
+            Y = pm.Normal("Y", 1.0, 2.0)
+            I = pm.Bernoulli("I", p=0.5)  # noqa: E741
+        got = float(
+            pm.logcdf(pmm.stack([pmm.exp(X), Y])[I], 0.9, env={"I": 0})
+        )
+        np.testing.assert_allclose(
+            got, st.lognorm.logcdf(0.9, 1.0), rtol=1e-12
+        )
+
+
 class TestSumOfNormals:
     @pytest.mark.parametrize("axis", [None, 0, 1, (0, 1)])
     def test_sum_of_normals_logprob(self, axis):
