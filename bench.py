@@ -108,7 +108,46 @@ def run(chains, draws, tune, seed=0):
     }
 
 
+def _wait_for_device(max_wait_s=900, probe_timeout_s=90):
+    """Block until the default device answers a tiny op, probing from a
+    KILLABLE subprocess. The remote tunnel can wedge such that any in-process
+    device call hangs unkillably (a prior client killed mid-compile leaves
+    the compile service stuck); a hung probe child is killed and retried, so
+    a transient wedge does not cost the whole benchmark run."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print(float(jnp.ones(8).sum()))"
+    )
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"bench: device probe {attempt} failed/hung; retrying "
+            f"({int(deadline - time.time())}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(20)
+    print("bench: device never became healthy; proceeding anyway",
+          file=sys.stderr)
+    return False
+
+
 def main():
+    if "--measure-baseline" not in sys.argv:
+        _wait_for_device()
     # persistent XLA compilation cache: repeat bench runs skip the (remote,
     # highly variable 30-220s) compile entirely
     try:
