@@ -36,11 +36,23 @@ __all__ = [
 ]
 
 
-def _steps_from_shape(shape_arg, size_arg, steps, extra_event=0):
+def _steps_from_shape(shape_arg, size_arg, steps, extra_event=0, offset=1):
+    """Infer steps from an explicit shape.
+
+    Reference get_support_shape_1d (shape_utils.py): the support length is
+    ``steps + offset`` where offset is 1 for random walks / GARCH / SDEs and
+    ``ar_order`` for AR. When both steps and shape are given they must agree.
+    """
+    if shape_arg is not None:
+        inferred = int(shape_arg[-1 - extra_event]) - offset
+        if steps is not None and int(steps) != inferred:
+            raise ValueError(
+                f"Inconsistent steps={steps} and shape={tuple(shape_arg)}: "
+                f"the support length implies steps={inferred}"
+            )
+        return inferred
     if steps is not None:
         return int(steps)
-    if shape_arg is not None:
-        return int(shape_arg[-1 - extra_event]) - 1
     raise ValueError("Provide steps= or shape= for timeseries distributions")
 
 
@@ -222,7 +234,10 @@ class AR(Continuous):
             init_dist if init_dist is not None
             else Normal.dist(0.0, 100.0, shape=(self.ar_order,))
         )
-        self.steps = _steps_from_shape(self._shape_arg, self._size_arg, steps)
+        # reference AR.dist: steps = shape[-1] - ar_order (support_shape_offset)
+        self.steps = _steps_from_shape(
+            self._shape_arg, self._size_arg, steps, offset=self.ar_order
+        )
 
     def _resolve_shapes(self):
         from .distribution import _shape_of
