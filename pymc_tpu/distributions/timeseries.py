@@ -385,9 +385,12 @@ class GARCH11(Continuous):
         )
         vols = self._vols(value, omega, alpha_1, beta_1, initial_vol)
         res = jnp.sum(log_normal(value, 0.0, vols), axis=-1)
+        # NO stationarity check: reference garch11_logp (timeseries.py:807-829)
+        # only enforces sigma_t > 0 through the Normal logp — a nonstationary
+        # GARCH (alpha_1 + beta_1 >= 1) has a well-defined finite density and
+        # posterior mass near the IGARCH boundary must stay reachable.
         return check_parameters(
-            res, omega > 0, alpha_1 >= 0, beta_1 >= 0, alpha_1 + beta_1 < 1,
-            initial_vol > 0,
+            res, omega > 0, alpha_1 >= 0, beta_1 >= 0, initial_vol > 0,
         )
 
     def sample(self, key, sample_shape=(), env=None, memo=None):

@@ -414,12 +414,24 @@ class TestGARCH11:
         [
             {"omega": -1.0, "alpha_1": 0.2, "beta_1": 0.3},
             {"omega": 1.0, "alpha_1": -0.1, "beta_1": 0.3},
-            {"omega": 1.0, "alpha_1": 0.7, "beta_1": 0.4},  # a+b >= 1
         ],
     )
     def test_invalid_params(self, bad):
         d = pm.GARCH11.dist(initial_vol=1.0, steps=3, **bad)
         assert np_logp(d, np.zeros(4)) == -np.inf
+
+    def test_nonstationary_density_is_finite(self):
+        # reference garch11_logp enforces NO stationarity constraint:
+        # alpha_1 + beta_1 >= 1 (IGARCH and beyond) is a valid finite density
+        d = pm.GARCH11.dist(
+            omega=0.5, alpha_1=0.7, beta_1=0.6, initial_vol=1.0, steps=5
+        )
+        x = np.array([0.1, -0.5, 0.8, 0.2, -1.0, 0.4])
+        got = np_logp(d, x)
+        assert np.isfinite(got)
+        np.testing.assert_allclose(
+            got, self._manual_logp(x, 0.5, 0.7, 0.6, 1.0), rtol=1e-9
+        )
 
     def test_batched_logp(self):
         omegas = np.array([0.5, 1.0, 2.0])
