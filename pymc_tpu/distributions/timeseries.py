@@ -20,7 +20,7 @@ from jax import lax
 
 from ..config import floatX
 from ..graph import evaluate, is_node
-from .continuous import Flat, Normal
+from .continuous import Normal
 from .dist_math import check_parameters, log_normal
 from .distribution import Continuous, Distribution, as_param
 from .multivariate import MvNormal, MvStudentT
@@ -66,7 +66,18 @@ class RandomWalk(Continuous):
         if innovation_dist is None or not isinstance(innovation_dist, Distribution):
             raise ValueError("RandomWalk requires innovation_dist=Distribution")
         self.innovation_dist = innovation_dist
-        self.init_dist = init_dist if init_dist is not None else Flat.dist()
+        if init_dist is None:
+            # reference RandomWalk.dist (timeseries.py:143-149) requires an
+            # explicit init distribution
+            raise TypeError("init_dist must be a distribution (use .dist())")
+        if not isinstance(init_dist, Distribution):
+            raise TypeError("init_dist must be a distribution (use .dist())")
+        if init_dist.event_ndim != innovation_dist.event_ndim:
+            raise TypeError(
+                "init_dist and innovation_dist must have the same support "
+                "dimensionality"
+            )
+        self.init_dist = init_dist
         self.steps = _steps_from_shape(
             self._shape_arg, self._size_arg, steps,
             extra_event=innovation_dist.event_ndim,
@@ -183,6 +194,15 @@ class MvGaussianRandomWalk(RandomWalk):
                       init_dist=None, steps=None):
         innovation = MvNormal.dist(mu=mu, cov=cov, tau=tau, chol=chol)
         if init_dist is None:
+            # reference timeseries.py:333-339 warns and uses MvNormal(0, 100 I)
+            import warnings
+
+            warnings.warn(
+                "Initial distribution not specified, defaulting to "
+                "`MvNormal.dist(0, I*100)`. You can specify an init_dist "
+                "manually to suppress this warning.",
+                UserWarning,
+            )
             init_dist = MvNormal.dist(
                 mu=jnp.zeros(innovation.shape[-1]),
                 cov=100.0 * jnp.eye(innovation.shape[-1]),
@@ -199,6 +219,15 @@ class MvStudentTRandomWalk(RandomWalk):
                       init_dist=None, steps=None):
         innovation = MvStudentT.dist(nu, mu=mu, scale=scale, tau=tau, chol=chol)
         if init_dist is None:
+            # reference timeseries.py:381-387 warns and uses MvNormal(0, 100 I)
+            import warnings
+
+            warnings.warn(
+                "Initial distribution not specified, defaulting to "
+                "`MvNormal.dist(0, I*100)`. You can specify an init_dist "
+                "manually to suppress this warning.",
+                UserWarning,
+            )
             init_dist = MvNormal.dist(
                 mu=jnp.zeros(innovation.shape[-1]),
                 cov=100.0 * jnp.eye(innovation.shape[-1]),
@@ -230,10 +259,18 @@ class AR(Continuous):
         self.ar_order = int(
             ar_order if ar_order is not None else rho_len - (1 if constant else 0)
         )
-        self.init_dist = (
-            init_dist if init_dist is not None
-            else Normal.dist(0.0, 100.0, shape=(self.ar_order,))
-        )
+        if init_dist is None:
+            # reference timeseries.py:590-597 warns and uses Normal(0, 100)
+            import warnings
+
+            warnings.warn(
+                "Initial distribution not specified, defaulting to "
+                "`Normal.dist(0, 100, shape=...)`. You can specify an "
+                "init_dist manually to suppress this warning.",
+                UserWarning,
+            )
+            init_dist = Normal.dist(0.0, 100.0, shape=(self.ar_order,))
+        self.init_dist = init_dist
         # reference AR.dist: steps = shape[-1] - ar_order (support_shape_offset)
         self.steps = _steps_from_shape(
             self._shape_arg, self._size_arg, steps, offset=self.ar_order
@@ -433,7 +470,18 @@ class EulerMaruyama(Continuous):
         self.dt = float(dt)
         self.sde_fn = sde_fn
         self.sde_pars = tuple(as_param(p) for p in sde_pars)
-        self.init_dist = init_dist if init_dist is not None else Flat.dist()
+        if init_dist is None:
+            # reference timeseries.py:955-964 warns and uses Normal(0, 100)
+            import warnings
+
+            warnings.warn(
+                "Initial distribution not specified, defaulting to "
+                "`Normal.dist(0, 100, shape=...)`. You can specify an "
+                "init_dist manually to suppress this warning.",
+                UserWarning,
+            )
+            init_dist = Normal.dist(0.0, 100.0)
+        self.init_dist = init_dist
         self.steps = _steps_from_shape(self._shape_arg, self._size_arg, steps)
 
     def param_values(self):
@@ -452,7 +500,12 @@ class EulerMaruyama(Continuous):
     def logp(self, value, env=None, memo=None):
         if memo is None:
             memo = {}
-        pars = [evaluate(p, env, memo) for p in self.sde_pars]
+        # batched params get a trailing time axis so user sde_fns broadcast
+        # against value[..., t] (reference eulermaruyama_logp timeseries.py:994)
+        pars = [
+            jnp.asarray(evaluate(p, env, memo))[..., None]
+            for p in self.sde_pars
+        ]
         xt = value[..., :-1]
         f, g = self.sde_fn(xt, *pars)
         mu = xt + f * self.dt

@@ -28,6 +28,24 @@ class TestRandomWalk:
         with pytest.raises(ValueError, match="innovation_dist"):
             pm.RandomWalk.dist(innovation_dist=1.0, steps=5)
 
+    def test_requires_init_dist(self):
+        # reference RandomWalk.dist raises TypeError without an init dist
+        with pytest.raises(TypeError, match="init_dist"):
+            pm.RandomWalk.dist(innovation_dist=pm.Normal.dist(), steps=5)
+        with pytest.raises(TypeError, match="init_dist"):
+            pm.RandomWalk.dist(
+                innovation_dist=pm.Normal.dist(), init_dist=3.0, steps=5
+            )
+
+    def test_mismatched_support_ndim_raises(self):
+        # reference: init/innovation must share support dimensionality
+        with pytest.raises(TypeError, match="support"):
+            pm.RandomWalk.dist(
+                innovation_dist=pm.MvNormal.dist(mu=np.zeros(2), cov=np.eye(2)),
+                init_dist=pm.Normal.dist(),
+                steps=5,
+            )
+
     def test_logp_univariate_oracle(self):
         d = pm.RandomWalk.dist(
             innovation_dist=pm.Normal.dist(0.5, 2.0),
@@ -151,6 +169,27 @@ class TestPredefinedRandomWalk:
     def test_gaussian_warns_default_init(self):
         with pytest.warns(UserWarning, match="Initial distribution"):
             pm.GaussianRandomWalk.dist(mu=0.0, sigma=1.0, steps=3)
+
+    @pytest.mark.parametrize(
+        "make",
+        [
+            lambda: pm.MvGaussianRandomWalk.dist(
+                mu=np.zeros(2), cov=np.eye(2), steps=3
+            ),
+            lambda: pm.MvStudentTRandomWalk.dist(
+                nu=5, mu=np.zeros(2), scale=np.eye(2), steps=3
+            ),
+            lambda: pm.AR.dist(rho=[0.5], sigma=1.0, steps=3),
+            lambda: pm.EulerMaruyama.dist(
+                dt=0.1, sde_fn=_ou_sde, sde_pars=(1.0, 1.0), steps=3
+            ),
+        ],
+        ids=["MvGRW", "MvStudentTRW", "AR", "EulerMaruyama"],
+    )
+    def test_default_init_warns(self, make):
+        # every timeseries family warns on an unspecified init distribution
+        with pytest.warns(UserWarning, match="Initial distribution"):
+            make()
 
     def test_gaussian_logp(self):
         d = pm.GaussianRandomWalk.dist(
@@ -511,6 +550,25 @@ class TestEulerMaruyama:
             x[1:], mean, sd
         ).sum()
         np.testing.assert_allclose(np_logp(d, x), expected, rtol=1e-9)
+
+    def test_batched_params_logp(self):
+        # batched sde params broadcast against the time axis in logp
+        # (reference eulermaruyama_logp appends a trailing axis per param)
+        lams = np.array([0.3, 0.7, 1.2])
+        d = pm.EulerMaruyama.dist(
+            dt=0.1, sde_fn=_ou_sde, sde_pars=(lams, 0.5),
+            init_dist=pm.Normal.dist(0.0, 1.0), steps=4, shape=(3, 5),
+        )
+        rng = np.random.default_rng(20)
+        x = rng.normal(size=(3, 5))
+        got = np_logp(d, x)
+        assert got.shape == (3,)
+        for i in range(3):
+            single = pm.EulerMaruyama.dist(
+                dt=0.1, sde_fn=_ou_sde, sde_pars=(lams[i], 0.5),
+                init_dist=pm.Normal.dist(0.0, 1.0), steps=4,
+            )
+            np.testing.assert_allclose(got[i], np_logp(single, x[i]), rtol=1e-9)
 
     def test_ou_sample_moments(self):
         # OU with small dt: stationary var ≈ s^2/(2 lam)
