@@ -363,7 +363,14 @@ class AR(Continuous):
         return jnp.concatenate([init, path], axis=-1).astype(floatX())
 
     def support_point(self, env=None, memo=None):
-        return jnp.zeros(self.shape, dtype=floatX())
+        # reference ar_support_point (timeseries.py:679-682): the last entry
+        # of the init dist's support point, broadcast over the whole series
+        if memo is None:
+            memo = {}
+        init_sp = jnp.atleast_1d(
+            jnp.asarray(self.init_dist.support_point(env, memo), floatX())
+        )
+        return jnp.broadcast_to(init_sp[..., -1:], self.shape)
 
 
 class GARCH11(Continuous):

@@ -423,6 +423,16 @@ class TestAR:
         )
         np.testing.assert_allclose(np.asarray(d.support_point()), np.zeros(4))
 
+    def test_support_point_from_init(self):
+        # reference ar_support_point: last init support-point entry, filled
+        d = pm.AR.dist(
+            rho=[0.5, 0.2], sigma=1.0,
+            init_dist=pm.Normal.dist(np.array([2.0, 5.0]), 1.0), steps=3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d.support_point()), np.full(5, 5.0)
+        )
+
 
 # ------------------------------------------------------------------- GARCH11
 
