@@ -111,10 +111,12 @@ class RandomWalk(Continuous):
         first = jnp.take(value, jnp.array([0]), axis=ax)
         diffs = jnp.diff(value, axis=ax)
         init_lp = self.init_dist.logp(jnp.squeeze(first, axis=ax), env, memo)
-        innov_lp = self.innovation_dist.logp(diffs, env, memo)
-        # sum over the time axis (and any inner event handled by innov logp)
-        innov_sum = jnp.sum(innov_lp, axis=ax if innov_lp.ndim > ax else None)
-        return init_lp + innov_sum
+        # time axis leads so batched innovation params (trailing-aligned)
+        # broadcast per walk, not per step (reference dimswap,
+        # timeseries.py:236-247)
+        diffs_t = jnp.moveaxis(diffs, ax, 0)
+        innov_lp = self.innovation_dist.logp(diffs_t, env, memo)
+        return init_lp + jnp.sum(innov_lp, axis=0)
 
     def sample(self, key, sample_shape=(), env=None, memo=None):
         if isinstance(sample_shape, int):
@@ -134,13 +136,17 @@ class RandomWalk(Continuous):
         )
         init = self.init_dist.sample(k1, init_extra, env, memo)
         init = jnp.broadcast_to(init, init_target)
-        innov_shape = batch + (self.steps,) + self.innovation_dist.event_shape
-        extra = innov_shape[: len(innov_shape) - self.innovation_dist.ndim] \
-            if self.innovation_dist.ndim else innov_shape
+        # draw innovations with the time axis LEADING so batched innovation
+        # params stay trailing-aligned with `batch`, then move time into place
+        innov_target = (
+            (self.steps,) + batch + self.innovation_dist.event_shape
+        )
+        extra = innov_target[: len(innov_target) - self.innovation_dist.ndim]
         innov = jnp.broadcast_to(
-            self.innovation_dist.sample(k2, extra, env, memo), innov_shape
+            self.innovation_dist.sample(k2, extra, env, memo), innov_target
         )
         ax = len(batch)
+        innov = jnp.moveaxis(innov, 0, ax)
         path = jnp.concatenate(
             [init[..., None, :] if self.innovation_dist.event_ndim else
              jnp.expand_dims(init, ax), innov], axis=ax
@@ -148,21 +154,27 @@ class RandomWalk(Continuous):
         return jnp.cumsum(path, axis=ax).astype(floatX())
 
     def support_point(self, env=None, memo=None):
+        # reference random_walk_support_point (timeseries.py:220-231):
+        # concatenate init/innovation points with time LEADING, cumsum, then
+        # move time next to the inner event — batched params supported
         if memo is None:
             memo = {}
-        init = self.init_dist.support_point(env, memo).astype(floatX())
-        innov = self.innovation_dist.support_point(env, memo).astype(floatX())
-        ev = self.innovation_dist.event_shape
-        steps_axis_shape = (self.steps + 1,) + tuple(ev)
+        init = jnp.asarray(self.init_dist.support_point(env, memo), floatX())
+        innov = jnp.asarray(
+            self.innovation_dist.support_point(env, memo), floatX()
+        )
+        ev = tuple(self.innovation_dist.event_shape)
+        target = tuple(self.batch_shape) + ev
         path = jnp.concatenate(
             [
-                jnp.broadcast_to(init, (1,) + tuple(ev)) if ev
-                else jnp.reshape(jnp.broadcast_to(init, ()), (1,)),
-                jnp.broadcast_to(innov, (self.steps,) + tuple(ev)),
+                jnp.broadcast_to(init, (1,) + target),
+                jnp.broadcast_to(innov, (self.steps,) + target),
             ],
             axis=0,
         )
-        pt = jnp.cumsum(path, axis=0)
+        pt = jnp.moveaxis(
+            jnp.cumsum(path, axis=0), 0, len(self.batch_shape)
+        )
         return jnp.broadcast_to(pt, self.shape)
 
 

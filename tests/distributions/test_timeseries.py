@@ -154,6 +154,52 @@ class TestRandomWalk:
             draws.var(0), 1.0 + 0.25 * t, rtol=0.05
         )
 
+    def test_batched_innovation_params(self):
+        # vector mu = one walk per drift: sample/logp/support_point must all
+        # lift the innovation batch left of the time axis
+        mus = np.array([0.0, 1.0, 2.0])
+        d = pm.RandomWalk.dist(
+            innovation_dist=pm.Normal.dist(mus, 1.0),
+            init_dist=pm.Normal.dist(0.0, 1.0),
+            steps=4,
+        )
+        assert d.shape == (3, 5)
+        draws = np.asarray(d.sample(KEY(21), (4_000,)))
+        np.testing.assert_allclose(
+            draws[:, :, -1].mean(0), 4 * mus, atol=0.15
+        )
+        x = np.random.default_rng(22).normal(size=(3, 5))
+        got = np_logp(d, x)
+        expected = [
+            st.norm.logpdf(x[i, 0], 0, 1)
+            + st.norm.logpdf(np.diff(x[i]), mus[i], 1).sum()
+            for i in range(3)
+        ]
+        np.testing.assert_allclose(got, expected, rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(d.support_point()),
+            np.arange(5)[None, :] * mus[:, None],
+        )
+
+    def test_batched_multivariate_innovation(self):
+        cov = np.array([[1.0, 0.2], [0.2, 1.0]])
+        mus = np.array([[0.0, 0.0], [1.0, -1.0]])
+        d = pm.MvGaussianRandomWalk.dist(
+            mu=mus, cov=cov, steps=3,
+            init_dist=pm.MvNormal.dist(mu=np.zeros(2), cov=np.eye(2)),
+        )
+        assert d.shape == (2, 4, 2)
+        assert d.sample(KEY(23)).shape == (2, 4, 2)
+        x = np.random.default_rng(24).normal(size=(2, 4, 2))
+        got = np_logp(d, x)
+        for i in range(2):
+            expected = st.multivariate_normal.logpdf(
+                x[i, 0], np.zeros(2), np.eye(2)
+            ) + st.multivariate_normal.logpdf(
+                np.diff(x[i], axis=0), mus[i], cov
+            ).sum()
+            np.testing.assert_allclose(got[i], expected, rtol=1e-9)
+
     def test_support_point_is_cumsum(self):
         d = pm.RandomWalk.dist(
             innovation_dist=pm.Normal.dist(2.0, 1.0),
