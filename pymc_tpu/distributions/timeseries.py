@@ -507,11 +507,22 @@ class EulerMaruyama(Continuous):
         return list(self.sde_pars)
 
     def _resolve_shapes(self):
+        from .distribution import _shape_of
+
         if self._shape_arg is not None:
             batch = tuple(self._shape_arg[:-1])
             ev = (self._shape_arg[-1],)
         else:
-            batch = self._size_arg if self._size_arg is not None else ()
+            if self._size_arg is not None:
+                batch = self._size_arg
+            else:
+                # natural batch: broadcast of sde param and init batch dims
+                batch = tuple(
+                    np.broadcast_shapes(
+                        *[_shape_of(p) for p in self.sde_pars],
+                        self.init_dist.batch_shape,
+                    )
+                )
             ev = (self.steps + 1,)
         self.batch_shape = batch
         self.event_shape = ev

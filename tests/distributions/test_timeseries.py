@@ -626,6 +626,25 @@ class TestEulerMaruyama:
             )
             np.testing.assert_allclose(got[i], np_logp(single, x[i]), rtol=1e-9)
 
+    def test_natural_batch_from_params(self):
+        # batched sde params imply the batch shape without explicit shape=
+        lams = np.array([0.5, 1.0])
+        d = pm.EulerMaruyama.dist(
+            dt=0.1, sde_fn=_ou_sde, sde_pars=(lams, 0.3),
+            init_dist=pm.Normal.dist(0.0, 1.0), steps=4,
+        )
+        assert d.shape == (2, 5)
+        assert d.sample(KEY(25)).shape == (2, 5)
+        x = np.random.default_rng(26).normal(size=(2, 5))
+        got = np_logp(d, x)
+        sd = 0.3 * np.sqrt(0.1)
+        for i in range(2):
+            mu = x[i, :-1] - lams[i] * x[i, :-1] * 0.1
+            expected = st.norm.logpdf(x[i, 0], 0, 1) + st.norm.logpdf(
+                x[i, 1:], mu, sd
+            ).sum()
+            np.testing.assert_allclose(got[i], expected, rtol=1e-9)
+
     def test_ou_sample_moments(self):
         # OU with small dt: stationary var ≈ s^2/(2 lam)
         lam, s, dt = 1.0, 1.0, 0.02
