@@ -320,10 +320,13 @@ class AR(Continuous):
         const, coefs = self._split_rho(rho)
         p = self.ar_order
         T = value.shape[-1]
-        init_lp = jnp.sum(
-            jnp.atleast_1d(self.init_dist.logp(value[..., :p], env, memo)),
-            axis=-1,
-        )
+        # reference ar_logp only sums the init term when the init dist is
+        # univariate (ndim_supp == 0); a multivariate init (e.g. MvNormal over
+        # the ar_order inits, event_ndim == 1) already collapsed its event axis
+        # and summing again would eat a batch axis.
+        init_lp = self.init_dist.logp(value[..., :p], env, memo)
+        if self.init_dist.event_ndim == 0:
+            init_lp = jnp.sum(jnp.atleast_1d(init_lp), axis=-1)
         # lagged design: mean_t = const + sum_k coefs_k * x_{t-1-k}
         lags = jnp.stack(
             [value[..., p - 1 - k : T - 1 - k] for k in range(p)], axis=-1
@@ -499,7 +502,17 @@ class EulerMaruyama(Continuous):
                 "init_dist manually to suppress this warning.",
                 UserWarning,
             )
-            init_dist = Normal.dist(0.0, 100.0)
+            # reference timeseries.py:964 shapes the default init like the
+            # first sde parameter: Normal.dist(0, 100, shape=sde_pars[0].shape)
+            from .distribution import _shape_of
+
+            par0_shape = (
+                tuple(_shape_of(self.sde_pars[0])) if self.sde_pars else ()
+            )
+            init_dist = (
+                Normal.dist(0.0, 100.0, shape=par0_shape)
+                if par0_shape else Normal.dist(0.0, 100.0)
+            )
         self.init_dist = init_dist
         self.steps = _steps_from_shape(self._shape_arg, self._size_arg, steps)
 
@@ -552,8 +565,16 @@ class EulerMaruyama(Continuous):
         pars = [evaluate(p, env, memo) for p in self.sde_pars]
         batch = tuple(sample_shape) + self.batch_shape
         k1, k2 = jax.random.split(key)
+        # composite-dist sample idiom (CLAUDE.md): the init dist's own batch
+        # dims are already folded into `batch` by _resolve_shapes, so draw at
+        # the EXTRA dims only, then broadcast — sampling at the full `batch`
+        # returns batch + init.batch_shape and the broadcast_to raises.
+        init_extra = (
+            batch[: len(batch) - self.init_dist.ndim]
+            if self.init_dist.ndim <= len(batch) else ()
+        )
         init = jnp.broadcast_to(
-            self.init_dist.sample(k1, batch, env, memo), batch
+            self.init_dist.sample(k1, init_extra, env, memo), batch
         )
         noise = jax.random.normal(k2, batch + (self.steps,), dtype=floatX())
 

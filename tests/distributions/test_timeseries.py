@@ -381,6 +381,43 @@ class TestAR:
         ).sum()
         np.testing.assert_allclose(np_logp(d, x), expected, rtol=1e-10)
 
+    def test_multivariate_init_logp_oracle(self):
+        # ADVICE r3: a multivariate init dist (MvNormal over the ar_order
+        # inits, event_ndim=1) already collapsed its event axis in logp —
+        # reference ar_logp only sums the init term when ndim_supp == 0.
+        rho = np.array([0.5, 0.3])
+        cov = np.array([[1.0, 0.4], [0.4, 2.0]])
+        d = pm.AR.dist(
+            rho=rho, sigma=0.5,
+            init_dist=pm.MvNormal.dist(mu=np.zeros(2), cov=cov), steps=4,
+        )
+        x = np.array([0.1, -0.2, 0.4, 0.0, 0.6, 0.2])
+        mean = rho[0] * x[1:-1] + rho[1] * x[:-2]
+        expected = st.multivariate_normal.logpdf(
+            x[:2], np.zeros(2), cov
+        ) + st.norm.logpdf(x[2:], mean, 0.5).sum()
+        np.testing.assert_allclose(np_logp(d, x), expected, rtol=1e-10)
+
+    def test_multivariate_init_batched_logp(self):
+        # the batch axis must survive: summing the collapsed init logp over
+        # axis=-1 used to eat it
+        rho = np.array([0.5, 0.3])
+        cov = np.array([[1.0, 0.4], [0.4, 2.0]])
+        d = pm.AR.dist(
+            rho=rho, sigma=0.5,
+            init_dist=pm.MvNormal.dist(mu=np.zeros(2), cov=cov), steps=4,
+            shape=(3, 6),
+        )
+        x = np.random.default_rng(11).normal(size=(3, 6))
+        got = np_logp(d, x)
+        assert got.shape == (3,)
+        for i in range(3):
+            mean = rho[0] * x[i, 1:-1] + rho[1] * x[i, :-2]
+            expected = st.multivariate_normal.logpdf(
+                x[i, :2], np.zeros(2), cov
+            ) + st.norm.logpdf(x[i, 2:], mean, 0.5).sum()
+            np.testing.assert_allclose(got[i], expected, rtol=1e-10)
+
     def test_shape_gives_steps_minus_order(self):
         d = pm.AR.dist(
             rho=[0.5, 0.3],
@@ -682,6 +719,38 @@ class TestEulerMaruyama:
             )
         lam_post = float(idata.posterior["lam"].mean())
         assert abs(lam_post - lam_t) < 0.25
+
+    def test_batched_init_dist_sample(self):
+        # ADVICE r3: a batched init_dist folds into the natural batch shape;
+        # sample() must draw the init at the EXTRA dims only (composite-dist
+        # idiom) — drawing at the full batch crashed the broadcast_to.
+        mus = np.array([-5.0, 0.0, 5.0])
+        d = pm.EulerMaruyama.dist(
+            dt=0.1, sde_fn=_ou_sde, sde_pars=(0.5, 0.3),
+            init_dist=pm.Normal.dist(mus, 0.01), steps=4,
+        )
+        assert d.shape == (3, 5)
+        draws = np.asarray(d.sample(KEY(31)))
+        assert draws.shape == (3, 5)
+        # each batch row starts near its own init mean (not one shared draw)
+        np.testing.assert_allclose(draws[:, 0], mus, atol=0.1)
+        assert len(np.unique(draws[:, 0])) == 3
+        # with an extra sample_shape on top the init draws stay independent
+        many = np.asarray(d.sample(KEY(32), (200,)))
+        assert many.shape == (200, 3, 5)
+        assert len(np.unique(many[:, 0, 0])) == 200
+
+    def test_default_init_matches_param_shape(self):
+        # reference timeseries.py:964: default init is
+        # Normal.dist(0, 100, shape=sde_pars[0].shape)
+        lams = np.array([0.5, 1.0])
+        with pytest.warns(UserWarning, match="Initial distribution"):
+            d = pm.EulerMaruyama.dist(
+                dt=0.1, sde_fn=_ou_sde, sde_pars=(lams, 0.3), steps=4,
+            )
+        assert d.init_dist.batch_shape == (2,)
+        assert d.shape == (2, 5)
+        assert d.sample(KEY(33)).shape == (2, 5)
 
 
 # --------------------------------------------------------------- model usage
