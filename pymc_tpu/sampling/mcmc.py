@@ -487,6 +487,30 @@ def sample(
         return carry, (q, stats, step_size)
 
     scan_fn = jax.jit(lambda c, xs: lax.scan(step, c, xs))
+
+    # Compile-memoizing chunk runner. The xs leading dim (chunk length) is
+    # baked into each compiled scan, so every distinct length is a separate
+    # XLA program; chunk lengths below are quantized to powers of two so the
+    # set stays small and repeatable run-to-run, which makes the persistent
+    # compilation cache effective: a repeat process run hits disk for every
+    # shape instead of the (20-400 s, wildly variable) remote TPU compile
+    # service. AOT lower+compile also lets sampling-length programs be built
+    # BEFORE the timed sampling region (they used to compile inside it).
+    compiled_chunks = {}
+    compile_s = [0.0]
+
+    def scan_chunk(c, xs, precompile_only=False):
+        L = int(xs[0].shape[0])
+        ex = compiled_chunks.get(L)
+        if ex is None:
+            tc = time.perf_counter()
+            ex = scan_fn.lower(c, xs).compile()
+            compile_s[0] += time.perf_counter() - tc
+            compiled_chunks[L] = ex
+        if precompile_only:
+            return None
+        return ex(c, xs)
+
     _log.info(
         f"NUTS warmup: {tune} steps, {chains} chains, {D} parameters "
         f"(init={init}, target_accept={target_accept})"
@@ -533,9 +557,13 @@ def sample(
     warmup_needed = draws_done == 0
 
     # memory-aware chunk size: a chunk's stacked draws (chunk, C, D) must
-    # not exhaust HBM at large D (the 10k-param x 1024-chain regime)
+    # not exhaust HBM at large D (the 10k-param x 1024-chain regime).
+    # Traceless runs prefer FEW LARGE chunks (each chunk boundary costs a
+    # tunnel round-trip); streaming-trace runs keep chunks small so draws
+    # reach disk steadily.
     budget_bytes = 1_500_000_000
-    auto_chunk = max(1, min(200, budget_bytes // max(chains * D * 4, 1)))
+    auto_cap = 200 if trace is not None else 1024
+    auto_chunk = max(1, min(auto_cap, budget_bytes // max(chains * D * 4, 1)))
     chunk = int(chunk_size) if chunk_size else max(1, min(draws, auto_chunk))
 
     # duration-aware WARMUP chunk: early warmup explores large step sizes,
@@ -559,7 +587,7 @@ def sample(
         jax.block_until_ready(_out)
         t_grad = max((time.perf_counter() - _tg0) / 10.0, 1e-5)
         worst_leapfrogs = 2 ** min(max_treedepth, 10)
-        warm_chunk = int(
+        warm_chunk = _pow2_floor(
             np.clip(30.0 / (t_grad * worst_leapfrogs), 1, chunk)
         )
 
@@ -585,7 +613,8 @@ def sample(
                     jnp.ones((mw,), dtype=bool),
                 )
                 _tc = time.perf_counter()
-                carry, (_, wstats_c, wss_c) = scan_fn(carry, warm_xs)
+                _cs0 = compile_s[0]
+                carry, (_, wstats_c, wss_c) = scan_chunk(carry, warm_xs)
                 # tiny on-device chunk summary -> ONE host transfer: live
                 # warmup feedback (reference progress stat columns)
                 # per-chain columns packed into ONE (4, C) device array so
@@ -601,7 +630,13 @@ def sample(
                 # next call) and the timing of the LAST chunk calibrates the
                 # sampling chunk size below
                 jax.block_until_ready(carry)
-                t_perdraw = (time.perf_counter() - _tc) / mw
+                # exclude synchronous compile (a fresh chunk length compiles
+                # here) — a compile-inflated t_perdraw used to shrink the
+                # sampling chunk to a sliver and multiply tunnel round-trips
+                # in the measured sampling region
+                t_perdraw = (
+                    time.perf_counter() - _tc - (compile_s[0] - _cs0)
+                ) / mw
                 s_np = np.asarray(jax.device_get(summ))  # (4, C)
                 pm_bar.update_warmup(
                     mw, divergences=int(s_np[0].sum()),
@@ -617,7 +652,7 @@ def sample(
         else:
             tru = jnp.ones((tune,), dtype=bool)
             warm_xs = (jnp.arange(tune, dtype=jnp.int32), upd_mass, swi_mass, tru)
-            carry, warm_out = scan_fn(carry, warm_xs)
+            carry, warm_out = scan_chunk(carry, warm_xs)
 
     # duration-aware SAMPLING chunk: one scan call must finish inside the
     # device/tunnel per-call limit; the last (step-size-adapted) warmup
@@ -625,8 +660,26 @@ def sample(
     # a run includes compile, so warmup timing (already compiled) is the
     # right probe.
     if not chunk_size and warmup_needed and tune > 0 and discard_tuned_samples:
-        if t_perdraw is not None and t_perdraw > 0:
-            chunk = int(np.clip(45.0 / t_perdraw, 1, chunk))
+        if t_perdraw is not None and t_perdraw > 0 and 45.0 / t_perdraw < chunk:
+            chunk = _pow2_floor(max(45.0 / t_perdraw, 1.0))
+
+    # precompile every sampling chunk length BEFORE the timed region: the
+    # first call of each length used to compile synchronously inside the
+    # measured sampling wall (20-400 s remote compile variance landed
+    # straight in the ESS/sec denominator)
+    _lens, _j = [], draws_done
+    while _j < draws:
+        _m = min(chunk, draws - _j)
+        if _m not in _lens:
+            _lens.append(_m)
+        _j += _m
+    for _L in _lens:
+        _fls = jnp.zeros((_L,), dtype=bool)
+        scan_chunk(
+            carry,
+            (jnp.arange(_L, dtype=jnp.int32), _fls, _fls, _fls),
+            precompile_only=True,
+        )
 
     # ---- sampling: chunked scans (progress + durable trace streaming)
     q_chunks, stat_chunks, ss_chunks = [], [], []
@@ -691,7 +744,7 @@ def sample(
                 jnp.arange(tune + i, tune + i + m, dtype=jnp.int32),
                 fls, fls, fls,
             )
-            carry, (q_c, stats_c, ss_c) = scan_fn(carry, xs)  # async dispatch
+            carry, (q_c, stats_c, ss_c) = scan_chunk(carry, xs)  # async dispatch
             # pack stats + step size into ONE device array per chunk (each
             # device_get is a host round-trip over the TPU tunnel)
             packed = jnp.concatenate(
@@ -765,6 +818,7 @@ def sample(
         max_treedepth=max_treedepth,
         sampling_time=t2 - t1,
         tuning_time=t1 - t0,
+        compile_time=compile_s[0],
     )
 
     if compute_convergence_checks and not interrupted:
@@ -787,6 +841,14 @@ def sample(
 def _bcast(flag, arr):
     """Broadcast a scalar bool against an array's leading axes."""
     return jnp.reshape(flag, (1,) * arr.ndim)
+
+
+def _pow2_floor(n):
+    """Largest power of two <= n (>= 1). Timing-derived chunk sizes are
+    quantized through this so the set of compiled scan lengths is small and
+    stable across runs (each length is a distinct XLA program)."""
+    n = int(n)
+    return 1 << (n.bit_length() - 1) if n >= 1 else 1
 
 
 def init_nuts(init="jitter+adapt_diag", chains=1, random_seed=None, model=None,
@@ -847,6 +909,7 @@ def init_nuts(init="jitter+adapt_diag", chains=1, random_seed=None, model=None,
 def _package(
     model, info, q_draws, stats, step_size, var_names=None, warmup=None,
     idata_kwargs=None, max_treedepth=10, sampling_time=None, tuning_time=None,
+    compile_time=None,
 ):
     """(draws, chains, D) unconstrained draws -> InferenceData with posterior
     (constrained + deterministics), sample_stats, observed/constant data."""
@@ -980,6 +1043,7 @@ def _package(
             "max_treedepth": max_treedepth,
             "sampling_time": sampling_time,
             "tuning_time": tuning_time,
+            "compile_time": compile_time,
             "inference_library": "pymc_tpu",
         },
         include_log_likelihood=idata_kwargs.get("log_likelihood", False),

@@ -310,7 +310,8 @@ def mcse_sd(x):
 
 
 # -------------------------------------------------- benchmark scorecard
-def time_to_rhat(idata, threshold=1.01, n_grid=12, var_names=None):
+def time_to_rhat(idata, threshold=1.01, n_grid=12, var_names=None,
+                 include_compile=True):
     """Wall-clock seconds (warmup + sampling prefix) until the max
     rank-normalized split-R-hat across all posterior variables first drops
     below ``threshold`` (BASELINE.json metric "time-to-R-hat<1.01").
@@ -318,6 +319,12 @@ def time_to_rhat(idata, threshold=1.01, n_grid=12, var_names=None):
     Scans ~n_grid draw-count prefixes (geometric, min 4 draws so split-R-hat
     is defined) and linearly attributes sampling time per draw. Returns nan
     if the threshold is never reached within the available draws.
+
+    ``include_compile=False`` subtracts the recorded one-time XLA compile
+    wall (``posterior.attrs["compile_time"]``) from the warmup attribution —
+    the remote TPU compile service latency is wildly variable (20-400 s for
+    the same program), so the compile-included number swings 10x between
+    identical runs while the compile-excluded one measures convergence.
     """
     post = idata.posterior
     names = list(var_names) if var_names is not None else list(post.data_vars)
@@ -325,6 +332,9 @@ def time_to_rhat(idata, threshold=1.01, n_grid=12, var_names=None):
     S = arrays[0].shape[1]
     tune_t = float(post.attrs.get("tuning_time", 0.0) or 0.0)
     samp_t = float(post.attrs.get("sampling_time", 0.0) or 0.0)
+    if not include_compile:
+        tune_t = max(0.0, tune_t - float(post.attrs.get("compile_time", 0.0)
+                                         or 0.0))
 
     grid = np.unique(
         np.geomspace(4, S, num=min(n_grid, S)).astype(int)
