@@ -36,7 +36,7 @@ from ..model.core import Potential as _Potential
 from ..model.core import modelcontext
 
 __all__ = [
-    "math",
+    "math", "transforms",
     "DimVar", "align", "with_dims",
     "Data", "Deterministic", "Potential",
     # populated dynamically below with dims-first distribution wrappers
@@ -282,6 +282,17 @@ _CONTROL_KWS = {
 }
 
 
+def _resolve_dim_transforms(kwargs, out_dims):
+    """Resolve dim-NAMED transform objects (dims/transforms.py DimTransform)
+    against the RV's declared dims into positional transforms, in place."""
+    from .transforms import DimTransform
+
+    for k in ("transform", "default_transform"):
+        t = kwargs.get(k)
+        if isinstance(t, DimTransform):
+            kwargs[k] = t.resolve(tuple(out_dims or ()))
+
+
 def _infer_dims(args, kwargs):
     """Union of parameter dims in order of first appearance (reference
     DimDistribution: dims inferred from params when not given)."""
@@ -358,6 +369,7 @@ def _dims_first(dist_cls):
             # layout and unwrap to the underlying node (reference
             # dims/distributions/core.py: observed xtensor dims propagate)
             kwargs["observed"] = align(obs, dims_t) if dims_t else obs.node
+        _resolve_dim_transforms(kwargs, dims_t)
         rv = dist_cls(name, *args, dims=dims_t or None, **kwargs)
         out_dims = dims_t or tuple(getattr(rv, "dims", ()) or ())
         if out_dims and len(out_dims) == len(getattr(rv, "shape", ())):
@@ -533,6 +545,7 @@ def _vector_dims_first(dist_cls, spec):
 
         if dist_cls.__name__ == "ZeroSumNormal":
             aligned["n_zerosum_axes"] = len(core)
+        _resolve_dim_transforms(aligned, out_dims)
         rv = dist_cls(name, dims=out_dims or None, **aligned)
         if out_dims and len(out_dims) == len(getattr(rv, "shape", ())):
             return DimVar(rv, out_dims)
@@ -599,3 +612,4 @@ def Potential(name, var, **kwargs):
 
 
 from . import math  # noqa: E402  (math aliases the Node-aware namespace)
+from . import transforms  # noqa: E402  (dim-named transform objects)

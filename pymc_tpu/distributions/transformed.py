@@ -781,6 +781,37 @@ def _match_layout(node):
     return LayoutDistribution._make(base, fwd, inv, out_shape)
 
 
+def _match_cumsum(node, axis):
+    """cumsum of a measurable expression → CumSum derived density (reference
+    logprob/cumsum.py:53-106 MeasurableCumsum): the map is unit-lower-
+    triangular, so |det J| = 1 and logp(v) = base.logp(diff_with_first(v)).
+    axis=None is only measurable for 1-D operands — flattening a multi-dim
+    expression before summing mixes dimensions (reference
+    find_measurable_cumsums rejects base_rv.ndim > 1 with axis=None)."""
+    args = [a for a in node.args if isinstance(a, Node)]
+    if len(args) != 1:
+        raise TypeError("measurable cumsum must have one random operand")
+    x = args[0]
+    in_shape = tuple(int(s) for s in x.shape)
+    if axis is None:
+        if len(in_shape) != 1:
+            raise TypeError(
+                "cumsum over a flattened multi-dimensional expression mixes "
+                "dimensions — no derived density (reference logprob/cumsum.py "
+                "find_measurable_cumsums)"
+            )
+        axis = 0
+    base = _inner_dist(x)
+    if base.event_ndim != 0:
+        raise TypeError(
+            "cumsum over a multivariate distribution would mix event "
+            "dimensions — no derived density"
+        )
+    from .derived import CumSum
+
+    return CumSum.dist(base, axis=int(axis))
+
+
 def _match_index(node, marker):
     """Basic (int/slice) indexing of an independent-components expression →
     marginal density of the selected components (reference logprob joint-
@@ -1148,6 +1179,10 @@ def dist_from_expression(node):
             break
         if hasattr(current.fn, "_measurable_index"):
             base = _match_index(current, current.fn._measurable_index)
+            break
+        cs = getattr(current.fn, "_measurable_cumsum", None)
+        if cs is not None:
+            base = _match_cumsum(current, cs[0])
             break
         fn = current.fn
         fn = getattr(fn, "_base_fn", fn)

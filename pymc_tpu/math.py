@@ -373,7 +373,12 @@ or_ = _wrap(jnp.logical_or)
 
 
 def cumsum(x, axis=None):
-    return apply(lambda v: jnp.cumsum(v, axis=axis), x)
+    fn = lambda v: jnp.cumsum(v, axis=axis)  # noqa: E731
+    # measurability marker: pm.logp(cumsum(rv), v) derives the diff-transform
+    # density (unit-triangular Jacobian; reference logprob/cumsum.py) via
+    # distributions/transformed.py
+    fn._measurable_cumsum = (axis,)
+    return apply(fn, x)
 
 
 def cumprod(x, axis=None):
