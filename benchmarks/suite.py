@@ -320,6 +320,126 @@ def case_gp_hsgp(jax, pm, chains=None):
     _emit("gp_hsgp", chains=chains, n=n, total_wall=wall, **sc)
 
 
+def _stress_model(pm, n_groups=5000, n_obs=20000, seed=0):
+    """BASELINE config #3 / north-star model: hierarchical logistic GLM with
+    10,004 parameters (reference asv ESS/sec metric family,
+    benchmarks/benchmarks/benchmarks.py:180-226, at the BASELINE.md scale)."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, n_groups, n_obs)
+    x = rng.normal(size=n_obs)
+    true_a = rng.normal(0, 0.5, n_groups)
+    true_b = rng.normal(0.3, 0.2, n_groups)
+    logits = true_a[g] + true_b[g] * x
+    y = (rng.uniform(size=n_obs) < 1 / (1 + np.exp(-logits))).astype(int)
+    with pm.Model() as m:
+        mu_a = pm.Normal("mu_a", 0, 1)
+        sd_a = pm.HalfNormal("sd_a", 1)
+        mu_b = pm.Normal("mu_b", 0, 1)
+        sd_b = pm.HalfNormal("sd_b", 1)
+        a_t = pm.Normal("a_t", 0, 1, shape=(n_groups,))
+        b_t = pm.Normal("b_t", 0, 1, shape=(n_groups,))
+        a = mu_a + sd_a * a_t
+        b = mu_b + sd_b * b_t
+        pm.Bernoulli("y", logit_p=a[g] + b[g] * x, observed=y)
+    return m
+
+
+HYPERS = ["mu_a", "sd_a", "mu_b", "sd_b"]
+
+
+def _run_stress(jax, pm, sampler, chains, draws, tune):
+    m = _stress_model(pm)
+    t0 = time.perf_counter()
+    idata = pm.sample(
+        draws=draws, tune=tune, chains=chains, model=m, random_seed=0,
+        progressbar=False, compute_convergence_checks=False,
+        sampler=sampler,
+        mass_adapt="pooled" if chains >= 64 else "per_chain",
+        step_adapt="pooled" if chains >= 64 else "per_chain",
+        target_accept=0.95 if chains >= 64 else 0.8,
+        var_names=HYPERS,  # only the hyperposteriors cross the tunnel
+    )
+    wall = time.perf_counter() - t0
+    sc = _scorecard(idata, HYPERS)
+    means = {v: float(idata.posterior[v].values.mean()) for v in HYPERS}
+    return wall, sc, means
+
+
+def case_stress(jax, pm, chains=None):
+    """North-star metric (BASELINE.json acceptance: >=10x ESS/sec over the
+    CPU 4-chain path on the 10k-param hierarchical GLM), as min-ESS/sec over
+    the hyperparameters plus grad-evals/sec and time-to-R-hat<1.01."""
+    platform = jax.default_backend()
+    if _MEASURE_BASELINE:
+        chains, draws, tune = 4, 500, 500
+    else:
+        chains = chains or (1024 if platform == "tpu" else 64)
+        draws, tune = 128, 300
+    wall, sc, means = _run_stress(jax, pm, "nuts", chains, draws, tune)
+    _emit("stress", chains=chains, draws=draws, n_params=10004,
+          total_wall=wall, posterior_means=
+          {k: round(v, 3) for k, v in means.items()}, **sc)
+
+
+def case_stress_chees(jax, pm, chains=None):
+    platform = jax.default_backend()
+    if _MEASURE_BASELINE:
+        chains, draws, tune = 4, 500, 500
+    else:
+        chains = chains or (1024 if platform == "tpu" else 64)
+        draws, tune = 128, 300
+    wall, sc, means = _run_stress(jax, pm, "chees", chains, draws, tune)
+    extra = {}
+    anchor = _load_baselines().get("stress", {})
+    if not _MEASURE_BASELINE and anchor.get("ess_per_sec"):
+        # ChEES at 4 CPU chains cannot adapt (cross-chain criterion), so the
+        # honest anchor is the shared NUTS CPU run
+        extra["vs_baseline"] = round(
+            sc["ess_per_sec"] / anchor["ess_per_sec"], 2
+        )
+    _emit("stress_chees", chains=chains, draws=draws, n_params=10004,
+          total_wall=wall, posterior_means=
+          {k: round(v, 3) for k, v in means.items()}, **sc, **extra)
+
+
+def case_ode(jax, pm, chains=None):
+    """Reference DifferentialEquationSuite.track_1var_2par_ode_ess
+    (benchmarks/benchmarks/benchmarks.py:257-263): freefall ODE, 1 state /
+    2 params (one known), NUTS ESS/sec."""
+    from pymc_tpu.ode import DifferentialEquation
+
+    def freefall(y, t, p):
+        return 2.0 * p[1] - p[0] * y[0]
+
+    times = np.arange(0, 10, 0.5)
+    y = np.array([
+        -2.01, 9.49, 15.58, 16.57, 27.58, 32.26, 35.13, 38.07, 37.36, 38.83,
+        44.86, 43.58, 44.59, 42.75, 46.9, 49.32, 44.06, 49.86, 46.48, 48.18,
+    ]).reshape(-1, 1)
+    platform = jax.default_backend()
+    if _MEASURE_BASELINE:
+        chains, draws, tune = 4, 500, 500
+    else:
+        chains = chains or (256 if platform == "tpu" else 16)
+        draws, tune = 200, 300
+    ode_model = DifferentialEquation(func=freefall, times=times, n_states=1,
+                                     n_theta=2, t0=0)
+    with pm.Model() as m:
+        sigma = pm.HalfCauchy("sigma", 1)
+        gamma = pm.LogNormal("gamma", 0, 1)
+        sol = ode_model(y0=[0.0], theta=[gamma, 9.8])
+        pm.Normal("Y", mu=sol, sigma=sigma, observed=y)
+    t0 = time.perf_counter()
+    idata = pm.sample(draws=draws, tune=tune, chains=chains, model=m,
+                      random_seed=0, progressbar=False,
+                      compute_convergence_checks=False,
+                      mass_adapt="pooled" if chains >= 64 else "per_chain")
+    wall = time.perf_counter() - t0
+    sc = _scorecard(idata, ["sigma", "gamma"])
+    _emit("ode", chains=chains, draws=draws, total_wall=wall,
+          gamma_mean=float(idata.posterior["gamma"].values.mean()), **sc)
+
+
 def case_smc(jax, pm, chains=None):
     # config #5: tempered SMC on a bimodal mixture (resampling collectives)
     rng = np.random.default_rng(7)
@@ -347,6 +467,8 @@ CASES = {
     "radon": case_radon, "mixture": case_mixture,
     "best": case_best, "gp": case_gp, "gp_marginal": case_gp_marginal,
     "gp_hsgp": case_gp_hsgp, "smc": case_smc,
+    "stress": case_stress, "stress_chees": case_stress_chees,
+    "ode": case_ode,
 }
 
 
