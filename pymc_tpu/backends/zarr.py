@@ -256,8 +256,37 @@ class ZarrTrace:
         self._complete = 0        # draws already in FULL chunks on disk
         self._created = False
         self._errors_seen = 0
+        # multi-controller chain-shard layout (set_chain_layout): this
+        # process owns chains [offset, offset + local) of total
+        self._chain_offset = 0
+        self._chains_local = None
+        self._chains_total = None
         meta = self.read_meta()
         if meta and meta.get("draws_done", 0) > 0:
+            self._load_pending_from_disk(meta)
+
+    def set_chain_layout(self, offset, total, local):
+        """Multi-controller mode (SURVEY §2.14.8): every process streams its
+        own chain block into ONE shared store. The chain axis is chunked at
+        `local` chains, so each controller writes disjoint chunk files —
+        the shared-store replacement for the reference's per-chain draw
+        pipes (pymc/sampling/parallel.py). Requires offset % local == 0
+        (a 1-D chain mesh gives every process one contiguous equal block)."""
+        offset, total, local = int(offset), int(total), int(local)
+        if local <= 0 or total % local or offset % local:
+            raise ValueError(
+                f"chain layout must tile evenly: offset={offset}, "
+                f"total={total}, local={local}"
+            )
+        self._chain_offset = offset
+        self._chains_total = total
+        self._chains_local = local
+        meta = self.read_meta()
+        if meta and meta.get("draws_done", 0) > 0:
+            # re-buffer THIS shard's trailing partial chunk
+            self._q_buf = None
+            self._stats_buf = {}
+            self._complete = 0
             self._load_pending_from_disk(meta)
 
     # --------------------------------------------------------------- meta
@@ -278,17 +307,19 @@ class ZarrTrace:
         if q is None:
             return
         self._created = True
+        lo = self._chain_offset
+        hi = None if self._chains_local is None else lo + self._chains_local
         S = q.shape[1]
         cd = self.draws_per_chunk
         self._complete = (S // cd) * cd
         if S > self._complete:
             self._q_buf = np.ascontiguousarray(
-                q[:, self._complete:].transpose(1, 0, 2)
+                q[lo:hi, self._complete:].transpose(1, 0, 2)
             )
             for name in self._stat_names():
                 arr = self.store.read_array(f"sample_stats/{name}")
                 self._stats_buf[name] = np.ascontiguousarray(
-                    arr[:, self._complete:].T
+                    arr[lo:hi, self._complete:].T
                 )
 
     def _stat_names(self):
@@ -307,17 +338,23 @@ class ZarrTrace:
         q = np.asarray(jax.device_get(q_draws))
         stats = {k: np.asarray(jax.device_get(v)) for k, v in stats.items()}
         S, C, D = q.shape
+        if self._chains_local is not None and C != self._chains_local:
+            raise ValueError(
+                f"chunk carries {C} chains but this process's shard is "
+                f"{self._chains_local} (set_chain_layout)"
+            )
+        CT = self._chains_total or C
         if not self._created:
             cd = self.draws_per_chunk
             self.store.create_group("unconstrained_posterior")
             self.store.create_array(
-                "unconstrained_posterior/q", (C, 0, D), (C, cd, D), q.dtype,
+                "unconstrained_posterior/q", (CT, 0, D), (C, cd, D), q.dtype,
                 dim_names=["chain", "draw", "flat_dim"],
             )
             self.store.create_group("sample_stats")
             for k, v in stats.items():
                 self.store.create_array(
-                    f"sample_stats/{k}", (C, 0), (C, cd), v.dtype,
+                    f"sample_stats/{k}", (CT, 0), (C, cd), v.dtype,
                     dim_names=["chain", "draw"],
                 )
             self._created = True
@@ -345,6 +382,8 @@ class ZarrTrace:
         if emit_draws == 0 and not final:
             return
         C = self._q_buf.shape[1]
+        CT = self._chains_total or C
+        grid_c = (self._chain_offset // C) if self._chains_local else 0
         total = self._complete + pending
         # chunk-major blocks from the buffer
         for k in range(math.ceil(emit_draws / cd) if emit_draws else 0):
@@ -352,16 +391,16 @@ class ZarrTrace:
             grid_k = self._complete // cd + k
             block = self._q_buf[lo:hi].transpose(1, 0, 2)  # (C, s, D)
             self.store.write_chunk(
-                "unconstrained_posterior/q", (0, grid_k, 0), block
+                "unconstrained_posterior/q", (grid_c, grid_k, 0), block
             )
             for name, v in self._stats_buf.items():
                 self.store.write_chunk(
-                    f"sample_stats/{name}", (0, grid_k), v[lo:hi].T
+                    f"sample_stats/{name}", (grid_c, grid_k), v[lo:hi].T
                 )
         D = self._q_buf.shape[2]
-        self.store.resize("unconstrained_posterior/q", (C, total, D))
+        self.store.resize("unconstrained_posterior/q", (CT, total, D))
         for name in self._stats_buf:
-            self.store.resize(f"sample_stats/{name}", (C, total))
+            self.store.resize(f"sample_stats/{name}", (CT, total))
         # drop fully persisted draws from the buffer (the trailing partial
         # chunk stays buffered: it is rewritten in place if more draws come)
         keep_from = n_full * cd
@@ -394,45 +433,79 @@ class ZarrTrace:
         self.flush()
 
     # ------------------------------------------------------ sampler state
+    def _state_group(self):
+        if self._chains_local is not None:
+            return f"_sampling_state/shard_{self._chain_offset}"
+        return "_sampling_state"
+
+    @staticmethod
+    def _leaf_to_host(leaf):
+        """Device leaf -> host numpy; under a multi-controller mesh only the
+        local chain shards are addressable, so persist exactly those (chain
+        axis leads every chain-sharded carry leaf)."""
+        if getattr(leaf, "is_fully_addressable", True):
+            return np.asarray(jax.device_get(leaf))
+        if leaf.ndim == 0 or getattr(leaf, "is_fully_replicated", False):
+            return np.asarray(jax.device_get(leaf.addressable_shards[0].data))
+        by_start = {}
+        for s in leaf.addressable_shards:
+            by_start.setdefault(s.index[0].start or 0, s)
+        return np.concatenate(
+            [np.asarray(jax.device_get(by_start[k].data))
+             for k in sorted(by_start)], axis=0,
+        )
+
     def save_state(self, carry):
         leaves, treedef = jax.tree.flatten(carry)
-        self.store.create_group("_sampling_state")
+        grp = self._state_group()
+        self.store.create_group(grp)
         self.store.write_attrs(
-            "_sampling_state",
-            {"treedef": str(treedef), "n_leaves": len(leaves)},
+            grp, {"treedef": str(treedef), "n_leaves": len(leaves)},
         )
         for i, leaf in enumerate(leaves):
-            arr = np.asarray(jax.device_get(leaf))
-            self.store.write_array(f"_sampling_state/leaf_{i}", arr)
+            self.store.write_array(f"{grp}/leaf_{i}", self._leaf_to_host(leaf))
 
     def load_state(self, like):
         import jax.numpy as jnp
 
-        attrs = self.store.read_attrs("_sampling_state")
+        grp = self._state_group()
+        attrs = self.store.read_attrs(grp)
         if not attrs:
             return None
         leaves_like, treedef = jax.tree.flatten(like)
         leaves = []
         for i, x in enumerate(leaves_like):
-            arr = self.store.read_array(f"_sampling_state/leaf_{i}")
+            arr = self.store.read_array(f"{grp}/leaf_{i}")
             if arr is None:
                 return None
-            leaves.append(jnp.asarray(arr, dtype=x.dtype).reshape(x.shape))
+            if not getattr(x, "is_fully_addressable", True) and x.ndim >= 1:
+                # rebuild the global sharded leaf from this process's block
+                leaves.append(jax.make_array_from_process_local_data(
+                    x.sharding, np.asarray(arr, dtype=x.dtype), x.shape
+                ))
+            else:
+                leaves.append(
+                    jnp.asarray(arr, dtype=x.dtype).reshape(x.shape)
+                )
         return jax.tree.unflatten(treedef, leaves)
 
     # -------------------------------------------------------------- reads
     def read_draws(self):
-        """(S_total, C, D) q + stats dict (the FileTrace read contract)."""
+        """(S_total, C, D) q + stats dict (the FileTrace read contract).
+        In chain-shard mode returns THIS process's chain block (each
+        controller resumes/packages its own chains)."""
         self._emit(final=True)
         self.store.flush()
         q = self.store.read_array("unconstrained_posterior/q")
         if q is None or q.shape[1] == 0:
             return None, {}
+        lo = self._chain_offset
+        hi = None if self._chains_local is None else lo + self._chains_local
         stats = {}
         for name in self._stat_names():
             arr = self.store.read_array(f"sample_stats/{name}")
-            stats[name] = arr.T  # (S, C)
-        return q.transpose(1, 0, 2), stats
+            stats[name] = arr[lo:hi].T  # (S, C)
+        return q[lo:hi].transpose(1, 0, 2), stats
 
     # -------------------------------------------------------- finalization
     def write_inference_data(self, idata, draws_per_chunk=None):
@@ -440,6 +513,13 @@ class ZarrTrace:
         observed/constant data) from a finished InferenceData — the
         externally-readable face of the store (reference ZarrTrace stores
         per-variable draws; here they are written once at finalization)."""
+        if self._chains_local is not None and \
+                self._chains_local != (self._chains_total or 0):
+            # multi-controller shard: each process's idata holds only its
+            # local chains; the streaming groups (unconstrained_posterior,
+            # sample_stats, _sampling_state shards) ARE the durable record.
+            # Reassemble named groups host-side from the store if needed.
+            return
         cd = draws_per_chunk or self.draws_per_chunk
         for group in ("posterior", "sample_stats", "warmup_posterior",
                       "warmup_sample_stats", "observed_data",

@@ -545,6 +545,22 @@ def sample(
 
         carry = jax.tree.map(shard_leaf, carry)
 
+    # ---- multi-controller trace sharding: every process streams its own
+    # chain block into one shared store (replaces the reference's per-chain
+    # draw pipes + main-process trace.record, parallel.py:295-328)
+    if (
+        trace is not None
+        and mesh is not None
+        and jax.process_count() > 1
+        and hasattr(trace, "set_chain_layout")
+        and not getattr(carry[0], "is_fully_addressable", True)
+    ):
+        starts = sorted({
+            s.index[0].start or 0 for s in carry[0].addressable_shards
+        })
+        local = chains // jax.process_count()
+        trace.set_chain_layout(starts[0], chains, local)
+
     # ---- resume from a durable trace (reference ZarrTrace semantics, §5.4)
     draws_done = 0
     if trace is not None and resume:
@@ -637,7 +653,7 @@ def sample(
                 t_perdraw = (
                     time.perf_counter() - _tc - (compile_s[0] - _cs0)
                 ) / mw
-                s_np = np.asarray(jax.device_get(summ))  # (4, C)
+                s_np = _fetch_host(summ, 1)  # (4, C) — C local if multihost
                 pm_bar.update_warmup(
                     mw, divergences=int(s_np[0].sum()),
                     depth=float(s_np[1].mean()),
@@ -692,12 +708,17 @@ def sample(
         q_c, packed_c, i0, m0, carry_c = pend
         # keep draws device-resident only when the TOTAL stays small; large
         # runs stream each chunk to the host here, overlapped with the next
-        # chunk's device compute (one big end-of-run transfer would stall)
-        keep_on_device = trace is None and (
-            draws * chains * D * 4 <= 400_000_000 or var_names is not None
+        # chunk's device compute (one big end-of-run transfer would stall).
+        # Multi-controller meshes always materialize (each process gets its
+        # local chain shard; the device arrays are not fully addressable).
+        keep_on_device = (
+            trace is None
+            and getattr(q_c, "is_fully_addressable", True)
+            and (draws * chains * D * 4 <= 400_000_000
+                 or var_names is not None)
         )
-        q_np = q_c if keep_on_device else np.asarray(jax.device_get(q_c))
-        packed_np = np.asarray(jax.device_get(packed_c))
+        q_np = q_c if keep_on_device else _fetch_host(q_c, 1)
+        packed_np = _fetch_host(packed_c, 1)
         stats_np = NutsStats(
             *[packed_np[..., j] for j in range(len(NutsStats._fields))]
         )
@@ -843,6 +864,28 @@ def _bcast(flag, arr):
     return jnp.reshape(flag, (1,) * arr.ndim)
 
 
+def _fetch_host(x, chain_axis):
+    """Device -> host numpy. Under a MULTI-CONTROLLER mesh (jax.distributed,
+    one global mesh spanning processes) only this process's chain shards are
+    addressable, so each process materializes its own chains, concatenated in
+    global chain order — the multi-host replacement for the reference's
+    process-per-chain draw pipes (pymc/sampling/parallel.py:295-328; SURVEY
+    §2.14.8). Fully-addressable arrays take the ordinary transfer path."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    if x.ndim == 0 or getattr(x, "is_fully_replicated", False):
+        return np.asarray(jax.device_get(x.addressable_shards[0].data))
+    by_start = {}
+    for s in x.addressable_shards:
+        idx = s.index[chain_axis]
+        by_start.setdefault(idx.start or 0, s)
+    parts = [
+        np.asarray(jax.device_get(by_start[k].data))
+        for k in sorted(by_start)
+    ]
+    return np.concatenate(parts, axis=chain_axis)
+
+
 def _pow2_floor(n):
     """Largest power of two <= n (>= 1). Timing-derived chunk sizes are
     quantized through this so the set of compiled scan lengths is small and
@@ -961,8 +1004,13 @@ def _package(
     else:
         # postprocess on the HOST cpu backend: transforms/deterministics are
         # cheap elementwise work, the full posterior must reach the host
-        # anyway, and this avoids one more (remote, slow) TPU compile
-        cpu_dev = jax.devices("cpu")[0]
+        # anyway, and this avoids one more (remote, slow) TPU compile.
+        # Under a multi-controller mesh jax.devices() spans processes — the
+        # postprocess must run on a device THIS process owns.
+        try:
+            cpu_dev = jax.local_devices(backend="cpu")[0]
+        except Exception:
+            cpu_dev = jax.devices("cpu")[0]
         with jax.default_device(cpu_dev):
             for part in q_parts:
                 part_np = (
@@ -998,7 +1046,7 @@ def _package(
         ).swapaxes(0, 1),
         "lp": np.asarray(jax.device_get(stats.lp)).swapaxes(0, 1),
     }
-    ss = np.asarray(jax.device_get(step_size))
+    ss = _fetch_host(step_size, 0)
     stat_arrays["step_size"] = np.broadcast_to(ss[:, None], (C, S)).copy()
 
     warmup_groups = {}
