@@ -54,19 +54,31 @@ class Mixture(Distribution):
         if isinstance(comp_dists, Distribution):
             self.comp_single = comp_dists
             self.comp_list = None
-            self._n_comp = comp_dists.shape[-1] if comp_dists.shape else None
+            ev_n = comp_dists.event_ndim
+            cb = comp_dists.shape
+            if ev_n:
+                cb = cb[: len(cb) - ev_n]
+            self._n_comp = cb[-1] if cb else None
             self.is_discrete = comp_dists.is_discrete
-            ev = comp_dists.event_shape
-            if ev:
-                raise NotImplementedError(
-                    "single-dist Mixture over multivariate components: pass a "
-                    "list of component distributions instead"
+            self.event_ndim = ev_n
+            if ev_n and self._n_comp is None:
+                raise ValueError(
+                    "single-dist Mixture over multivariate components needs "
+                    "an explicit component (last batch) axis"
                 )
         else:
             self.comp_single = None
             self.comp_list = list(comp_dists)
             self._n_comp = len(self.comp_list)
             self.is_discrete = all(d.is_discrete for d in self.comp_list)
+            ev_ns = {d.event_ndim for d in self.comp_list}
+            if len(ev_ns) > 1:
+                # reference mixture.py:198-201
+                raise ValueError(
+                    "Mixture components must all have the same support "
+                    f"dimensionality, got {sorted(ev_ns)}"
+                )
+            self.event_ndim = ev_ns.pop()
         from .distribution import _shape_of
 
         w_shape = _shape_of(self.w)
@@ -97,28 +109,42 @@ class Mixture(Distribution):
     def _resolve_shapes(self):
         from .distribution import _shape_of
 
+        ev_n = self.event_ndim
         w_batch = _shape_of(self.w)[:-1]
         if self.comp_list is not None:
-            comp_batch = [d.shape for d in self.comp_list]
+            ev = (
+                tuple(np.broadcast_shapes(
+                    *[d.event_shape for d in self.comp_list]
+                ))
+                if ev_n else ()
+            )
+            comp_batch = [d.batch_shape for d in self.comp_list]
         else:
-            comp_batch = [self.comp_single.shape[:-1]]
+            ev = tuple(self.comp_single.event_shape)
+            comp_batch = [self.comp_single.batch_shape[:-1]]
         nat = tuple(np.broadcast_shapes(w_batch, *comp_batch))
         if self._shape_arg is not None:
-            batch = tuple(self._shape_arg)
+            full = tuple(self._shape_arg)
+            batch = full[: len(full) - len(ev)] if ev else full
         elif self._size_arg is not None:
-            batch = self._size_arg
+            batch = tuple(self._size_arg)
         else:
             batch = nat
         self.batch_shape = batch
-        self.event_shape = ()
+        self.event_shape = ev
 
     def _comp_logps(self, value, env, memo):
+        # per-component logps collapse the event dims (reference
+        # mixture.py:476-484: components_logp stacked on a NEW last axis)
         if self.comp_list is not None:
-            return jnp.stack(
-                [d.logp(value, env, memo) for d in self.comp_list], axis=-1
+            lps = jnp.broadcast_arrays(
+                *[d.logp(value, env, memo) for d in self.comp_list]
             )
-        # single dist with component axis last: broadcast value against it
-        return self.comp_single.logp(value[..., None], env, memo)
+            return jnp.stack(lps, axis=-1)
+        # single dist with component axis at -event_ndim-1: broadcast the
+        # value against it (reference mix_axis semantics, mixture.py:108)
+        value = jnp.expand_dims(value, axis=-(self.event_ndim + 1))
+        return self.comp_single.logp(value, env, memo)
 
     def logp(self, value, env=None, memo=None):
         if memo is None:
@@ -142,12 +168,16 @@ class Mixture(Distribution):
     def logcdf(self, value, env=None, memo=None):
         if memo is None:
             memo = {}
+        if self.event_ndim:
+            raise NotImplementedError(
+                "logcdf of a multivariate mixture is not defined"
+            )
         w = evaluate(self.w, env, memo)
         value = self._cast_value(value)
         if self.comp_list is not None:
-            comp = jnp.stack(
-                [d.logcdf(value, env, memo) for d in self.comp_list], axis=-1
-            )
+            comp = jnp.stack(jnp.broadcast_arrays(
+                *[d.logcdf(value, env, memo) for d in self.comp_list]
+            ), axis=-1)
         else:
             comp = self.comp_single.logcdf(value[..., None], env, memo)
         log_w = jnp.log(jnp.clip(w, 1e-30, None))
@@ -159,32 +189,55 @@ class Mixture(Distribution):
         if memo is None:
             memo = {}
         w = evaluate(self.w, env, memo)
-        full = tuple(sample_shape) + self.shape
+        ev_n = self.event_ndim
+        ev = tuple(self.event_shape)
+        batch_full = tuple(sample_shape) + tuple(self.batch_shape)
+        # component-stacked draw shape (reference mixture.py:115-129:
+        # stack at mix_axis = -event_ndim-1, select, squeeze)
+        stacked = batch_full + (self._n_comp,) + ev
+        mix_axis = -(ev_n + 1)
         k_idx, k_comp = jax.random.split(key)
         log_w = jnp.log(jnp.clip(w, 1e-30, None))
         idx = jax.random.categorical(
-            k_idx, jnp.broadcast_to(log_w, full + log_w.shape[-1:]), axis=-1
+            k_idx, jnp.broadcast_to(log_w, batch_full + log_w.shape[-1:]),
+            axis=-1,
         )
         if self.comp_list is not None:
             comp_draws = []
+            tgt = batch_full + ev
             for i, d in enumerate(self.comp_list):
-                extra = full[: len(full) - len(d.shape)] if d.shape else full
+                # composite-dist idiom: draw at the EXTRA dims only, then
+                # broadcast — sampling at sample_shape alone would share one
+                # draw across the batch (CLAUDE.md)
+                extra = tgt[: len(tgt) - d.ndim] if d.ndim else tgt
                 draw = d.sample(jax.random.fold_in(k_comp, i), extra, env, memo)
-                comp_draws.append(jnp.broadcast_to(draw, full))
-            draws = jnp.stack(comp_draws, axis=-1)
+                comp_draws.append(jnp.broadcast_to(draw, tgt))
+            draws = jnp.stack(comp_draws, axis=mix_axis)
         else:
             d = self.comp_single
-            extra = full[: len(full) - (len(d.shape) - 1)]
-            draws = d.sample(k_comp, extra, env, memo)
-            draws = jnp.broadcast_to(draws, full + (d.shape[-1],))
-        taken = jnp.take_along_axis(draws, idx[..., None], axis=-1)[..., 0]
+            extra = stacked[: len(stacked) - d.ndim]
+            draws = jnp.broadcast_to(
+                d.sample(k_comp, extra, env, memo), stacked
+            )
+        idx_padded = jnp.reshape(idx, idx.shape + (1,) * (ev_n + 1))
+        taken = jnp.take_along_axis(draws, idx_padded, axis=mix_axis)
+        taken = jnp.squeeze(taken, axis=mix_axis)
         dtype = intX() if self.is_discrete else floatX()
         return taken.astype(dtype)
 
     def support_point(self, env=None, memo=None):
+        # w-weighted mean of the component support points (reference
+        # mixture.py:227-240: weights right-padded over the event dims,
+        # components stacked at mix_axis)
         if memo is None:
             memo = {}
         w = evaluate(self.w, env, memo)
+        ev_n = self.event_ndim
+        mix_axis = -(ev_n + 1)
+        stacked = (
+            tuple(self.batch_shape) + (self._n_comp,)
+            + tuple(self.event_shape)
+        )
         if self.comp_list is not None:
             pts = jnp.stack(
                 [
@@ -193,14 +246,16 @@ class Mixture(Distribution):
                     )
                     for d in self.comp_list
                 ],
-                axis=-1,
+                axis=mix_axis,
             )
         else:
             pts = jnp.broadcast_to(
                 self.comp_single.support_point(env, memo).astype(floatX()),
-                self.shape + (self._n_comp,),
+                stacked,
             )
-        mean = jnp.sum(w * pts, axis=-1)
+        wp = jnp.broadcast_to(w, tuple(self.batch_shape) + (self._n_comp,))
+        wp = jnp.reshape(wp, wp.shape + (1,) * ev_n)
+        mean = jnp.sum(wp * pts, axis=mix_axis)
         if self.is_discrete:
             return jnp.round(mean).astype(intX())
         return mean.astype(floatX())
