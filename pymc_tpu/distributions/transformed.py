@@ -537,21 +537,24 @@ def _match_switch_mixture(node):
         # CONDITIONAL on the condition's (env-resolved) value — reference
         # logprob/mixture.py:459 MeasurableIfElse / split_valued_ifelse.
         # Valid only when the condition shares no randomness with the
-        # branches (otherwise it replicates the branch RV piecewise — the
-        # non-overlapping bijection form's territory, which already had
-        # its chance).
+        # branches' DENSITY-BEARING leaves (otherwise it replicates the
+        # branch RV piecewise — the non-overlapping bijection form's
+        # territory, which already had its chance). RVs appearing only in
+        # the branches' own selector slots (nested ifelse sharing the index,
+        # reference test_nested_ifelse) resolve from the env and do not
+        # couple.
         branch_leaf_ids = {
             id(r)
             for br in (t, f)
             if isinstance(br, Node)
-            for r in rv_ancestors([br])
+            for r in _density_rv_ancestors(br)
         }
         if any(id(r) in branch_leaf_ids for r in cond_rvs):
             return None
     out_shape = tuple(int(s) for s in node.shape)
     comps, n_meas, has_atoms = [], 0, False
     for br in (t, f):
-        if isinstance(br, Node) and rv_ancestors([br]):
+        if isinstance(br, Node) and _density_rv_ancestors(br):
             d = _inner_dist(br)
             if d.event_ndim != 0:
                 raise TypeError(
@@ -877,6 +880,15 @@ def _match_index_mixture(node):
         )
     if not jnp.issubdtype(jnp.dtype(idx.dtype), jnp.integer):
         raise TypeError("mixture index must be an integer-valued (discrete) RV")
+    comp_leaf_ids = {
+        id(r) for r in _density_rv_ancestors(base_arg)
+    }
+    if any(id(r) in comp_leaf_ids for r in rv_ancestors([idx])):
+        raise TypeError(
+            "the mixture index must not share randomness with the "
+            "components' density-bearing leaves — conditioning on the index "
+            "value would fix part of the measured variable itself"
+        )
 
     out_shape = tuple(int(s) for s in node.shape)
     join = getattr(getattr(base_arg, "fn", None), "_measurable_join", None)
@@ -890,7 +902,7 @@ def _match_index_mixture(node):
             )
         comps = []
         for c in base_arg.args:
-            if isinstance(c, Node) and rv_ancestors([c]):
+            if isinstance(c, Node) and _density_rv_ancestors(c):
                 comps.append(_inner_dist(c))
             else:
                 # RV-free slot behaves as a point mass (reference
@@ -1146,11 +1158,70 @@ def _match_order_reduction(node, kind, axis, keepdims):
 
 
 # ---------------------------------------------------------------- the walk
+# Conditioning context: named RVs listed here are treated as RESOLVED
+# (their values come from the evaluation env at density time), mirroring the
+# reference's conditional_logp semantics where every value-mapped RV is a
+# constant in every OTHER density term (reference logprob/basic.py:206
+# conditional_logp). Set via `conditioned_on` around dist_from_expression —
+# pm.logp(expr, v, env={...}) conditions on env's keys automatically.
+_CONDITIONED = [frozenset()]
+
+
+class conditioned_on:
+    """Context manager: treat the named RVs as env-resolved constants
+    during expression pattern matching."""
+
+    def __init__(self, names):
+        self.names = frozenset(names or ())
+
+    def __enter__(self):
+        self._prev = _CONDITIONED[0]
+        _CONDITIONED[0] = self._prev | self.names
+        return self
+
+    def __exit__(self, *exc):
+        _CONDITIONED[0] = self._prev
+        return False
+
+
 def _is_rv_free(x):
-    """True when operand contributes no randomness (usable as a constant)."""
+    """True when operand contributes no randomness (usable as a constant):
+    no RV ancestors, or every RV ancestor is conditioned on (its value
+    resolves from the env, so it is a constant in this density)."""
     if not isinstance(x, Node):
         return True
-    return not rv_ancestors([x])
+    rvs = rv_ancestors([x])
+    if not rvs:
+        return True
+    cond = _CONDITIONED[0]
+    return bool(cond) and all(getattr(r, "name", None) in cond for r in rvs)
+
+
+def _density_rv_ancestors(x):
+    """RV leaves reachable through DENSITY-BEARING positions only: selector
+    slots (switch conditions, random-mixture indices) resolve from the env,
+    so RVs appearing only there do not couple into the branch density.
+    Conditioned-on RVs are likewise excluded."""
+    out, seen, stack = [], set(), [x]
+    cond = _CONDITIONED[0]
+    while stack:
+        n = stack.pop()
+        if not isinstance(n, Node) or id(n) in seen:
+            continue
+        seen.add(id(n))
+        if isinstance(n, (FreeRV, ObservedRV)):
+            if getattr(n, "name", None) not in cond:
+                out.append(n)
+            continue
+        args = list(getattr(n, "args", ()))
+        fn = getattr(n, "fn", None)
+        base_fn = getattr(fn, "_base_fn", fn)
+        if base_fn is jnp.where and len(args) == 3:
+            args = args[1:]  # the condition is a selector slot
+        elif getattr(fn, "_measurable_index", 1) is None:
+            args = args[:1]  # random index args are selector slots
+        stack.extend(a for a in args if isinstance(a, Node))
+    return out
 
 
 def dist_from_expression(node):

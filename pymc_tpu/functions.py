@@ -17,7 +17,7 @@ from .graph import FreeRV, Node, ObservedRV
 __all__ = ["logp", "logcdf", "logccdf", "icdf", "draw"]
 
 
-def _dist_of(rv):
+def _dist_of(rv, env=None):
     if isinstance(rv, Distribution):
         return rv
     if isinstance(rv, (FreeRV, ObservedRV)):
@@ -25,10 +25,17 @@ def _dist_of(rv):
     if isinstance(rv, Node):
         # invertible elementwise-op chain over a single RV leaf gets a
         # derived change-of-variables density (reference
-        # logprob/transforms.py MeasurableTransform rewrites)
-        from .distributions.transformed import dist_from_expression
+        # logprob/transforms.py MeasurableTransform rewrites). RVs named in
+        # the evaluation env are CONDITIONED ON — constants of this density,
+        # exactly like the reference's conditional_logp treats every other
+        # value-mapped RV (logprob/basic.py:206).
+        from .distributions.transformed import (
+            conditioned_on,
+            dist_from_expression,
+        )
 
-        return dist_from_expression(rv)
+        with conditioned_on(env.keys() if isinstance(env, dict) else ()):
+            return dist_from_expression(rv)
     raise TypeError(
         f"Expected a Distribution or random-variable node, got {type(rv).__name__}. "
         "Derived-expression densities cover invertible elementwise transforms "
@@ -38,19 +45,19 @@ def _dist_of(rv):
 
 
 def logp(rv, value, **kwargs):
-    return _dist_of(rv).logp(value, **kwargs)
+    return _dist_of(rv, kwargs.get("env")).logp(value, **kwargs)
 
 
 def logcdf(rv, value, **kwargs):
-    return _dist_of(rv).logcdf(value, **kwargs)
+    return _dist_of(rv, kwargs.get("env")).logcdf(value, **kwargs)
 
 
 def logccdf(rv, value, **kwargs):
-    return _dist_of(rv).logccdf(value, **kwargs)
+    return _dist_of(rv, kwargs.get("env")).logccdf(value, **kwargs)
 
 
 def icdf(rv, q, **kwargs):
-    return _dist_of(rv).icdf(q, **kwargs)
+    return _dist_of(rv, kwargs.get("env")).icdf(q, **kwargs)
 
 
 def draw(rv, draws=1, random_seed=None, **kwargs):
