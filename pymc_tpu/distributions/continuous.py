@@ -317,7 +317,9 @@ class Wald(Continuous):
             - lam * (safe_v - mu) ** 2 / (2.0 * mu**2 * safe_v)
         )
         res = jnp.where(v > 0, res, -jnp.inf)
-        return check_parameters(res, mu > 0, lam > 0)
+        # reference continuous.py Wald.logp: alpha >= 0 is a parameter
+        # constraint, not merely a support shift
+        return check_parameters(res, mu > 0, lam > 0, alpha >= 0)
 
     def _logcdf(self, value, mu, lam, alpha):
         v = value - alpha
@@ -330,7 +332,8 @@ class Wald(Continuous):
         # +inf: a/l are inf-ratio NaN there; CDF is exactly 1 (reference
         # continuous.py Wald.logcdf's lt(value, inf) switch)
         res = jnp.where(v == jnp.inf, 0.0, res)
-        return check_parameters(jnp.minimum(res, 0.0), mu > 0, lam > 0)
+        return check_parameters(jnp.minimum(res, 0.0), mu > 0, lam > 0,
+                                alpha >= 0)
 
     def _sample(self, key, shape, mu, lam, alpha):
         # Michael-Schucany-Haas transform method
@@ -609,6 +612,25 @@ class LogNormal(Continuous):
 Lognormal = LogNormal
 
 
+def _log_t_tail_survival(nu, abs_t):
+    """log I_x(nu/2, 1/2) with x = nu/(nu + t^2) — the Student-T two-tail
+    survival P(|T| > t) as a regularized incomplete beta. Deep tails
+    (x < 1e-10) switch to the leading asymptotic I_x(a, b) -> x^a/(a B(a, b)):
+    XLA's betainc returns 0 once x goes denormal (x ~ 2e-308 at nu=0.01,
+    t ~ 1e153), which silently floors extreme-tail quantiles."""
+    from .dist_math import safe_log
+
+    a = nu / 2.0
+    tiny = jnp.finfo(jnp.result_type(abs_t, jnp.float32)).tiny
+    log_t = jnp.log(jnp.maximum(abs_t, tiny))
+    log_x = jnp.log(nu) - jnp.logaddexp(jnp.log(nu), 2.0 * log_t)
+    x = nu / (nu + abs_t**2)
+    ib = jsp.betainc(a, 0.5, jnp.clip(x, 0.0, 1.0))
+    log_beta_ab = jsp.gammaln(a) + jsp.gammaln(0.5) - jsp.gammaln(a + 0.5)
+    log_asym = a * log_x - jnp.log(a) - log_beta_ab
+    return jnp.where(log_x < -23.0, log_asym, safe_log(ib))
+
+
 class StudentT(Continuous):
     """Reference continuous.py:1855."""
 
@@ -633,14 +655,11 @@ class StudentT(Continuous):
 
     def _logcdf(self, value, nu, mu, sigma):
         t = (value - mu) / sigma
-        x = nu / (nu + t**2)
-        ib = jsp.betainc(nu / 2.0, 0.5, x)
-        from .dist_math import safe_log
-
+        log_ib = _log_t_tail_survival(nu, jnp.abs(t))
         res = jnp.where(
             t >= 0,
-            jnp.log1p(-0.5 * ib),
-            safe_log(0.5 * ib),
+            jnp.log1p(-0.5 * jnp.exp(log_ib)),
+            jnp.log(0.5) + log_ib,
         )
         return check_parameters(res, nu > 0, sigma > 0)
 
@@ -683,6 +702,23 @@ class HalfStudentT(Continuous):
         )
         res = jnp.where(value >= 0, res, -jnp.inf)
         return check_parameters(res, nu > 0, sigma > 0)
+
+    def _logcdf(self, value, nu, sigma):
+        # P(|T| <= z) = 1 - I_{nu/(nu+z^2)}(nu/2, 1/2) — the two-tail
+        # survival of Student-T is the regularized incomplete beta
+        z = jnp.maximum(value, 0.0) / sigma
+        res = jnp.log1p(-jnp.exp(_log_t_tail_survival(nu, z)))
+        res = jnp.where(value >= 0, res, -jnp.inf)
+        res = jnp.where(value == jnp.inf, 0.0, res)
+        return check_parameters(res, nu > 0, sigma > 0)
+
+    def _icdf(self, q, nu, sigma):
+        return icdf_bisection(
+            lambda x: self._logcdf(x, nu, sigma),
+            q,
+            support="positive",
+            logpdf_fn=lambda x: self._logp(x, nu, sigma),
+        )
 
     def _sample(self, key, shape, nu, sigma):
         return jnp.abs(sigma * jax.random.t(key, nu, shape, dtype=floatX()))

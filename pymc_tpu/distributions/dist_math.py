@@ -166,11 +166,18 @@ def icdf_bisection(logcdf_fn, q, support="real", lower=None, upper=None,
     q = q.astype(dt)
 
     if support == "real":
+        # sinh-of-tan spans ±e^(1e15) (plain tan capped at ~1/eps and could
+        # not bracket heavy-tail quantiles, e.g. StudentT(nu=0.01) q=0.999
+        # ~ 1e200) while staying ~linear mid-range
         def to_x(u):
-            return jnp.tan(jnp.pi * (u - 0.5))
+            return jnp.sinh(jnp.tan(jnp.pi * (u - 0.5)))
     elif support == "positive":
+        # log-space warp: x = exp(tan(pi(u - 1/2))) spans e^(±1e16) — the
+        # rational u/(1-u) warp capped at ~1/eps and could not bracket
+        # extreme-tail quantiles (e.g. InverseGamma(0.01, 0.01) q=0.75 is
+        # ~2e28); Newton polish below restores full precision mid-range
         def to_x(u):
-            return u / (1.0 - u)
+            return jnp.exp(jnp.tan(jnp.pi * (u - 0.5)))
     else:  # bounded interval
         lo_b = jnp.asarray(lower, dtype=dt)
         hi_b = jnp.asarray(upper, dtype=dt)
