@@ -201,8 +201,11 @@ class Multinomial(Discrete):
     def __dist_init__(self, n, p):
         self.n = as_param(n, float_ok=False)
         if not is_node(p):
-            # constant p: warn + rescale (reference multivariate.py:629)
+            # constant p: reject negatives, warn + rescale non-normalized
+            # (reference multivariate.py:626-636)
             p_ = np.asarray(p, dtype=float)
+            if np.any(p_ < 0):
+                raise ValueError("Negative `p` parameters are not valid")
             p_sum = np.sum(p_, axis=-1)
             if not np.all(np.isclose(p_sum, 1.0)):
                 import warnings
@@ -226,8 +229,15 @@ class Multinomial(Discrete):
         )
         ok = (jnp.sum(value, axis=-1) == n) & jnp.all(value >= 0, axis=-1)
         res = jnp.where(ok, res, -jnp.inf)
+        # reference multivariate.py:96-103: 0<=p<=1, sum(p)~1, n>=0 are
+        # density preconditions (symbolic non-normalized p is -inf, not
+        # silently rescaled; constant p was rescaled at init)
         return check_parameters(
-            res, jnp.all(p >= 0, axis=-1), jnp.all(p <= 1, axis=-1)
+            res,
+            jnp.all(p >= 0, axis=-1),
+            jnp.all(p <= 1, axis=-1),
+            jnp.isclose(jnp.sum(p, axis=-1), 1.0),
+            n >= 0,
         )
 
     def _sample(self, key, shape, n, p):
@@ -845,6 +855,9 @@ class CAR(Continuous):
 
     def __dist_init__(self, mu, W, alpha, tau):
         self.mu = as_param(mu)
+        if not is_node(W) and np.asarray(W).ndim != 2:
+            # reference CARRV.make_node (multivariate.py:2095-2096)
+            raise TypeError("W must be a matrix")
         self.W = as_param(W)
         self.alpha = as_param(alpha)
         self.tau = as_param(tau)
@@ -872,7 +885,13 @@ class CAR(Continuous):
         res = 0.5 * (
             n * jnp.log(tau) + logdet - quad - n * _LOG_2PI
         )
-        return check_parameters(res, tau > 0, jnp.abs(alpha) < 1)
+        # W symmetry is a density precondition (the eigvalsh logdet assumes
+        # it): -inf like the reference's "W is a symmetric adjacency matrix"
+        # ParameterValueError (multivariate.py:2213-2219 W_is_valid)
+        w_sym = jnp.all(
+            jnp.isclose(W, jnp.swapaxes(W, -1, -2)), axis=(-1, -2)
+        )
+        return check_parameters(res, tau > 0, jnp.abs(alpha) < 1, w_sym)
 
     def _sample(self, key, shape, mu, W, alpha, tau):
         d = jnp.sum(W, axis=-1)
@@ -899,6 +918,19 @@ class ICAR(Continuous):
     event_ndim = 1
 
     def __dist_init__(self, W, sigma=1.0, zero_sum_stdev=0.001):
+        # W is adjacency structure, not a sampled parameter: validate it
+        # eagerly when concrete (reference multivariate.py:2408-2421 does the
+        # same checks in ICAR.dist with identical messages)
+        if not is_node(W):
+            W_ = np.asarray(W)
+            if W_.ndim != 2:
+                raise ValueError("W must be matrix with ndim=2")
+            if W_.shape[0] != W_.shape[1]:
+                raise ValueError("W must be a square matrix")
+            if not np.allclose(W_.T, W_):
+                raise ValueError("W must be a symmetric matrix")
+            if np.any((W_ != 0) & (W_ != 1)):
+                raise ValueError("W must be composed of only 1s and 0s")
         self.W = as_param(W, float_ok=True)
         self.sigma = as_param(sigma)
         self.zero_sum_stdev = float(zero_sum_stdev)
@@ -907,6 +939,11 @@ class ICAR(Continuous):
         return (W_shape[-1],)
 
     def _logp(self, value, W, sigma):
+        # Reference icar logp (multivariate.py:2434-2447): an IMPROPER prior —
+        # pairwise difference energy at scale sigma plus a soft zero-sum
+        # Normal on the RAW value; no (n-1)-dim normalizer, no n*log(sigma).
+        # -0.5 phi' L phi == -1/(2 sigma^2) sum_{i<j} W_ij (v_i - v_j)^2,
+        # the tril-edgelist sum the reference computes.
         n = value.shape[-1]
         phi = value / sigma
         pairwise = -0.5 * jnp.einsum(
@@ -914,15 +951,15 @@ class ICAR(Continuous):
         )
         zero_sum_sd = self.zero_sum_stdev * n
         soft = (
-            -0.5 * (jnp.sum(phi, axis=-1) / zero_sum_sd) ** 2
+            -0.5 * (jnp.sum(value, axis=-1) / zero_sum_sd) ** 2
             - jnp.log(zero_sum_sd)
             - 0.5 * _LOG_2PI
         )
-        res = 0.5 * (n - 1) * (-_LOG_2PI) + pairwise + soft - n * jnp.log(sigma)
+        res = pairwise + soft
         return check_parameters(res, sigma > 0)
 
     def _sample(self, key, shape, W, sigma):
-        raise NotImplementedError("ICAR is an improper prior; cannot sample")
+        raise NotImplementedError("Cannot sample from ICAR prior")
 
     def _support_point(self, W, sigma):
         return jnp.zeros(jnp.shape(W)[:-1], dtype=floatX())
@@ -970,8 +1007,12 @@ class StickBreakingWeights(Continuous):
 
     def _sample(self, key, shape, alpha):
         K = self.K
+        # alpha is batch-shaped; the K sticks axis is new on the right
+        alpha_b = jnp.broadcast_to(
+            jnp.asarray(alpha, floatX())[..., None], shape[:-1] + (K,)
+        )
         betas = jax.random.beta(
-            key, 1.0, alpha, shape=shape[:-1] + (K,), dtype=floatX()
+            key, 1.0, alpha_b, shape=shape[:-1] + (K,), dtype=floatX()
         )
         sticks = jnp.concatenate(
             [jnp.ones_like(betas[..., :1]),
@@ -1033,8 +1074,16 @@ class ZeroSumNormal(Continuous):
         ]
         n_free = float(np.prod(shape_free))
         quad = jnp.sum((value / sigma) ** 2, axis=axes)
-        sums = jnp.sum(value, axis=axes)
-        ok = jnp.abs(sums) < 1e-6 * jnp.sqrt(n_full)
+        # the constraint is per-axis: EVERY slice along each zerosum axis
+        # sums to zero (a value with only the grand total zero is off the
+        # support; reference zerosumnormal_logp checks each axis)
+        ok = True
+        for ax in axes:
+            ax_sums = jnp.sum(value, axis=ax)
+            ok = ok & jnp.all(
+                jnp.abs(ax_sums) < 1e-6 * jnp.sqrt(n_full),
+                axis=tuple(range(-(nza - 1), 0)) if nza > 1 else (),
+            )
         res = -0.5 * quad - n_free * (jnp.log(sigma) + 0.5 * _LOG_2PI)
         res = jnp.where(ok, res, -jnp.inf)
         return check_parameters(res, sigma > 0)

@@ -57,20 +57,29 @@ class DifferentialEquation:
         self.mxstep = mxstep
         if self.times.ndim != 1:
             raise ValueError("times must be 1-D")
+        if np.any(np.diff(self.times) <= 0):
+            raise ValueError("times must be strictly increasing")
+        if self.times[0] < self.t0:
+            raise ValueError("times must not precede t0")
+        # jax's odeint NaNs on a zero-length first interval, so only prepend
+        # t0 when the first observation is strictly after it (times[0] == t0
+        # is the common case: the first row of the solution IS y0)
+        self._prepend_t0 = bool(self.times[0] > self.t0)
+        self._ts = np.concatenate(
+            [[self.t0], self.times]
+        ) if self._prepend_t0 else self.times
 
     def _solve(self, y0, theta):
         y0 = jnp.atleast_1d(jnp.asarray(y0, floatX()))
         theta = jnp.atleast_1d(jnp.asarray(theta, floatX()))
-        ts = jnp.asarray(
-            np.concatenate([[self.t0], self.times]), dtype=floatX()
-        )
+        ts = jnp.asarray(self._ts, dtype=floatX())
 
         def rhs(y, t, p):
             return jnp.atleast_1d(jnp.asarray(self.func(y, t, p), floatX()))
 
         sol = odeint(rhs, y0, ts, theta, rtol=self.rtol, atol=self.atol,
                      mxstep=self.mxstep)
-        return sol[1:]
+        return sol[1:] if self._prepend_t0 else sol
 
     def _sens(self, y0, theta):
         """Forward sensitivities d y(t) / d (y0, theta): (T, S, n_p).
@@ -86,9 +95,7 @@ class DifferentialEquation:
         y0 = jnp.atleast_1d(jnp.asarray(y0, floatX()))
         theta = jnp.atleast_1d(jnp.asarray(theta, floatX()))
         S, P = self.n_states, self.n_theta
-        ts = jnp.asarray(
-            np.concatenate([[self.t0], self.times]), dtype=floatX()
-        )
+        ts = jnp.asarray(self._ts, dtype=floatX())
 
         def rhs(y, t, p):
             return jnp.atleast_1d(jnp.asarray(self.func(y, t, p), floatX()))
@@ -109,7 +116,7 @@ class DifferentialEquation:
         )
         _, sens = odeint(aug, (y0, sens0), ts, theta, rtol=self.rtol,
                          atol=self.atol, mxstep=self.mxstep)
-        return sens[1:]
+        return sens[1:] if self._prepend_t0 else sens
 
     def _as_input(self, v, n, what):
         """Validate/pack one of (y0, theta): reference ode.py:155-163 raises
