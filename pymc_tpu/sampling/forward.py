@@ -43,18 +43,30 @@ def _resolve_key(random_seed):
     )
 
 
-def _generative_fn(model, given_names=()):
+def _generative_fn(model, given_names=(), given_det_names=()):
     """Build fn(key, given: dict) -> {name: value} sampling every free RV not
-    in `given`, every observed RV, and evaluating deterministics."""
+    in `given`, every observed RV, and evaluating deterministics.
+
+    `given_det_names`: deterministics whose value comes from `given` instead
+    of being recomputed (reference freeze_vars / non-volatile-copy semantics,
+    forward.py:262 volatility analysis). The value is seeded into the
+    evaluation memo BY NODE ID so every downstream consumer — including
+    observed RV parameters — sees the frozen value."""
     free_RVs = list(model.free_RVs)
     observed_RVs = list(model.observed_RVs)
     deterministics = list(model.deterministics)
     given_names = set(given_names)
+    given_det_names = set(given_det_names)
 
     def fn(key, given):
         env = dict(given)
         memo = {}
         out = {}
+        for det in deterministics:
+            if det.name in given_det_names:
+                memo[id(det)] = given[det.name]
+                env[det.name] = given[det.name]
+                out[det.name] = given[det.name]
         i = 0
         for rv in free_RVs:
             i += 1
@@ -81,10 +93,36 @@ def _generative_fn(model, given_names=()):
             out[orv.name] = jnp.broadcast_to(draw, target)
             env[orv.name] = out[orv.name]
         for det in deterministics:
-            out[det.name] = evaluate(det, env, memo)
+            if det.name not in given_det_names:
+                out[det.name] = evaluate(det, env, memo)
         return out
 
     return fn
+
+
+def _ancestor_names(node):
+    """Names of all named ancestor nodes (free RVs, Data containers, named
+    deterministics), excluding the node itself."""
+    from ..graph import ancestors
+
+    return {
+        a.name
+        for a in ancestors([node])
+        if a is not node and getattr(a, "name", None) is not None
+    }
+
+
+def _observed_dependent_deterministics(model):
+    """Deterministics that depend on an observed RV (the reference's default
+    posterior-predictive outputs beyond the observed vars themselves,
+    forward.py observed_dependent_deterministics)."""
+    out = []
+    for det in model.deterministics:
+        from ..graph import ancestors
+
+        if any(isinstance(a, ObservedRV) for a in ancestors([det])):
+            out.append(det.name)
+    return out
 
 
 def sample_prior_predictive(
@@ -121,13 +159,30 @@ def sample_prior_predictive(
 
 
 def sample_posterior_predictive(
-    trace, model=None, var_names=None, random_seed=None, progressbar=True,
+    trace, model=None, var_names=None, sample_vars=None, freeze_vars=None,
+    random_seed=None, progressbar=True,
     return_inferencedata=True, extend_inferencedata=False, predictions=False,
     idata_kwargs=None, compile_kwargs=None, sample_dims=None,
 ):
-    """Reference forward.py:607. Free RVs present in the posterior are taken
-    from the trace; missing free RVs and all requested observed RVs are
-    resampled (the volatility semantics of forward.py:154)."""
+    """Reference forward.py:607 semantics:
+
+    - free RVs present in the posterior are taken from the trace; missing
+      free RVs and all observed RVs are resampled (forward.py:262
+      volatility analysis);
+    - ``sample_vars``: RVs/deterministics to regenerate instead of copying
+      from the trace (volatility propagates downstream);
+    - ``freeze_vars``: trace variables to keep at their trace values —
+      for a deterministic this suppresses recomputation even when its
+      inputs changed; for an RV it silences the ImplicitFreezeWarning;
+    - trace RVs kept while an ancestor is volatile (resampled, or an
+      upstream Data container changed vs the trace's constant_data) warn
+      with :class:`~pymc_tpu.exceptions.ImplicitFreezeWarning`;
+    - ``var_names`` controls only the output contents; defaults to
+      ``sample_vars`` when given, else observed vars plus deterministics
+      that depend on them.
+    """
+    from ..exceptions import ImplicitFreezeWarning
+
     model = modelcontext(model)
     if model.potentials:
         warnings.warn(
@@ -137,6 +192,27 @@ def sample_posterior_predictive(
             UserWarning,
         )
     key = _resolve_key(random_seed)
+
+    if isinstance(sample_vars, str):
+        sample_vars = [sample_vars]
+    if isinstance(freeze_vars, str):
+        freeze_vars = [freeze_vars]
+    sample_set = set(sample_vars or ())
+    freeze_set = set(freeze_vars or ())
+    overlap = sample_set & freeze_set
+    if overlap:
+        raise ValueError(
+            f"Variables {sorted(overlap)} cannot be in both sample_vars and "
+            "freeze_vars"
+        )
+    free_names = {rv.name for rv in model.free_RVs}
+    det_names = {d.name for d in model.deterministics}
+    bad = sorted(sample_set - free_names - det_names)
+    if bad:
+        raise ValueError(
+            f"sample_vars entries {bad} are not random variables or "
+            "deterministics of the model"
+        )
 
     post = trace.posterior if hasattr(trace, "posterior") else trace
     traced = {}
@@ -149,19 +225,91 @@ def sample_posterior_predictive(
     if C is None:
         raise ValueError("No free RV draws found in the posterior trace")
 
-    given_names = list(traced.keys())
+    not_in_trace = sorted(
+        n for n in freeze_set if n not in post
+    )
+    if not_in_trace:
+        raise ValueError(
+            f"freeze_vars {not_in_trace} not present in the trace"
+        )
+
+    # ---- volatility analysis (reference forward.py:262) ----
     missing = [rv.name for rv in model.free_RVs if rv.name not in traced]
+    changed_data = []
+    const_ds = getattr(trace, "constant_data", None)
+    if const_ds is not None:
+        for dv in model.data_vars:
+            if dv.name is None or not hasattr(dv, "get_value"):
+                continue
+            if dv.name in const_ds:
+                old = np.asarray(const_ds[dv.name].values)
+                new = np.asarray(jax.device_get(dv.get_value()))
+                if old.shape != new.shape or not np.array_equal(old, new):
+                    changed_data.append(dv.name)
+    seeds = sample_set | set(missing) | set(changed_data)
+
+    # trace RVs kept despite volatile ancestors: implicit freeze + warning
+    given_names = [n for n in traced if n not in sample_set]
+    if seeds:
+        flagged = {}
+        for rv in model.free_RVs:
+            if rv.name not in given_names or rv.name in freeze_set:
+                continue
+            hit = _ancestor_names(rv) & seeds
+            if hit:
+                flagged[rv.name] = sorted(hit)
+        if flagged:
+            reasons = []
+            for name, hit in flagged.items():
+                why = []
+                if any(h in sample_set or h in missing for h in hit):
+                    why.append("an ancestor is resampled")
+                if any(h in changed_data for h in hit):
+                    why.append("upstream Data/coords changed")
+                reasons.append(f"{name} (volatile inputs {hit}: "
+                               f"{' and '.join(why)})")
+            warnings.warn(
+                "These trace variables were implicitly frozen at their "
+                f"trace values: {'; '.join(reasons)}. Add them to "
+                "sample_vars to resample, or to freeze_vars to silence "
+                "this warning.",
+                ImplicitFreezeWarning,
+                stacklevel=2,
+            )
+
+    # deterministics: copy from trace when present and non-volatile (or
+    # explicitly frozen); recompute when volatile or in sample_vars
+    det_given = []
+    for det in model.deterministics:
+        n = det.name
+        if n not in post or n in sample_set:
+            continue
+        if n in freeze_set:
+            det_given.append(n)
+            continue
+        if not (_ancestor_names(det) & seeds):
+            det_given.append(n)
     if missing:
         _log.info(f"Resampling free RVs not in trace: {missing}")
-    fn = _generative_fn(model, given_names=given_names)
+    fn = _generative_fn(
+        model, given_names=given_names, given_det_names=det_given
+    )
 
     flat = {k: jnp.asarray(v.reshape((C * D,) + v.shape[2:]))
-            for k, v in traced.items()}
+            for k, v in traced.items() if k in set(given_names)}
+    for n in det_given:
+        v = np.asarray(post[n].values)
+        flat[n] = jnp.asarray(v.reshape((C * D,) + v.shape[2:]))
     keys = jax.random.split(key, C * D)
     out = jax.jit(jax.vmap(fn))(keys, flat)
 
     obs_names = [orv.name for orv in model.observed_RVs]
-    want = set(var_names) if var_names is not None else set(obs_names)
+    if var_names is not None:
+        want = {var_names} if isinstance(var_names, str) else set(var_names)
+    elif sample_set:
+        want = set(sample_set)
+    else:
+        want = set(obs_names) | set(_observed_dependent_deterministics(model))
     result = {}
     for name in want:
         if name not in out:
