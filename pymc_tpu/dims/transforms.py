@@ -66,6 +66,9 @@ class _AxesToTrailing(_pt.Transform):
         self.name = base.name
         k = len(self.axes)
         self._dst = tuple(range(self.ndim - k, self.ndim))
+        # the wrapper sees the full array; never fails the model's
+        # univariate-transform-on-multivariate guard
+        self.event_ndim = self.ndim
 
     def _to_trailing(self, arr):
         return jnp.moveaxis(arr, self.axes, self._dst)

@@ -576,6 +576,7 @@ class CorrPackedTransform(tr.Transform):
     sum_j (n-j) log W_jj for the W -> packed(C) stage."""
 
     name = "corr-packed"
+    event_ndim = 1
 
     def __init__(self, n):
         self.n = int(n)

@@ -49,6 +49,12 @@ __all__ = [
 
 class Transform:
     name: str = "transform"
+    #: number of trailing constrained-space dims the transform treats as one
+    #: core/event block (0 = elementwise). Model.register_rv rejects a
+    #: transform whose event_ndim is smaller than the distribution's
+    #: event_ndim (reference logprob/transform_value.py raises
+    #: "Univariate transform ... cannot be applied to multivariate").
+    event_ndim: int = 0
 
     def forward(self, x, env=None):
         raise NotImplementedError
@@ -108,6 +114,10 @@ class IntervalTransform(Transform):
     name = "interval"
 
     def __init__(self, lower=None, upper=None):
+        if lower is None and upper is None:
+            raise ValueError(
+                "Lower and upper interval bounds cannot both be None"
+            )
         self.lower = lower
         self.upper = upper
 
@@ -129,7 +139,13 @@ class IntervalTransform(Transform):
     def backward(self, v, env=None):
         lo, hi = self._bounds(env)
         if lo is not None and hi is not None:
-            return lo + (hi - lo) * jax.nn.sigmoid(v)
+            # convex combination (NOT lo + (hi-lo)*s): its rounding error
+            # scales with the bound magnitudes, not the interval width, so a
+            # saturated sigmoid lands exactly ON the bound instead of
+            # overshooting by (hi-lo)*ulp — an initval one ulp inside a tiny
+            # bound must keep a finite logp (reference Interval.backward).
+            s = jax.nn.sigmoid(v)
+            return s * hi + (1.0 - s) * lo
         if lo is not None:
             return lo + jnp.exp(v)
         if hi is not None:
@@ -153,6 +169,7 @@ class SimplexTransform(Transform):
     Parity: pymc/distributions/transforms.py (SimplexTransform via logprob
     transforms) / Stan reference manual stick-breaking.
     """
+    event_ndim = 1
 
     name = "simplex"
 
@@ -206,6 +223,7 @@ class OrderedTransform(Transform):
 
     backward: x_0 = v_0, x_k = x_{k-1} + exp(v_k).
     """
+    event_ndim = 1
 
     name = "ordered"
 
@@ -239,6 +257,7 @@ class SumTo1Transform(Transform):
 
     Parity: pymc/distributions/transforms.py:123 SumTo1.
     """
+    event_ndim = 1
 
     name = "sumto1"
 
@@ -303,6 +322,7 @@ class ZeroSumTransform(Transform):
 
     def __init__(self, n_zerosum_axes=1):
         self.n_zerosum_axes = int(n_zerosum_axes)
+        self.event_ndim = int(n_zerosum_axes)
 
     @staticmethod
     def _extend_axis_rev(x, axis):
@@ -362,6 +382,7 @@ class CholeskyCovPackedTransform(Transform):
     """Packed lower-triangular Cholesky factor: log-transform the diagonal
     entries of the packed vector (reference transforms.py:456 CholeskyCovPacked).
     """
+    event_ndim = 1
 
     name = "cholesky-cov-packed"
 
@@ -390,6 +411,7 @@ class CholeskyCovTransform(Transform):
     with the exp on the diagonal: total coefficient (n - i + 1) per
     0-indexed diagonal entry, plus n log 2.
     """
+    event_ndim = 2
 
     name = "cholesky-cov"
 
@@ -412,6 +434,7 @@ class CholeskyCovTransform(Transform):
         )
 
     def _unpack(self, v):
+        v = jnp.asarray(v)
         packed = v.at[..., self.diag_idxs].set(jnp.exp(v[..., self.diag_idxs]))
         L = jnp.zeros(v.shape[:-1] + (self.n, self.n), dtype=v.dtype)
         return L.at[..., self.tril_rows, self.tril_cols].set(packed)
@@ -435,6 +458,7 @@ class CholeskyCorrTransform(Transform):
 
     Operates on the PACKED strictly-lower-triangular entries (row-major) of L.
     """
+    event_ndim = 1
 
     name = "cholesky-corr"
 
@@ -512,6 +536,9 @@ class ChainedTransform(Transform):
     def __init__(self, transforms):
         self.transforms = list(transforms)
         self.name = "chain_" + "_".join(t.name for t in self.transforms)
+        self.event_ndim = max(
+            (getattr(t, "event_ndim", 0) for t in self.transforms), default=0
+        )
 
     def forward(self, x, env=None):
         for t in self.transforms:
@@ -524,11 +551,20 @@ class ChainedTransform(Transform):
         return v
 
     def log_jac_det(self, v, env=None):
-        total = 0.0
+        # reference Chain.log_jac_det: reduce every component's correction to
+        # the smallest ndim among them (vector components collapse the core
+        # axis), preserving batch dims so elementwise per-variable logps and
+        # batched RVs keep their shape.
+        dets = []
         for t in reversed(self.transforms):
-            ljd = t.log_jac_det(v, env)
-            total = total + jnp.sum(ljd)
+            dets.append(t.log_jac_det(v, env))
             v = t.backward(v, env)
+        ndim0 = min(jnp.ndim(d) for d in dets)
+        total = 0.0
+        for d in dets:
+            while jnp.ndim(d) > ndim0:
+                d = jnp.sum(d, axis=-1)
+            total = total + d
         return total
 
     def value_shape(self, shape):

@@ -316,6 +316,21 @@ class Model:
             tr = transform
         if tr is False:
             tr = None
+        if tr is not None:
+            if dist.is_discrete:
+                raise ValueError(
+                    "Transformations for discrete distributions are not "
+                    f"allowed (got {tr!r} for {name!r}); discrete values "
+                    "have no continuous unconstrained space."
+                )
+            if getattr(tr, "event_ndim", 0) < dist.event_ndim:
+                raise NotImplementedError(
+                    f"Univariate transform {type(tr).__name__} cannot be "
+                    f"applied to multivariate {name!r} (event_ndim="
+                    f"{dist.event_ndim}); the Jacobian correction would "
+                    "broadcast against the collapsed event density. Use a "
+                    "vector transform (reference raises the same)."
+                )
 
         rv = FreeRV(
             name,
@@ -483,11 +498,39 @@ class Model:
             terms = {}
             for rv in free_RVs:
                 lp = rv.dist.logp(env[rv.name], env, memo)
+                if rv.transform is not None:
+                    # a transform whose core block is WIDER than the dist's
+                    # event (e.g. ordered over iid Normals) couples those
+                    # axes: the per-variable density collapses over them,
+                    # matching the jacobian's one-correction-per-block
+                    # (reference: Model.logp(sum=False) of a (4,3) ordered
+                    # Uniform has shape (4,) with and without jacobian).
+                    extra = getattr(rv.transform, "event_ndim", 0) - (
+                        rv.dist.event_ndim
+                    )
+                    for _ in range(max(extra, 0)):
+                        if jnp.ndim(lp) > 0:
+                            lp = jnp.sum(lp, axis=-1)
                 if jacobian and rv.transform is not None:
                     jac = rv.transform.log_jac_det(
                         value_dict[rv.value_name], env
                     )
-                    if elementwise and jnp.shape(jac) == jnp.shape(lp):
+                    # guard: the correction must now have either the
+                    # (collapsed) density's shape or the constrained value's
+                    # full shape — anything else (e.g. a keepdims reduction)
+                    # would sum a mis-scaled correction silently (reference
+                    # guards this with a SpecifyShape assert).
+                    jshape = jnp.shape(jac)
+                    if jshape != jnp.shape(lp) and jshape != jnp.shape(
+                        env[rv.name]
+                    ):
+                        raise ValueError(
+                            f"log_jac_det of {rv.transform!r} on {rv.name!r} "
+                            f"has shape {jshape}, expected the density shape "
+                            f"{jnp.shape(lp)} or the value shape "
+                            f"{jnp.shape(env[rv.name])}"
+                        )
+                    if elementwise and jshape == jnp.shape(lp):
                         lp = lp + jac
                     elif elementwise:
                         # transform reduces over core dims (e.g. Simplex):
