@@ -26,13 +26,17 @@ __all__ = [
     "Matern32", "Matern12", "Exponential", "Cosine", "Periodic", "Linear",
     "Polynomial", "WarpedInput", "Gibbs", "ScaledCov", "Coregion", "Kron",
     "Exponentiated", "Circular", "WrappedPeriodic", "Stationary",
-    "Combination", "Add", "Prod",
+    "Combination", "Add", "Prod", "handle_args",
 ]
 
 
 class Covariance:
     """Base covariance. Subclasses implement _full(X, Xs, *params) pure-jnp
     and list `params` (possibly symbolic)."""
+
+    # make `ndarray + cov` / `ndarray * cov` defer to __radd__/__rmul__
+    # instead of numpy broadcasting the Covariance into an object array
+    __array_ufunc__ = None
 
     def __init__(self, input_dim, active_dims=None):
         self.input_dim = int(input_dim)
@@ -98,13 +102,38 @@ class Covariance:
         return _Prod(_as_cov(other, self.input_dim), self)
 
     def __pow__(self, other):
+        if isinstance(other, Covariance) or (
+            not is_node(other) and np.ndim(other) > 0
+        ):
+            raise ValueError(
+                "A covariance function can only be exponentiated by a "
+                "scalar value"
+            )
         return _Pow(self, other)
+
+    def power_spectral_density(self, omega):
+        raise ValueError(
+            "Power spectral densities can only be calculated for "
+            "`Stationary` covariance functions."
+        )
 
 
 class _Scalar(Covariance):
+    """A scalar or fixed (n, n) matrix treated as a covariance term in
+    cov algebra (reference Combination 'other factors': scalars add/scale
+    elementwise, matrices add/multiply elementwise, diag takes the matrix
+    diagonal)."""
+
     def __init__(self, c, input_dim=1):
         super().__init__(input_dim)
         self.c = c
+
+    def __pow__(self, other):
+        # reference parity: only proper covariance functions support **
+        raise TypeError(
+            "Can only exponentiate covariance functions which inherit "
+            "from `Covariance`"
+        )
 
     def _param_list(self):
         return [self.c]
@@ -112,15 +141,42 @@ class _Scalar(Covariance):
     def _full(self, X, Xs, c):
         n = X.shape[0]
         m = n if Xs is None else Xs.shape[0]
-        return jnp.broadcast_to(jnp.asarray(c, floatX()), (n, m))
+        c = jnp.asarray(c, floatX())
+        if c.ndim == 2:
+            return c
+        return jnp.broadcast_to(c, (n, m))
 
     def _diag(self, X, c):
-        return jnp.broadcast_to(jnp.asarray(c, floatX()), (X.shape[0],))
+        c = jnp.asarray(c, floatX())
+        if c.ndim == 2:
+            return jnp.diagonal(c)
+        return jnp.broadcast_to(c, (X.shape[0],))
+
+
+def handle_args(func):
+    """Adapt a warping/scaling/lengthscale function to the canonical
+    ``f(x, args=...)`` calling convention (reference gp/cov.py handle_args):
+    ``args=None`` -> ``func(x)``, a tuple -> unpacked, anything else ->
+    passed as one extra argument."""
+
+    def f(x, args=None):
+        if args is None:
+            return func(x)
+        if isinstance(args, tuple):
+            return func(x, *args)
+        return func(x, args)
+
+    return f
 
 
 def _as_cov(x, input_dim):
     if isinstance(x, Covariance):
         return x
+    if not is_node(x) and np.ndim(x) > 2:
+        raise ValueError(
+            f"cannot combine a {np.ndim(x)}-d array with a covariance "
+            "function; only scalars and (n, n) matrices are valid factors"
+        )
     return _Scalar(x, input_dim)
 
 
@@ -165,7 +221,8 @@ class _Prod(_Binary):
                 jnp.multiply, self.b.c, self.a.power_spectral_density(omega)
             )
         raise NotImplementedError(
-            "power_spectral_density of a product of two non-scalar kernels"
+            "The power spectral density of products of covariance "
+            "functions is not implemented (only scalar * stationary)"
         )
 
 
@@ -254,7 +311,8 @@ class _Stationary(Covariance):
     # spectral densities for HSGP (angular frequency; D-dim product form)
     def power_spectral_density(self, omega):
         raise NotImplementedError(
-            f"{type(self).__name__} has no power spectral density"
+            "No power spectral density method has been implemented "
+            f"for {type(self).__name__}"
         )
 
 
@@ -533,11 +591,18 @@ class Coregion(Covariance):
 
     def __init__(self, input_dim, W=None, kappa=None, B=None, active_dims=None):
         super().__init__(input_dim, active_dims)
+        if len(self.active_dims) != 1:
+            raise ValueError(
+                "Coregion requires exactly one active dimension (the "
+                "integer output-index column); pass active_dims=[i]"
+            )
         if B is None:
             if W is None or kappa is None:
                 raise ValueError("Coregion requires B or (W, kappa)")
             self.W, self.kappa, self.B = W, kappa, None
         else:
+            if W is not None or kappa is not None:
+                raise ValueError("Coregion takes either B or (W, kappa), not both")
             self.B = B
             self.W = self.kappa = None
 
