@@ -190,7 +190,18 @@ def _chol_rev(L, Lbar):
 
 def _chol_impl(A):
     if pallas_cholesky_eligible(A.shape, A.dtype):
-        return _pallas_chol(A)
+        from .pallas_kernels import _INTERPRET
+
+        if _INTERPRET:
+            return _pallas_chol(A)
+        # platform_dependent picks the branch at LOWERING time, not trace
+        # time: the same jitted graph may be lowered for the host CPU
+        # backend (e.g. pm.sample's post-sampling deterministic recompute
+        # runs on CPU to stay off the tunnel), where a compiled pallas_call
+        # cannot lower ("Only interpret mode is supported on CPU backend").
+        return jax.lax.platform_dependent(
+            A, tpu=_pallas_chol, default=jnp.linalg.cholesky
+        )
     return jnp.linalg.cholesky(A)
 
 
