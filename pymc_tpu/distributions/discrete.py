@@ -38,18 +38,64 @@ def _log1mexp(x):
     return _log1mexp_jax(x)
 
 
+def _sigmoid_logit(p):
+    """Return the logit node when `p` is sigmoid(z) in the graph, else None.
+
+    The reference keeps log(p)/log1p(-p) finite for p = sigmoid(a) via its
+    sigmoid-introduction logp rewrites (pymc/logprob/rewriting.py pipeline);
+    here the sigmoid head is matched once at dist construction and the
+    density uses the stable -softplus(∓z) forms
+    (reference tests/distributions/test_discrete.py
+    ::test_negative_binomial_logp_stable_when_p_underflows)."""
+    from ..graph import DeterministicNode
+
+    if (
+        isinstance(p, DeterministicNode)
+        and not p.kwargs
+        and len(p.args) == 1
+        and p.fn in (jax.nn.sigmoid, jsp.expit)
+    ):
+        return p.args[0]
+    return None
+
+
+def _xlogy0(m, logx):
+    """m * logx with the logpow convention 0 * (-inf) := 0."""
+    return jnp.where(m == 0, 0.0, m * logx)
+
+
 class Binomial(Discrete):
     """Reference discrete.py:73."""
 
     param_names = ("n", "p")
+    aux_param_names = ("logit_p",)
 
     def __dist_init__(self, n, p=None, logit_p=None):
+        if p is not None and logit_p is not None:
+            raise ValueError(
+                "Incompatible parametrization. Can't specify both p and logit_p."
+            )
+        if p is None and logit_p is None:
+            raise ValueError(
+                "Incompatible parametrization. Must specify either p or logit_p."
+            )
         self.n = as_param(n, float_ok=False)
-        if p is None and logit_p is not None:
-            p = apply(jax.nn.sigmoid, as_param(logit_p))
+        if p is None:
+            self.logit_p = as_param(logit_p)
+            p = apply(jax.nn.sigmoid, self.logit_p)
+        else:
+            self.logit_p = _sigmoid_logit(p)
         self.p = as_param(p)
 
-    def _logp(self, value, n, p):
+    def _logp(self, value, n, p, logit_p=None):
+        if logit_p is not None:
+            res = (
+                binomln(n, value)
+                + _xlogy0(value, -jax.nn.softplus(-logit_p))
+                + _xlogy0(n - value, -jax.nn.softplus(logit_p))
+            )
+            res = jnp.where((value >= 0) & (value <= n), res, -jnp.inf)
+            return check_parameters(res, n >= 0)
         res = (
             binomln(n, value)
             + logpow(p, value)
@@ -58,7 +104,7 @@ class Binomial(Discrete):
         res = jnp.where((value >= 0) & (value <= n), res, -jnp.inf)
         return check_parameters(res, n >= 0, p >= 0, p <= 1)
 
-    def _logcdf(self, value, n, p):
+    def _logcdf(self, value, n, p, logit_p=None):
         v = jnp.floor(value)
         safe_v = jnp.clip(v, 0, n)
         # CDF(k) = I_{1-p}(n-k, k+1) (regularized incomplete beta)
@@ -111,20 +157,42 @@ class Bernoulli(Discrete):
     """Reference discrete.py:296."""
 
     param_names = ("p",)
+    aux_param_names = ("logit_p",)
 
     def __dist_init__(self, p=None, logit_p=None):
-        if p is None and logit_p is not None:
-            p = apply(jax.nn.sigmoid, as_param(logit_p))
+        if p is not None and logit_p is not None:
+            raise ValueError(
+                "Incompatible parametrization. Can't specify both p and logit_p."
+            )
+        if p is None and logit_p is None:
+            raise ValueError(
+                "Incompatible parametrization. Must specify either p or logit_p."
+            )
+        if p is None:
+            self.logit_p = as_param(logit_p)
+            p = apply(jax.nn.sigmoid, self.logit_p)
+        else:
+            self.logit_p = _sigmoid_logit(p)
         self.p = as_param(p)
 
-    def _logp(self, value, p):
+    def _logp(self, value, p, logit_p=None):
+        if logit_p is not None:
+            res = jnp.where(
+                value == 1,
+                -jax.nn.softplus(-logit_p),
+                -jax.nn.softplus(logit_p),
+            )
+            return jnp.where((value == 0) | (value == 1), res, -jnp.inf)
         from .dist_math import safe_log
 
         res = jnp.where(value == 1, safe_log(p), safe_log(1.0 - p))
         res = jnp.where((value == 0) | (value == 1), res, -jnp.inf)
         return check_parameters(res, p >= 0, p <= 1)
 
-    def _logcdf(self, value, p):
+    def _logcdf(self, value, p, logit_p=None):
+        if logit_p is not None:
+            res = jnp.where(value >= 1, 0.0, -jax.nn.softplus(logit_p))
+            return jnp.where(value < 0, -jnp.inf, res)
         from .dist_math import safe_log
 
         res = jnp.where(value >= 1, 0.0, safe_log(1.0 - p))
@@ -176,9 +244,10 @@ class DiscreteWeibull(Discrete):
         return jnp.maximum(k, 0.0).astype(intX())
 
     def _support_point(self, q, beta):
-        u = 0.5
-        k = jnp.ceil((jnp.log1p(-u) / jnp.log(q)) ** (1.0 / beta) - 1.0)
-        return jnp.maximum(k, 0.0).astype(intX())
+        # median = (log .5 / log q)^(1/beta) - 1, truncated by the int cast
+        # (reference discrete.py DiscreteWeibull.support_point)
+        k = (jnp.log(0.5) / jnp.log(q)) ** (1.0 / beta) - 1.0
+        return jnp.maximum(jnp.floor(k), 0.0).astype(intX())
 
 
 class Poisson(Discrete):
@@ -220,39 +289,98 @@ class NegativeBinomial(Discrete):
     """Reference discrete.py:618 (mu/alpha or p/n parametrization)."""
 
     param_names = ("n", "p")
+    aux_param_names = ("logit_p", "mu")
 
     def __dist_init__(self, mu=None, alpha=None, p=None, n=None):
-        n_, p_ = self._get_n_p(mu, alpha, p, n)
+        n_, p_ = self.get_n_p(mu=mu, alpha=alpha, p=p, n=n)
         self.n = as_param(n_)
         self.p = as_param(p_)
+        self.logit_p = _sigmoid_logit(self.p)
+        # keep the ORIGINAL mu: materializing p = n/(mu+n) rounds to 1 at
+        # huge n and mu cannot be recovered (the reference survives because
+        # PyTensor symbolically cancels n*(1-p)/p back to mu)
+        self.mu = as_param(mu) if (p is None and mu is not None) else None
 
-    @staticmethod
-    def _get_n_p(mu, alpha, p, n):
-        if n is not None and p is not None:
-            return n, p
-        if mu is not None and alpha is not None:
-            mu, alpha = as_param(mu), as_param(alpha)
-            return alpha, apply(lambda a, m: a / (m + a), alpha, mu)
-        raise ValueError("NegativeBinomial requires (mu, alpha) or (p, n)")
+    @classmethod
+    def get_n_p(cls, mu=None, alpha=None, p=None, n=None):
+        """Resolve the (mu, alpha)/(p, n) parametrizations — mixed pairs are
+        valid; duplicate roles raise (reference discrete.py:703-721, exact
+        messages)."""
+        if n is None:
+            if alpha is not None:
+                n = alpha
+            else:
+                raise ValueError(
+                    "Incompatible parametrization. Must specify either alpha or n."
+                )
+        elif alpha is not None:
+            raise ValueError(
+                "Incompatible parametrization. Can't specify both alpha and n."
+            )
+        if p is None:
+            if mu is not None:
+                p = apply(lambda nn, mm: nn / (mm + nn), as_param(n), as_param(mu))
+            else:
+                raise ValueError(
+                    "Incompatible parametrization. Must specify either mu or p."
+                )
+        elif mu is not None:
+            raise ValueError(
+                "Incompatible parametrization. Can't specify both mu and p."
+            )
+        return n, p
 
-    def _logp(self, value, n, p):
+    def _logp(self, value, n, p, logit_p=None, mu=None):
+        from .dist_math import safe_log
+
         vf = jnp.asarray(value, floatX())
-        res = (
-            binomln(vf + n - 1.0, vf)
-            + logpow(p, n)
-            + logpow(1.0 - p, vf)
+        if logit_p is not None:
+            log_p = -jax.nn.softplus(-logit_p)
+            log1m_p = -jax.nn.softplus(logit_p)
+        elif mu is not None:
+            # direct mu parametrization: stable for any n (p = n/(mu+n)
+            # materialized would round to 1 at huge n)
+            log_mu_n = jnp.log(mu + n)
+            log_p = safe_log(n) - log_mu_n
+            log1m_p = safe_log(mu) - log_mu_n
+        else:
+            log_p = safe_log(p)
+            log1m_p = jnp.log1p(-p)
+        # binomln subtracts gammaln(value + n) - gammaln(n), whose difference
+        # falls below their shared ulp once n is large: fall back on the
+        # Poisson(mu) limit there (reference discrete.py:731-738). The unused
+        # branch must stay NaN-free under grad, hence the clipped exponent.
+        mu_val = (
+            mu
+            if mu is not None
+            else n * jnp.exp(jnp.clip(log1m_p - log_p, -700.0, 700.0))
         )
+        poisson_res = logpow(mu_val, vf) - mu_val - factln(vf)
+        nb_res = (
+            binomln(vf + n - 1.0, vf)
+            + _xlogy0(n, log_p)
+            + _xlogy0(vf, log1m_p)
+        )
+        res = jnp.where(n > 1e10, poisson_res, nb_res)
         res = jnp.where(value >= 0, res, -jnp.inf)
-        return check_parameters(res, n > 0, p > 0, p <= 1)
+        if logit_p is not None:
+            return check_parameters(res, n > 0)
+        if mu is not None:
+            return check_parameters(res, n > 0, mu >= 0)
+        # p == 0 is outside the support, but a valid tiny p can round to it
+        # (sigmoid(-800) is exactly 0.0): 0 <= p keeps those usable at the
+        # cost of the limiting -inf for a degenerate p == 0 (reference
+        # discrete.py:740-748)
+        return check_parameters(res, n > 0, p >= 0, p <= 1)
 
-    def _logcdf(self, value, n, p):
+    def _logcdf(self, value, n, p, logit_p=None, mu=None):
         vf = jnp.floor(jnp.asarray(value, floatX()))
         safe = jnp.maximum(vf, 0.0)
         from .dist_math import safe_log
 
         res = safe_log(jsp.betainc(n, safe + 1.0, p))
         res = jnp.where(value >= 0, res, -jnp.inf)
-        return check_parameters(res, n > 0, p > 0, p <= 1)
+        return check_parameters(res, n > 0, p >= 0, p <= 1)
 
     def _sample(self, key, shape, n, p):
         # gamma-poisson mixture
@@ -269,21 +397,33 @@ class Geometric(Discrete):
     """Reference discrete.py:765 (support {1, 2, ...})."""
 
     param_names = ("p",)
+    aux_param_names = ("logit_p",)
 
     def __dist_init__(self, p):
         self.p = as_param(p)
+        self.logit_p = _sigmoid_logit(self.p)
 
-    def _logp(self, value, p):
+    def _logp(self, value, p, logit_p=None):
         vf = jnp.asarray(value, floatX())
+        if logit_p is not None:
+            res = -jax.nn.softplus(-logit_p) + _xlogy0(
+                vf - 1.0, -jax.nn.softplus(logit_p)
+            )
+            return jnp.where(value >= 1, res, -jnp.inf)
         res = jnp.log(p) + logpow(1.0 - p, vf - 1.0)
         res = jnp.where(value >= 1, res, -jnp.inf)
         return check_parameters(res, p > 0, p <= 1)
 
-    def _logcdf(self, value, p):
+    def _logcdf(self, value, p, logit_p=None):
         vf = jnp.floor(jnp.asarray(value, floatX()))
         safe = jnp.maximum(vf, 1.0)
-        res = _log1mexp(safe * jnp.log1p(-p))
+        log1m_p = (
+            -jax.nn.softplus(logit_p) if logit_p is not None else jnp.log1p(-p)
+        )
+        res = _log1mexp(safe * log1m_p)
         res = jnp.where(value >= 1, res, -jnp.inf)
+        if logit_p is not None:
+            return res
         return check_parameters(res, p > 0, p <= 1)
 
     def _icdf(self, q, p):
@@ -403,13 +543,27 @@ class Categorical(Discrete):
     param_event_ndims = (1,)
 
     def __dist_init__(self, p=None, logit_p=None):
-        if p is None and logit_p is not None:
+        if p is not None and logit_p is not None:
+            raise ValueError(
+                "Incompatible parametrization. Can't specify both p and logit_p."
+            )
+        if p is None and logit_p is None:
+            raise ValueError(
+                "Incompatible parametrization. Must specify either p or logit_p."
+            )
+        if p is None:
             p = apply(lambda lp: jax.nn.softmax(lp, axis=-1), as_param(logit_p))
-        elif p is not None and not is_node(p):
-            # constant p: normalize with a warning (reference
-            # discrete.py:1140-1164 Categorical.dist); symbolic p is checked
-            # at logp time instead (sum-to-1 check_parameters guard)
+        elif not is_node(p):
+            # constant p: reject negatives BEFORE rescaling can hide them
+            # (reference discrete.py:1146-1164; the [-1,-1,0,0] edge case
+            # sums to a negative and would rescale positive), then normalize
+            # with a warning; symbolic p is checked at logp time instead
+            # (sum-to-1 check_parameters precondition)
             p_ = np.asarray(p, dtype=float)
+            if np.any(p_ < 0):
+                raise ValueError(
+                    f"Negative `p` parameters are not valid, got: {p_}"
+                )
             p_sum = np.sum(p_, axis=-1)
             if not np.all(np.isclose(p_sum, 1.0)):
                 import warnings
@@ -428,20 +582,48 @@ class Categorical(Discrete):
 
         return _shape_of(self.p)[-1]
 
+    @staticmethod
+    def _take_value(table, value, k):
+        # batch dims come from BOTH the value and the p table (a scalar value
+        # against batched p broadcasts over the p batch — reference
+        # test_categorical_logp_batch_dims "implicit batch p" case)
+        batch = jnp.broadcast_shapes(jnp.shape(value), jnp.shape(table)[:-1])
+        v = jnp.broadcast_to(jnp.clip(value, 0, k - 1), batch)
+        return jnp.take_along_axis(
+            jnp.broadcast_to(table, batch + (k,)),
+            v[..., None].astype(jnp.int32),
+            axis=-1,
+        )[..., 0]
+
     def _logp(self, value, p):
         k = p.shape[-1]
         from .dist_math import safe_log
 
-        logp_all = safe_log(p / jnp.sum(p, axis=-1, keepdims=True))
-        v = jnp.clip(value, 0, k - 1)
-        res = jnp.take_along_axis(
-            jnp.broadcast_to(logp_all, jnp.shape(value) + (k,)),
-            v[..., None].astype(jnp.int32),
-            axis=-1,
-        )[..., 0]
+        # symbolic p is NOT silently normalized: sum(p) ~ 1 is a density
+        # precondition (reference discrete.py:92-108 logp, check_parameters
+        # isclose(sum(p), 1) — ParameterValueError there, -inf here)
+        res = self._take_value(safe_log(p), value, k)
         res = jnp.where((value >= 0) & (value <= k - 1), res, -jnp.inf)
         return check_parameters(
-            res, jnp.all(p >= 0, axis=-1), jnp.all(p <= 1, axis=-1)
+            res,
+            jnp.all(p >= 0, axis=-1),
+            jnp.all(p <= 1, axis=-1),
+            jnp.isclose(jnp.sum(p, axis=-1), 1.0),
+        )
+
+    def _logcdf(self, value, p):
+        k = p.shape[-1]
+        from .dist_math import safe_log
+
+        res = self._take_value(safe_log(jnp.cumsum(p, axis=-1)), value, k)
+        res = jnp.where(
+            value < 0, -jnp.inf, jnp.where(value >= k - 1, 0.0, res)
+        )
+        return check_parameters(
+            res,
+            jnp.all(p >= 0, axis=-1),
+            jnp.all(p <= 1, axis=-1),
+            jnp.isclose(jnp.sum(p, axis=-1), 1.0),
         )
 
     def _sample(self, key, shape, p):
@@ -456,6 +638,9 @@ class Categorical(Discrete):
 
 
 class _OrderedBase(Discrete):
+    # compute_p (named path only): register a `{name}_probs` Deterministic
+    # with the category probabilities (reference discrete.py:1301-1306)
+    _named_only_kwargs = ("compute_p",)
     param_names = ("eta", "cutpoints")
     param_event_ndims = (0, 1)
 
@@ -467,10 +652,14 @@ class _OrderedBase(Discrete):
     def _link_logcdf(x):  # pragma: no cover - abstract
         raise NotImplementedError
 
-    def _category_logits(self, eta, cutpoints):
-        # P(y = k) = F(c_k - eta) - F(c_{k-1} - eta), F per link
+    @classmethod
+    def _category_logits(cls, eta, cutpoints, sigma=None):
+        # P(y = k) = F((c_k - eta)/sigma) - F((c_{k-1} - eta)/sigma), F per link
+        eta = jnp.asarray(eta, floatX())
         z = cutpoints - eta[..., None]
-        lcdf = self._link_logcdf(z)  # (..., K-1)
+        if sigma is not None:
+            z = z / jnp.asarray(sigma, floatX())[..., None]
+        lcdf = cls._link_logcdf(z)  # (..., K-1)
         neg_inf = jnp.full_like(lcdf[..., :1], -jnp.inf)
         lo = jnp.concatenate([neg_inf, lcdf], axis=-1)
         hi = jnp.concatenate([lcdf, jnp.zeros_like(lcdf[..., :1])], axis=-1)
@@ -478,24 +667,46 @@ class _OrderedBase(Discrete):
 
         return hi + _log1mexp_jax(jnp.minimum(lo - hi, -1e-15))
 
-    def _logp(self, value, eta, cutpoints):
-        logits = self._category_logits(eta, cutpoints)
+    @classmethod
+    def compute_p(cls, eta, cutpoints, sigma=None):
+        """Category probabilities (reference OrderedLogistic.compute_p
+        discrete.py:1313 / OrderedProbit.compute_p :1419); node-aware."""
+        args = [as_param(eta), as_param(cutpoints)]
+        if sigma is not None:
+            args.append(as_param(sigma))
+        return apply(lambda *xs: jnp.exp(cls._category_logits(*xs)), *args)
+
+    @classmethod
+    def _post_register(cls, model, name, dist, rv, compute_p=True):
+        if not compute_p:
+            return
+        from ..model.core import Deterministic
+
+        probs = cls.compute_p(*[getattr(dist, n) for n in dist.param_names])
+        Deterministic(f"{name}_probs", probs, model=model)
+
+    def _logp(self, value, eta, cutpoints, sigma=None):
+        logits = self._category_logits(eta, cutpoints, sigma)
         k = logits.shape[-1]
-        v = jnp.clip(value, 0, k - 1)
-        res = jnp.take_along_axis(
-            jnp.broadcast_to(logits, jnp.shape(value) + (k,)),
-            v[..., None].astype(jnp.int32),
-            axis=-1,
-        )[..., 0]
+        res = Categorical._take_value(logits, value, k)
         return jnp.where((value >= 0) & (value <= k - 1), res, -jnp.inf)
 
-    def _sample(self, key, shape, eta, cutpoints):
-        logits = self._category_logits(eta, cutpoints)
+    def _logcdf(self, value, eta, cutpoints, sigma=None):
+        logits = self._category_logits(eta, cutpoints, sigma)
+        k = logits.shape[-1]
+        table = jnp.log(jnp.cumsum(jnp.exp(logits), axis=-1))
+        res = Categorical._take_value(table, value, k)
+        return jnp.where(
+            value < 0, -jnp.inf, jnp.where(value >= k - 1, 0.0, res)
+        )
+
+    def _sample(self, key, shape, eta, cutpoints, sigma=None):
+        logits = self._category_logits(eta, cutpoints, sigma)
         logits = jnp.broadcast_to(logits, shape + logits.shape[-1:])
         return jax.random.categorical(key, logits, axis=-1).astype(intX())
 
-    def _support_point(self, eta, cutpoints):
-        logits = self._category_logits(eta, cutpoints)
+    def _support_point(self, eta, cutpoints, sigma=None):
+        logits = self._category_logits(eta, cutpoints, sigma)
         return jnp.argmax(logits, axis=-1).astype(intX())
 
 
@@ -508,7 +719,14 @@ class OrderedLogistic(_OrderedBase):
 
 
 class OrderedProbit(_OrderedBase):
-    """Reference discrete.py:1329."""
+    """Reference discrete.py:1329 (takes a probit scale `sigma`)."""
+
+    param_names = ("eta", "cutpoints", "sigma")
+    param_event_ndims = (0, 1, 0)
+
+    def __dist_init__(self, eta, cutpoints, sigma=1.0):
+        super().__dist_init__(eta, cutpoints)
+        self.sigma = as_param(sigma)
 
     @staticmethod
     def _link_logcdf(z):

@@ -101,6 +101,12 @@ class Distribution:
     """
 
     param_names: tuple = ()
+    # optional auxiliary parametrization nodes (e.g. the logit of a
+    # sigmoid-headed `p`) passed to _logp/_logcdf as keyword args when set —
+    # the role of the reference's sigmoid-introduction logp rewrites
+    # (logprob/rewriting.py pipeline pos 0.9): numerically stable densities
+    # when a probability parameter underflows but its logit is finite
+    aux_param_names: tuple = ()
     param_event_ndims: tuple | None = None
     event_ndim: int = 0
     support: str = "real"
@@ -219,8 +225,14 @@ class Distribution:
         if (dims is not None and kwargs.get("shape") is None
                 and kwargs.get("size") is None and observed is None):
             kwargs.setdefault("shape", model.shape_from_dims(dims))
+        # kwargs only meaningful on the named path (e.g. Ordered* compute_p)
+        named_kwargs = {
+            k: kwargs.pop(k)
+            for k in getattr(cls, "_named_only_kwargs", ())
+            if k in kwargs
+        }
         dist = cls.dist(*args, **kwargs)
-        return model.register_rv(
+        rv = model.register_rv(
             dist,
             name,
             observed=observed,
@@ -230,6 +242,10 @@ class Distribution:
             initval=initval,
             total_size=total_size,
         )
+        hook = getattr(cls, "_post_register", None)
+        if hook is not None:
+            hook(model, name, dist, rv, **named_kwargs)
+        return rv
 
     @classmethod
     def dist(cls, *args, shape=None, size=None, **kwargs):
@@ -325,16 +341,28 @@ class Distribution:
     def dtype(self):
         return intX() if self.is_discrete else floatX()
 
+    def _resolve_aux(self, env, memo):
+        aux = {}
+        for n in self.aux_param_names:
+            v = getattr(self, n, None)
+            if v is not None:
+                aux[n] = evaluate(v, env, memo)
+        return aux
+
     # ------------------------------------------------------------ densities
     def logp(self, value, env=None, memo=None):
+        if memo is None:
+            memo = {}
         params = self.resolve_params(env, memo)
         value = self._cast_value(value)
-        return self._logp(value, *params)
+        return self._logp(value, *params, **self._resolve_aux(env, memo))
 
     def logcdf(self, value, env=None, memo=None):
+        if memo is None:
+            memo = {}
         params = self.resolve_params(env, memo)
         value = self._cast_value(value)
-        return self._logcdf(value, *params)
+        return self._logcdf(value, *params, **self._resolve_aux(env, memo))
 
     def logccdf(self, value, env=None, memo=None):
         params = self.resolve_params(env, memo)

@@ -39,6 +39,35 @@ __all__ = [
 ]
 
 
+class MixtureTransformWarning(UserWarning):
+    """Reference mixture.py:288."""
+
+
+def _same_expr(a, b):
+    """Structural graph equality of two bound expressions (the role of the
+    reference's equal_computations check in mixture_default_transform)."""
+    from ..graph import ConstantNode, DeterministicNode, Node
+
+    if a is b:
+        return True
+    if isinstance(a, Node) or isinstance(b, Node):
+        if isinstance(a, DeterministicNode) and isinstance(b, DeterministicNode):
+            return (
+                a.fn is b.fn
+                and a.kwargs == b.kwargs
+                and len(a.args) == len(b.args)
+                and all(_same_expr(x, y) for x, y in zip(a.args, b.args))
+            )
+        if isinstance(a, ConstantNode) and isinstance(b, ConstantNode):
+            return bool(np.array_equal(a.value, b.value))
+        # FreeRV/Data leaves compare by identity (handled by `a is b`)
+        return False
+    try:
+        return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+    except Exception:
+        return False
+
+
 class Mixture(Distribution):
     """Finite mixture: w along its LAST axis indexes the components.
 
@@ -51,6 +80,28 @@ class Mixture(Distribution):
 
     def __dist_init__(self, w, comp_dists):
         self.w = as_param(w)
+        if isinstance(comp_dists, (tuple, list)) and len(comp_dists) == 1:
+            # reference mixture.py:165-173: a singleton list means "mixture
+            # across the last size dimension" of that one component
+            import warnings
+
+            warnings.warn(
+                "Single component will be treated as a mixture across the "
+                "last size dimension.\nTo disable this warning do not wrap "
+                "the single component inside a list or tuple",
+                UserWarning,
+            )
+            comp_dists = comp_dists[0]
+        if (
+            isinstance(comp_dists, (tuple, list))
+            and len({d.is_discrete for d in comp_dists}) > 1
+        ):
+            # reference mixture.py:175-184
+            raise ValueError(
+                "All distributions in comp_dists must be either discrete "
+                "or continuous.\nSee the following issue for more "
+                "information: https://github.com/pymc-devs/pymc/issues/4511."
+            )
         if isinstance(comp_dists, Distribution):
             self.comp_single = comp_dists
             self.comp_list = None
@@ -105,6 +156,40 @@ class Mixture(Distribution):
     def _interval_bounds(self):
         comps = self.comp_list or [self.comp_single]
         return comps[0]._interval_bounds()
+
+    def _transform_warning(self):
+        import warnings
+
+        warnings.warn(
+            "No safe default transform found for Mixture distribution. This "
+            "can happen when components have different supports or default "
+            "transforms.\nIf appropriate, you can specify a custom transform "
+            "for more efficient sampling.",
+            MixtureTransformWarning,
+            stacklevel=2,
+        )
+
+    def default_transform(self):
+        """Shared component transform, or None + MixtureTransformWarning when
+        components disagree (reference mixture.py:292-345
+        mixture_default_transform): all components must have the same
+        transform TYPE, and Interval bounds must be structurally identical
+        ([Uniform(0,1), Uniform(0,2)] gets NO transform)."""
+        comps = self.comp_list if self.comp_list is not None else [self.comp_single]
+        sups = {c.support for c in comps}
+        if len(sups) != 1:
+            self._transform_warning()
+            return None
+        if sups.pop() == "interval" and len(comps) > 1:
+            b0 = comps[0]._interval_bounds()
+            for c in comps[1:]:
+                b = c._interval_bounds()
+                if not (
+                    _same_expr(b0[0], b[0]) and _same_expr(b0[1], b[1])
+                ):
+                    self._transform_warning()
+                    return None
+        return comps[0].default_transform()
 
     def _resolve_shapes(self):
         from .distribution import _shape_of

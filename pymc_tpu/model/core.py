@@ -415,14 +415,19 @@ class Model:
         filled = jnp.asarray(np.where(mask, 0.0, arr))
 
         # free RV over the missing slots; its params are the dist params
-        # gathered at the missing positions (broadcast first)
-        gathered = type(dist).dist(
-            *[
-                _gather_param(p, arr.shape, missing_idx)
-                for p in dist.param_values()
-            ],
-            shape=(n_missing,),
-        )
+        # gathered at the missing positions (broadcast over the value batch,
+        # keeping per-param event dims). Reconstruction is BY NAME: several
+        # dists' stored param order differs from their constructor's
+        # positional order (NegativeBinomial stores (n, p) but its ctor is
+        # (mu, alpha, p, n); BetaBinomial stores (n, alpha, beta) vs ctor
+        # (alpha, beta, n)) — positional reconstruction scrambled those.
+        pe = dist.param_event_ndims or (0,) * len(dist.param_names)
+        gathered_kwargs = {
+            pname: _gather_param(p, arr.shape, missing_idx, e)
+            for pname, p, e in zip(dist.param_names, dist.param_values(), pe)
+            if p is not None
+        }
+        gathered = type(dist).dist(shape=(n_missing,), **gathered_kwargs)
         free = FreeRV(
             f"{name}_unobserved",
             gathered,
@@ -776,18 +781,24 @@ class Model:
         return model_to_graphviz(self, **kwargs)
 
 
-def _gather_param(p, shape, idx):
-    """Broadcast a dist param to `shape` and gather flat indices (imputation)."""
+def _gather_param(p, shape, idx, event_ndim=0):
+    """Broadcast a dist param over the VALUE batch `shape` (keeping its own
+    trailing event dims, e.g. Categorical p / Ordered cutpoints) and gather
+    the flat missing indices (imputation)."""
     if p is None:
         return None
+
+    def _g(x):
+        x = jnp.asarray(x)
+        ev = x.shape[x.ndim - event_ndim:] if event_ndim else ()
+        x = jnp.broadcast_to(x, tuple(shape) + ev)
+        return x.reshape((-1,) + ev)[idx]
+
     if is_node(p):
         from ..graph import apply
 
-        return apply(
-            lambda x: jnp.broadcast_to(x, shape).ravel()[idx], p
-        )
-    arr = jnp.broadcast_to(jnp.asarray(p), shape).ravel()
-    return arr[idx]
+        return apply(_g, p)
+    return _g(p)
 
 
 def Deterministic(name, var, model=None, dims=None):
