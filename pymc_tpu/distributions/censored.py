@@ -37,7 +37,11 @@ class Censored(Distribution):
 
     @property
     def support(self):
-        return "interval" if not self.is_discrete else "discrete"
+        # NO default transform (reference registers none for CensoredRV):
+        # the density has point masses AT lower/upper, which an interval
+        # transform could never reach — a transformed free Censored RV
+        # would silently lose its boundary atoms
+        return "real"
 
     @support.setter
     def support(self, v):
@@ -45,6 +49,17 @@ class Censored(Distribution):
 
     def _interval_bounds(self):
         return self.lower, self.upper
+
+    def _gathered(self, shape, idx, batch_shape, extra_event=()):
+        from .distribution import _gather_batch_param
+
+        base = self.base._gathered(shape, idx, batch_shape)
+        kwargs = {}
+        if self.lower is not None:
+            kwargs["lower"] = _gather_batch_param(self.lower, batch_shape, idx)
+        if self.upper is not None:
+            kwargs["upper"] = _gather_batch_param(self.upper, batch_shape, idx)
+        return type(self).dist(base, shape=shape, **kwargs)
 
     def _resolve_shapes(self):
         from .distribution import _shape_of

@@ -464,6 +464,25 @@ class Distribution:
     def _interval_bounds(self):  # pragma: no cover
         raise NotImplementedError
 
+    def _gathered(self, shape, idx, batch_shape, extra_event=()):
+        """Rebuild this dist restricted to flat batch indices `idx` of
+        `batch_shape` (imputation). Reconstruction is BY NAME: several
+        dists' stored param order differs from their constructor's
+        positional order (NegativeBinomial stores (n, p) but its ctor is
+        (mu, alpha, p, n); BetaBinomial stores (n, alpha, beta) vs ctor
+        (alpha, beta, n)) — positional reconstruction scrambled those
+        silently. Combinators (Censored/Truncated) override to also gather
+        their base dist."""
+        pe = self.param_event_ndims or (0,) * len(self.param_names)
+        kwargs = {
+            pname: _gather_batch_param(p, batch_shape, idx, e)
+            for pname, p, e in zip(self.param_names, self.param_values(), pe)
+            if p is not None
+        }
+        return type(self).dist(
+            shape=tuple(shape) + tuple(extra_event), **kwargs
+        )
+
     def __repr__(self):
         return f"<{type(self).__name__} shape={self.shape}>"
 
@@ -510,6 +529,107 @@ class DiracDelta(Discrete):
 
     def _cast_value(self, value):
         return jnp.asarray(value)
+
+
+def _gather_batch_param(p, shape, idx, event_ndim=0):
+    """Broadcast a dist param over the VALUE batch `shape` (keeping its own
+    trailing event dims, e.g. Categorical p / Ordered cutpoints) and gather
+    the flat indices `idx` (imputation)."""
+    if p is None:
+        return None
+
+    def _g(x):
+        x = jnp.asarray(x)
+        ev = x.shape[x.ndim - event_ndim:] if event_ndim else ()
+        x = jnp.broadcast_to(x, tuple(shape) + ev)
+        return x.reshape((-1,) + ev)[idx]
+
+    if is_node(p):
+        from ..graph import apply
+
+        return apply(_g, p)
+    return _g(p)
+
+
+class _PartialObservedSlots(Distribution):
+    """Value slots for the missing entries of an UNSEPARABLY-masked
+    multivariate RV (mask splits within event rows): the density is carried
+    entirely by the joint observed term, so these slots contribute zero
+    (reference partial_observed_rv_logprob returns zeros for the unobserved
+    component, distributions/distribution.py:900-918); forward draws gather
+    the missing positions of a full base draw."""
+
+    param_names = ()
+
+    def __dist_init__(self, base, mask):
+        self.base = base
+        self._mask = np.asarray(mask, bool)
+        self._missing_idx = np.nonzero(self._mask.ravel())[0]
+        self.is_discrete = base.is_discrete
+
+    def default_transform(self):
+        return None
+
+    def logp(self, value, env=None, memo=None):
+        return jnp.zeros(jnp.shape(value), dtype=floatX())
+
+    def _logp(self, value):
+        return jnp.zeros(jnp.shape(value), dtype=floatX())
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        draw = self.base.sample(key, tuple(sample_shape), env, memo)
+        flat = jnp.reshape(draw, tuple(sample_shape) + (-1,))
+        return flat[..., self._missing_idx]
+
+    def support_point(self, env=None, memo=None):
+        sp = jnp.broadcast_to(
+            self.base.support_point(env, memo), self.base.shape
+        )
+        return jnp.ravel(sp)[self._missing_idx]
+
+
+class _PartialObservedJoint(Distribution):
+    """Observed component of an unseparably-masked multivariate RV: its logp
+    is the JOINT base density of the value with the missing entries scattered
+    in from the `{name}_unobserved` slots (reference PartialObservedRV logp —
+    the joined value is rebuilt and the full logp attributed to the observed
+    part)."""
+
+    param_names = ()
+
+    def __dist_init__(self, base, mask, free_name):
+        self.base = base
+        self._mask = np.asarray(mask, bool)
+        self._missing_idx = np.nonzero(self._mask.ravel())[0]
+        self._free_name = free_name
+        self.is_discrete = base.is_discrete
+
+    def default_transform(self):
+        return None
+
+    def logp(self, value, env=None, memo=None):
+        flat = jnp.ravel(jnp.asarray(value, self.base.dtype))
+        free_vals = (env or {}).get(self._free_name)
+        if free_vals is not None:
+            flat = flat.at[self._missing_idx].set(
+                jnp.ravel(jnp.asarray(free_vals, self.base.dtype))
+            )
+        combined = flat.reshape(self._mask.shape)
+        return self.base.logp(combined, env, memo)
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        # the full-shape base draw; the combined deterministic overwrites the
+        # missing entries with the slots' draw
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        return self.base.sample(key, tuple(sample_shape), env, memo)
+
+    def support_point(self, env=None, memo=None):
+        return jnp.broadcast_to(
+            self.base.support_point(env, memo), self.base.shape
+        )
 
 
 # re-export for concrete modules

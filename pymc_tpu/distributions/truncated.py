@@ -47,6 +47,17 @@ class Truncated(Distribution):
     def _interval_bounds(self):
         return self.lower, self.upper
 
+    def _gathered(self, shape, idx, batch_shape, extra_event=()):
+        from .distribution import _gather_batch_param
+
+        base = self.base._gathered(shape, idx, batch_shape)
+        kwargs = {}
+        if self.lower is not None:
+            kwargs["lower"] = _gather_batch_param(self.lower, batch_shape, idx)
+        if self.upper is not None:
+            kwargs["upper"] = _gather_batch_param(self.upper, batch_shape, idx)
+        return type(self).dist(base, shape=shape, **kwargs)
+
     def _resolve_shapes(self):
         from .distribution import _shape_of
 

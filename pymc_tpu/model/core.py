@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..blocking import RaveledInfo, ravel_point, unravel_vector
 from ..config import floatX, intX
-from ..exceptions import ImputationWarning, SamplingError, ShapeError
+from ..exceptions import ImputationWarning, SamplingError, ShapeError, ShapeWarning
 from ..graph import (
     ConstantNode,
     DataNode,
@@ -114,6 +114,7 @@ class Model:
             self._coords = {}
             self._dim_lengths = {}
             self._data_version = 0
+            self._dim_definers = {}
             self._fn_cache = {}
         if coords is not None:
             self.add_coords(coords)
@@ -143,7 +144,7 @@ class Model:
         if attr in (
             "named_vars", "free_RVs", "observed_RVs", "deterministics",
             "potentials", "data_vars", "rvs_to_initial_values", "_coords",
-            "_dim_lengths", "_data_version", "_fn_cache",
+            "_dim_lengths", "_data_version", "_dim_definers", "_fn_cache",
         ):
             root = self.__dict__.get("_root")
             if root is not None and root is not self:
@@ -176,8 +177,15 @@ class Model:
     def add_coord(self, name, values=None, length=None):
         if values is None and length is None:
             raise ValueError(f"Either values or length must be given for coord {name}")
+        if name in self.named_vars:
+            raise ValueError(
+                f"The coordinate name '{name}' conflicts with an existing "
+                "model variable name."
+            )
         if values is not None:
-            values = np.asarray(values)
+            # unwrap xarray coords / DataArrays to plain value tuples
+            # (reference test_xarray_coord_values_unwrapped)
+            values = tuple(np.asarray(values).tolist())
             length = len(values)
         if name in self._dim_lengths and self._dim_lengths[name] != length:
             raise ShapeError(
@@ -193,14 +201,27 @@ class Model:
             self.add_coord(k, values=v)
 
     def set_dim(self, name, new_length, coord_values=None):
-        """Resize a dimension (reference core.py:894). Static-shape semantics:
-        downstream compiled functions re-trace on next call."""
+        """Resize a dimension (reference core.py:894+924). Static-shape
+        semantics: downstream compiled functions re-trace on next call."""
+        if (
+            coord_values is None
+            and self._coords.get(name) is not None
+            and int(new_length) != self._dim_lengths.get(name)
+        ):
+            raise ValueError(
+                f"The dim '{name}' has coord values; pass `coord_values` "
+                "with the new length to update them (reference core.py:894)."
+            )
         if coord_values is not None and len(coord_values) != new_length:
-            raise ShapeError("coord_values length mismatch", len(coord_values), new_length)
+            raise ShapeError(
+                f"Length of new coordinate values for dimension '{name}' "
+                "does not match the new length",
+                actual=len(coord_values),
+                expected=new_length,
+            )
         self._dim_lengths[name] = int(new_length)
-        self._coords[name] = (
-            np.asarray(coord_values) if coord_values is not None else None
-        )
+        if coord_values is not None:
+            self._coords[name] = tuple(np.asarray(coord_values).tolist())
         self.root._data_version += 1
 
     def shape_from_dims(self, dims):
@@ -249,9 +270,31 @@ class Model:
             raise ValueError("Variable is unnamed")
         if var.name in self.named_vars:
             raise ValueError(f"Variable name {var.name} already exists.")
+        if var.name in self._dim_lengths:
+            raise ValueError(
+                f"The variable name '{var.name}' conflicts with an existing "
+                "dimension name."
+            )
+        if dims is not None:
+            dims = (dims,) if isinstance(dims, str) else tuple(dims)
+            for d in dims:
+                if d is not None and not isinstance(d, str):
+                    raise TypeError(f"Dims must be string or None, got: {d}")
+            var_shape = getattr(var, "shape", None)
+            if var_shape is not None and len(dims) != len(tuple(var_shape)):
+                raise ValueError(
+                    f"{len(dims)} dim labels were provided for a variable "
+                    f"with {len(tuple(var_shape))} dimensions "
+                    f"(reference add_named_variable check)"
+                )
+            for d in dims:
+                if d is not None and d not in self._dim_lengths:
+                    raise ValueError(
+                        f"Dimension '{d}' is not specified in `coords`."
+                    )
         self.named_vars[var.name] = var
         if dims is not None:
-            var.dims = (dims,) if isinstance(dims, str) else tuple(dims)
+            var.dims = tuple(dims)
         return var
 
     @property
@@ -300,6 +343,7 @@ class Model:
             for d, ln in zip(dims, dist.shape):
                 if d is not None and d not in self._dim_lengths:
                     self.add_coord(d, length=ln)
+                    self.root._dim_definers[d] = ("rv", name)
 
         if observed is not None:
             return self._make_obs_var(dist, name, observed, dims, total_size)
@@ -404,30 +448,55 @@ class Model:
             "automatically imputed from the sampling distribution.",
             ImputationWarning,
         )
-        if dist.event_ndim > 0:
-            raise NotImplementedError(
-                "Automatic imputation is only supported for univariate "
-                "distributions (matches reference restriction)."
-            )
         mask = np.isnan(arr)
+        ev_n = dist.event_ndim
+
+        if ev_n == 0:
+            free, obs = self._split_imputed_univariate(dist, name, arr, mask)
+        else:
+            # multivariate: SEPARABLE when the mask is constant across the
+            # event dims (each event row fully observed or fully missing) —
+            # then the components are two independent RVs over batch rows;
+            # otherwise the joint PartialObservedRV semantics apply
+            # (reference create_partial_observed_rv,
+            # distributions/distribution.py:789-900)
+            trimmed = mask[(...,) + (0,) * ev_n]
+            expanded = np.broadcast_to(
+                np.expand_dims(trimmed, axis=tuple(range(-ev_n, 0))), mask.shape
+            )
+            if np.array_equal(mask, expanded):
+                free, obs = self._split_imputed_separable(
+                    dist, name, arr, trimmed
+                )
+            else:
+                free, obs = self._split_imputed_joint(dist, name, arr, mask)
+
+        missing_idx = np.nonzero(mask.ravel())[0]
+
+        def _combine(f, obs_full):
+            out = jnp.ravel(jnp.asarray(obs_full, floatX()))
+            out = out.at[missing_idx].set(jnp.ravel(jnp.asarray(f, floatX())))
+            return out.reshape(arr.shape)
+
+        # the combined value joins the RESAMPLED observed component in
+        # forward sampling (the obs node resolves from env there) and the
+        # original data in logp-land (reference joined_rv semantics)
+        combined = DeterministicNode(_combine, (free, obs), name=name)
+        self.deterministics.append(combined)
+        self.add_named_variable(combined, dims)
+        self.root._fn_cache.clear()
+        return combined
+
+    def _gathered_dist(self, dist, shape, idx, batch_shape, extra_event=()):
+        """Rebuild `dist` restricted to flat batch indices `idx` (delegates
+        to Distribution._gathered so combinators can override)."""
+        return dist._gathered(shape, idx, batch_shape, extra_event)
+
+    def _split_imputed_univariate(self, dist, name, arr, mask):
         n_missing = int(mask.sum())
         missing_idx = np.nonzero(mask.ravel())[0]
-        filled = jnp.asarray(np.where(mask, 0.0, arr))
-
-        # free RV over the missing slots; its params are the dist params
-        # gathered at the missing positions (broadcast over the value batch,
-        # keeping per-param event dims). Reconstruction is BY NAME: several
-        # dists' stored param order differs from their constructor's
-        # positional order (NegativeBinomial stores (n, p) but its ctor is
-        # (mu, alpha, p, n); BetaBinomial stores (n, alpha, beta) vs ctor
-        # (alpha, beta, n)) — positional reconstruction scrambled those.
-        pe = dist.param_event_ndims or (0,) * len(dist.param_names)
-        gathered_kwargs = {
-            pname: _gather_param(p, arr.shape, missing_idx, e)
-            for pname, p, e in zip(dist.param_names, dist.param_values(), pe)
-            if p is not None
-        }
-        gathered = type(dist).dist(shape=(n_missing,), **gathered_kwargs)
+        filled = _impute_fill(arr, mask, dist.is_discrete)
+        gathered = self._gathered_dist(dist, (n_missing,), missing_idx, arr.shape)
         free = FreeRV(
             f"{name}_unobserved",
             gathered,
@@ -438,24 +507,82 @@ class Model:
         )
         self.free_RVs.append(free)
         self.add_named_variable(free)
-
         obs = ObservedRV(
             f"{name}_observed", dist, filled, model=self.root, mask=jnp.asarray(mask)
         )
         obs.scale = 1.0
         self.observed_RVs.append(obs)
         self.add_named_variable(obs)
+        return free, obs
 
-        def _combine(f, flat_obs):
-            out = jnp.ravel(flat_obs)
-            out = out.at[missing_idx].set(f)
-            return out.reshape(arr.shape)
+    def _split_imputed_separable(self, dist, name, arr, row_mask):
+        """Event rows are each fully observed or fully missing: split into
+        two independent multivariate RVs over the batch axis (reference
+        create_partial_observed_rv rewrite path — the unobserved part keeps
+        the dist's default transform)."""
+        ev = tuple(dist.event_shape)
+        batch_shape = arr.shape[: arr.ndim - len(ev)]
+        missing_rows = np.nonzero(row_mask.ravel())[0]
+        n_rows = len(missing_rows)
+        filled = _impute_fill(arr, np.isnan(arr), dist.is_discrete)
+        gathered = self._gathered_dist(
+            dist, (n_rows,), missing_rows, batch_shape, extra_event=ev
+        )
+        free = FreeRV(
+            f"{name}_unobserved",
+            gathered,
+            shape=(n_rows,) + ev,
+            dtype=gathered.dtype,
+            transform=gathered.default_transform(),
+            model=self.root,
+        )
+        self.free_RVs.append(free)
+        self.add_named_variable(free)
+        obs = ObservedRV(
+            f"{name}_observed",
+            dist,
+            filled,
+            model=self.root,
+            mask=jnp.asarray(row_mask),  # batch-shaped: masks whole rows
+        )
+        obs.scale = 1.0
+        self.observed_RVs.append(obs)
+        self.add_named_variable(obs)
+        return free, obs
 
-        combined = DeterministicNode(_combine, (free, filled), name=name)
-        self.deterministics.append(combined)
-        self.add_named_variable(combined, dims)
-        self.root._fn_cache.clear()
-        return combined
+    def _split_imputed_joint(self, dist, name, arr, mask):
+        """Mask splits within event rows: the density cannot separate. The
+        missing entries become transform-free value slots with ZERO own
+        density; the observed component carries the JOINT logp of the
+        scatter-combined value (reference PartialObservedRV,
+        partial_observed_rv_logprob distribution.py:900-918)."""
+        from ..distributions.distribution import (
+            _PartialObservedJoint,
+            _PartialObservedSlots,
+        )
+
+        missing_idx = np.nonzero(mask.ravel())[0]
+        n_missing = len(missing_idx)
+        filled = jnp.asarray(np.where(mask, 0.0, arr))
+        slots = _PartialObservedSlots.dist(dist, mask, shape=(n_missing,))
+        free = FreeRV(
+            f"{name}_unobserved",
+            slots,
+            shape=(n_missing,),
+            dtype=slots.dtype,
+            transform=None,
+            model=self.root,
+        )
+        self.free_RVs.append(free)
+        self.add_named_variable(free)
+        joint = _PartialObservedJoint.dist(dist, mask, free.name, shape=arr.shape)
+        obs = ObservedRV(
+            f"{name}_observed", joint, filled, model=self.root, mask=None
+        )
+        obs.scale = 1.0
+        self.observed_RVs.append(obs)
+        self.add_named_variable(obs)
+        return free, obs
 
     # ------------------------------------------------------------- density
     def constrain(self, value_dict):
@@ -756,16 +883,77 @@ class Model:
     def set_data(self, name, values, coords=None):
         """Swap the contents of a pm.Data container (reference core.py:949).
         Shapes are static under XLA: downstream jitted functions re-trace
-        automatically on the next call (cache keyed by data version+shape)."""
+        automatically on the next call (cache keyed by data version+shape).
+
+        Dim bookkeeping per reference SetUpdateCoords semantics: the new
+        value must keep the container's ndim; resizing an axis whose dim has
+        coord values requires new ``coords``; resizing a dim DEFINED by an RV
+        shape raises; resizing a dim defined by another Data variable warns.
+        """
         var = self.named_vars.get(name)
         if not isinstance(var, DataNode):
             raise TypeError(
                 f"The variable `{name}` must be a pm.Data container to use set_data."
             )
-        var.set_value(np.asarray(values))
+        values = np.asarray(values)
+        old_shape = tuple(var.shape)
+        if values.ndim != len(old_shape):
+            raise ValueError(
+                f"New data for '{name}' must have {len(old_shape)} dimensions, "
+                f"got {values.ndim}"
+            )
         if coords:
             for k, v in coords.items():
-                self._coords[k] = np.asarray(v)
+                axis = None
+                var_dims = tuple(getattr(var, "dims", None) or ())
+                if k in var_dims:
+                    axis = var_dims.index(k)
+                if axis is not None and len(v) != values.shape[axis]:
+                    raise ShapeError(
+                        f"Length of new coordinate values for dimension '{k}' "
+                        "does not match the new data length",
+                        actual=len(v),
+                        expected=values.shape[axis],
+                    )
+        var_dims = tuple(getattr(var, "dims", None) or ())
+        for axis, d in enumerate(var_dims):
+            if d is None or axis >= values.ndim:
+                continue
+            new_len = int(values.shape[axis])
+            old_len = self._dim_lengths.get(d)
+            if old_len is None or new_len == old_len:
+                continue
+            new_coord = (coords or {}).get(d)
+            kind, definer = self.root._dim_definers.get(d, (None, None))
+            if kind == "rv":
+                raise ShapeError(
+                    f"Resizing dimension '{d}' is impossible because the "
+                    f"dimension was initialized from '{definer}' and RV "
+                    "shapes are static",
+                    actual=new_len,
+                    expected=old_len,
+                )
+            if self._coords.get(d) is not None and new_coord is None:
+                raise ValueError(
+                    f"The '{name}' variable already had {old_len} coord "
+                    f"values defined for its {d} dimension. With the new "
+                    "data length you must also pass updated coords "
+                    f"(reference core.py:949)."
+                )
+            if kind == "data" and definer != name:
+                warnings.warn(
+                    f"Resizing dimension '{d}' which was defined by another "
+                    f"variable ('{definer}'). Update that variable as well "
+                    "to keep shapes coherent.",
+                    ShapeWarning,
+                )
+            self._dim_lengths[d] = new_len
+            if new_coord is None and self._coords.get(d) is not None:
+                self._coords[d] = None
+        var.set_value(values)
+        if coords:
+            for k, v in coords.items():
+                self._coords[k] = tuple(np.asarray(v).tolist())
                 self._dim_lengths[k] = len(v)
         self.root._data_version += 1
         self.root._fn_cache.clear()
@@ -781,24 +969,20 @@ class Model:
         return model_to_graphviz(self, **kwargs)
 
 
-def _gather_param(p, shape, idx, event_ndim=0):
-    """Broadcast a dist param over the VALUE batch `shape` (keeping its own
-    trailing event dims, e.g. Categorical p / Ordered cutpoints) and gather
-    the flat missing indices (imputation)."""
-    if p is None:
-        return None
+def _impute_fill(arr, mask, discrete):
+    """Fill masked entries with the observed mean (NOT zero): the masked
+    entries still flow through the density before being zeroed out, and an
+    out-of-support fill makes that branch's gradient NaN (0 * -inf in the
+    where-VJP). The observed mean stays in-support for the imputation-valid
+    families."""
+    obs = np.asarray(arr)[~mask]
+    fill = float(np.mean(obs)) if obs.size else 0.0
+    if discrete:
+        fill = float(np.round(fill))
+    return jnp.asarray(np.where(mask, fill, arr))
 
-    def _g(x):
-        x = jnp.asarray(x)
-        ev = x.shape[x.ndim - event_ndim:] if event_ndim else ()
-        x = jnp.broadcast_to(x, tuple(shape) + ev)
-        return x.reshape((-1,) + ev)[idx]
 
-    if is_node(p):
-        from ..graph import apply
-
-        return apply(_g, p)
-    return _g(p)
+from ..distributions.distribution import _gather_batch_param as _gather_param  # noqa: E402
 
 
 def Deterministic(name, var, model=None, dims=None):
@@ -853,6 +1037,7 @@ def Data(name, value, *, dims=None, coords=None, model=None, mutable=None):
         for d, ln in zip(dims_t, arr.shape):
             if d is not None and d not in model._dim_lengths:
                 model.add_coord(d, length=ln)
+                model.root._dim_definers[d] = ("data", name)
     model.data_vars.append(node)
     model.add_named_variable(node, dims)
     model.root._fn_cache.clear()

@@ -58,6 +58,18 @@ def _generative_fn(model, given_names=(), given_det_names=()):
     given_names = set(given_names)
     given_det_names = set(given_det_names)
 
+    # draw in REGISTRATION order (model.named_vars is insertion-ordered =
+    # topological): an imputed free RV downstream of another imputed RV's
+    # combined deterministic must see that RV's observed part already
+    # resampled in env, or the combined node memoizes its DATA version
+    # (reference samples the generative graph in topological order)
+    reg_order = {name: i for i, name in enumerate(model.named_vars)}
+    draw_plan = sorted(
+        [("free", rv) for rv in free_RVs]
+        + [("obs", orv) for orv in observed_RVs],
+        key=lambda t: reg_order.get(t[1].name, len(reg_order)),
+    )
+
     def fn(key, given):
         env = dict(given)
         memo = {}
@@ -67,31 +79,29 @@ def _generative_fn(model, given_names=(), given_det_names=()):
                 memo[id(det)] = given[det.name]
                 env[det.name] = given[det.name]
                 out[det.name] = given[det.name]
-        i = 0
-        for rv in free_RVs:
-            i += 1
-            if rv.name in given_names:
-                env[rv.name] = given[rv.name]
+        for i, (kind, rv) in enumerate(draw_plan, start=1):
+            if kind == "free":
+                if rv.name in given_names:
+                    env[rv.name] = given[rv.name]
+                else:
+                    env[rv.name] = rv.dist.sample(
+                        jax.random.fold_in(key, i), (), env, memo
+                    )
+                out[rv.name] = env[rv.name]
             else:
-                env[rv.name] = rv.dist.sample(
-                    jax.random.fold_in(key, i), (), env, memo
+                # live shape: `shape=x.shape` on mutable data re-resolves
+                # here, so predictions after pm.set_data get the NEW size
+                # (reference make_obs_var symbolic-shape semantics)
+                shape_node = getattr(rv.dist, "_shape_node", None)
+                target = (
+                    tuple(shape_node.shape) if shape_node is not None
+                    else tuple(rv.shape)
                 )
-            out[rv.name] = env[rv.name]
-        for orv in observed_RVs:
-            i += 1
-            # live shape: `shape=x.shape` on mutable data re-resolves here,
-            # so predictions after pm.set_data get the NEW size
-            # (reference make_obs_var symbolic-shape semantics)
-            shape_node = getattr(orv.dist, "_shape_node", None)
-            target = (
-                tuple(shape_node.shape) if shape_node is not None
-                else tuple(orv.shape)
-            )
-            extra = target[: len(target) - orv.dist.ndim] \
-                if orv.dist.ndim <= len(target) else ()
-            draw = orv.dist.sample(jax.random.fold_in(key, i), extra, env, memo)
-            out[orv.name] = jnp.broadcast_to(draw, target)
-            env[orv.name] = out[orv.name]
+                extra = target[: len(target) - rv.dist.ndim] \
+                    if rv.dist.ndim <= len(target) else ()
+                draw = rv.dist.sample(jax.random.fold_in(key, i), extra, env, memo)
+                out[rv.name] = jnp.broadcast_to(draw, target)
+                env[rv.name] = out[rv.name]
         for det in deterministics:
             if det.name not in given_det_names:
                 out[det.name] = evaluate(det, env, memo)

@@ -26,3 +26,14 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU's JIT segfaults inside backend_compile once enough compiled
+    programs accumulate in one process (reproduced: full suite crashes in
+    whichever pm.sample compile lands ~1400 jits in; the same test passes
+    in a short run). Dropping compiled-executable caches at module
+    boundaries keeps the live LLVM state bounded."""
+    jax.clear_caches()
+    yield
