@@ -63,7 +63,7 @@ class Base:
 
     def __add__(self, other):
         if type(self) is not type(other):
-            raise TypeError("Cannot add GPs of different types")
+            raise TypeError("Cannot add different GP types")
         return type(self)(
             mean_func=self.mean_func + other.mean_func,
             cov_func=self.cov_func + other.cov_func,
@@ -98,12 +98,31 @@ class Latent(Base):
         self.X, self.f, self._jitter = X, f, jitter
         return f
 
-    def _build_conditional(self, Xnew, jitter):
-        X, f = self.X, self.f
-        Kxx = _stabilize(self.cov_func(X), jitter)
+    def _get_given_vals(self, given):
+        """Resolve the conditioning set (reference gp.py:201-214): `given`
+        may name the ADDITIVE total gp plus its (X, f) so a component gp can
+        be conditioned on the sum's data."""
+        if given is None:
+            given = {}
+        if "gp" in given:
+            cov_total = given["gp"].cov_func
+            mean_total = given["gp"].mean_func
+        else:
+            cov_total = self.cov_func
+            mean_total = self.mean_func
+        if all(val in given for val in ("X", "f")):
+            X, f = given["X"], given["f"]
+        else:
+            X, f = self.X, self.f
+        return X, f, cov_total, mean_total
+
+    def _build_conditional(self, Xnew, jitter, X, f, cov_total, mean_total):
+        # Kxx/residual use the TOTAL process; the cross/new covariances use
+        # THIS component's kernel (reference gp.py:216-229)
+        Kxx = _stabilize(cov_total(X), jitter)
         Kxs = self.cov_func(X, Xnew)
         Kss = self.cov_func(Xnew)
-        mu_x = self.mean_func(X)
+        mu_x = mean_total(X)
         mu_s = self.mean_func(Xnew)
 
         def cond(kxx, kxs, kss, mx, ms, fv):
@@ -120,11 +139,12 @@ class Latent(Base):
         cov = apply(lambda *a: cond(*a)[1], Kxx, Kxs, Kss, mu_x, mu_s, f)
         return mu, cov
 
-    def conditional(self, name, Xnew, jitter=None, **kwargs):
+    def conditional(self, name, Xnew, given=None, jitter=None, **kwargs):
         import pymc_tpu as pm
 
         Xnew = jnp.asarray(Xnew) if not is_node(Xnew) else Xnew
-        mu, cov = self._build_conditional(Xnew, jitter)
+        givens = self._get_given_vals(given)
+        mu, cov = self._build_conditional(Xnew, jitter, *givens)
         return pm.MvNormal(name, mu=mu, cov=cov, **kwargs)
 
 
@@ -133,9 +153,48 @@ class TP(Latent):
 
     def __init__(self, mean_func=None, scale_func=None, cov_func=None, nu=None):
         if nu is None:
-            raise ValueError("TP requires nu")
+            raise ValueError(
+                "Student's T process requires a degrees of freedom parameter, 'nu'"
+            )
         super().__init__(mean_func, scale_func if scale_func is not None else cov_func)
         self.nu = nu
+
+    def __add__(self, other):
+        # reference gp.py:316-318
+        raise TypeError("Student's T processes aren't additive")
+
+    def conditional(self, name, Xnew, jitter=None, **kwargs):
+        """TP conditional: dof grows by n and the covariance carries the
+        Mahalanobis-beta correction (reference gp.py:360-380)."""
+        import pymc_tpu as pm
+
+        Xnew = jnp.asarray(Xnew) if not is_node(Xnew) else Xnew
+        X, f = self.X, self.f
+        Kxx = _stabilize(self.cov_func(X), jitter)
+        Kxs = self.cov_func(X, Xnew)
+        Kss = self.cov_func(Xnew)
+        mu_x = self.mean_func(X)
+        mu_s = self.mean_func(Xnew)
+
+        def cond(kxx, kxs, kss, mx, ms, fv, nu):
+            from jax.scipy.linalg import solve_triangular
+
+            L = cholesky_batched(kxx)
+            A = solve_triangular(L, kxs, lower=True)
+            v = solve_triangular(L, fv - mx, lower=True)
+            mu = ms + A.T @ v
+            beta = jnp.sum(v**2)
+            n = kxx.shape[0]
+            nu_new = nu + n
+            cov = kss - A.T @ A
+            cov = ((nu + beta - 2.0) / (nu_new - 2.0)) * cov
+            return mu, cov + _JITTER * jnp.eye(cov.shape[0], dtype=cov.dtype), nu_new
+
+        args = (Kxx, Kxs, Kss, mu_x, mu_s, f, self.nu)
+        mu = apply(lambda *a: cond(*a)[0], *args)
+        cov = apply(lambda *a: cond(*a)[1], *args)
+        nu_new = apply(lambda *a: cond(*a)[2], *args)
+        return pm.MvStudentT(name, nu=nu_new, mu=mu, cov=cov, **kwargs)
 
     def prior(self, name, X, reparameterize=True, jitter=None, **kwargs):
         import pymc_tpu as pm
@@ -173,6 +232,16 @@ class Marginal(Base):
         self.y = None
         self.sigma = None
 
+    @staticmethod
+    def _as_noise_func(sigma):
+        """A scalar sigma becomes WhiteNoise(sigma); a Covariance is used
+        directly as the noise kernel (reference gp.py:522-527)."""
+        from . import cov as gp_cov
+
+        if isinstance(sigma, gp_cov.Covariance):
+            return sigma
+        return gp_cov.WhiteNoise(sigma)
+
     def marginal_likelihood(self, name, X, y, sigma=None, noise=None,
                             jitter=None, is_observed=True, **kwargs):
         import pymc_tpu as pm
@@ -182,27 +251,51 @@ class Marginal(Base):
         if sigma is None:
             raise ValueError("Marginal requires sigma (noise level)")
         X = jnp.asarray(X) if not is_node(X) else X
+        noise_func = self._as_noise_func(sigma)
         mu = self.mean_func(X)
         K = self.cov_func(X)
+        Knx = noise_func(X)
         cov = apply(
-            lambda k, s: k + (s**2 + _JITTER) * jnp.eye(k.shape[-1], dtype=k.dtype),
-            K, sigma,
+            lambda k, kn: k + kn + _JITTER * jnp.eye(k.shape[-1], dtype=k.dtype),
+            K, Knx,
         )
-        self.X, self.y, self.sigma, self._jitter = X, y, sigma, jitter
+        self.X, self.y, self.sigma, self._jitter = X, y, noise_func, jitter
         return pm.MvNormal(name, mu=mu, cov=cov, observed=y, **kwargs)
 
-    def _build_conditional(self, Xnew, pred_noise, diag, jitter):
-        X, y, sigma = self.X, self.y, self.sigma
-        Kxx = self.cov_func(X)
+    def _get_given_vals(self, given):
+        """Reference gp.py:512-528: `given` may carry the additive total gp
+        and its (X, y, sigma)."""
+        if given is None:
+            given = {}
+        if "gp" in given:
+            cov_total = given["gp"].cov_func
+            mean_total = given["gp"].mean_func
+        else:
+            cov_total = self.cov_func
+            mean_total = self.mean_func
+        if all(val in given for val in ("X", "y", "sigma")):
+            X, y = given["X"], given["y"]
+            noise_func = self._as_noise_func(given["sigma"])
+        else:
+            X, y, noise_func = self.X, self.y, self.sigma
+        return X, y, noise_func, cov_total, mean_total
+
+    def _build_conditional(self, Xnew, pred_noise, diag, jitter,
+                           X, y, noise_func, cov_total, mean_total):
+        Kxx = cov_total(X)
+        Knx = noise_func(X)
         Kxs = self.cov_func(X, Xnew)
-        mu_x = self.mean_func(X)
+        mu_x = mean_total(X)
         mu_s = self.mean_func(Xnew)
         Kss = self.cov_func(Xnew, diag=diag) if diag else self.cov_func(Xnew)
+        Kns = (
+            noise_func(Xnew, diag=diag) if diag else noise_func(Xnew)
+        ) if pred_noise else None
 
-        def cond(kxx, kxs, kss, mx, ms, yv, s):
+        def cond(kxx, knx, kxs, kss, mx, ms, yv, kns=None):
             n = kxx.shape[0]
             jit_val = _resolve_jitter(jitter, kxx.dtype)
-            Ky = kxx + (s**2 + jit_val) * jnp.eye(n, dtype=kxx.dtype)
+            Ky = kxx + knx + jit_val * jnp.eye(n, dtype=kxx.dtype)
             L = cholesky_batched(Ky)
             from jax.scipy.linalg import solve_triangular
 
@@ -212,35 +305,41 @@ class Marginal(Base):
             if diag:
                 var = kss - jnp.sum(A**2, axis=0)
                 if pred_noise:
-                    var = var + s**2
+                    var = var + kns
                 return mu, var
             cov = kss - A.T @ A
             if pred_noise:
-                cov = cov + s**2 * jnp.eye(cov.shape[0], dtype=cov.dtype)
+                cov = cov + kns
             return mu, cov + _resolve_jitter(jitter, cov.dtype) * jnp.eye(
                 cov.shape[0], dtype=cov.dtype)
 
-        mu = apply(lambda *a: cond(*a)[0], Kxx, Kxs, Kss, mu_x, mu_s, y, sigma)
-        cov = apply(lambda *a: cond(*a)[1], Kxx, Kxs, Kss, mu_x, mu_s, y, sigma)
+        args = (Kxx, Knx, Kxs, Kss, mu_x, mu_s, y)
+        if pred_noise:
+            args = args + (Kns,)
+        mu = apply(lambda *a: cond(*a)[0], *args)
+        cov = apply(lambda *a: cond(*a)[1], *args)
         return mu, cov
 
-    def conditional(self, name, Xnew, pred_noise=False, jitter=None,
-                    **kwargs):
+    def conditional(self, name, Xnew, pred_noise=False, given=None,
+                    jitter=None, **kwargs):
         import pymc_tpu as pm
 
         Xnew = jnp.asarray(Xnew) if not is_node(Xnew) else Xnew
-        mu, cov = self._build_conditional(Xnew, pred_noise, False, jitter)
+        givens = self._get_given_vals(given)
+        mu, cov = self._build_conditional(Xnew, pred_noise, False, jitter,
+                                          *givens)
         return pm.MvNormal(name, mu=mu, cov=cov, **kwargs)
 
     def predict(self, Xnew, point=None, diag=False, pred_noise=False,
-                jitter=None, model=None):
+                given=None, jitter=None, model=None):
         """Closed-form predictive moments at a point (reference
         Marginal.predict)."""
         from ..graph import evaluate
-        from ..model.core import modelcontext
 
         Xnew = jnp.asarray(Xnew)
-        mu, cov = self._build_conditional(Xnew, pred_noise, diag, jitter)
+        givens = self._get_given_vals(given)
+        mu, cov = self._build_conditional(Xnew, pred_noise, diag, jitter,
+                                          *givens)
         env = dict(point or {})
         return (
             np.asarray(jax.device_get(evaluate(mu, env))),
@@ -260,6 +359,14 @@ class MarginalApprox(Marginal):
             raise NotImplementedError(f"approx must be one of {self._available_approx}")
         self.approx = approx
         super().__init__(mean_func, cov_func)
+
+    def __add__(self, other):
+        # reference gp.py MarginalApprox.__add__: only same approximations add
+        new_gp = super().__add__(other)
+        if not self.approx == other.approx:
+            raise TypeError("Cannot add GPs with different approximations")
+        new_gp.approx = self.approx
+        return new_gp
 
     def marginal_likelihood(self, name, X, Xu, y, sigma=None, noise=None,
                             jitter=None, is_observed=True, **kwargs):
@@ -318,14 +425,32 @@ class MarginalApprox(Marginal):
         pot = apply(logp, Kuu, Kuf, Kffd, mu_x, jnp.asarray(y), sigma)
         return Potential(name, pot)
 
-    def _build_conditional(self, Xnew, pred_noise, diag, jitter):
-        X, Xu, y, sigma = self.X, self.Xu, self.y, self.sigma
-        Kuu = self.cov_func(Xu)
-        Kuf = self.cov_func(Xu, X)
-        Kffd = self.cov_func(X, diag=True)
+    def _get_given_vals(self, given):
+        """Reference MarginalApprox._get_given_vals (X, Xu, y, sigma)."""
+        if given is None:
+            given = {}
+        if "gp" in given:
+            cov_total = given["gp"].cov_func
+            mean_total = given["gp"].mean_func
+        else:
+            cov_total = self.cov_func
+            mean_total = self.mean_func
+        if all(val in given for val in ("X", "Xu", "y", "sigma")):
+            X, Xu, y, sigma = given["X"], given["Xu"], given["y"], given["sigma"]
+        else:
+            X, Xu, y, sigma = self.X, self.Xu, self.y, self.sigma
+        return X, Xu, y, sigma, cov_total, mean_total
+
+    def _build_conditional(self, Xnew, pred_noise, diag, jitter,
+                           X, Xu, y, sigma, cov_total, mean_total):
+        # Quu/Qff pieces come from the TOTAL kernel; the cross/new terms
+        # from THIS component (reference MarginalApprox._build_conditional)
+        Kuu = cov_total(Xu)
+        Kuf = cov_total(Xu, X)
+        Kffd = cov_total(X, diag=True)
         Kus = self.cov_func(Xu, Xnew)
         Kss = self.cov_func(Xnew, diag=diag) if diag else self.cov_func(Xnew)
-        mu_x = self.mean_func(X)
+        mu_x = mean_total(X)
         mu_s = self.mean_func(Xnew)
         approx = self.approx
 
