@@ -341,6 +341,10 @@ def sample(
     )
     chain_idx = jnp.arange(chains)
 
+    if str(sampler).lower() not in ("nuts", "chees"):
+        raise ValueError(
+            f"Unknown sampler {sampler!r}: expected 'nuts' or 'chees'"
+        )
     use_chees = str(sampler).lower() == "chees"
     if use_chees:
         from .chees import CheesState, chees_step, halton_sequence
