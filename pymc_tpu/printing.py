@@ -17,11 +17,14 @@ def _fmt_param(p):
     if p is None:
         return "None"
     if isinstance(p, (FreeRV, ObservedRV)):
+        if p.name and p.name.startswith("_anon_rv_"):
+            # unnamed .dist() leaf (reference prints e.g. '<normal>')
+            return f"<{type(p.dist).__name__.lower()}>"
         return p.name
     if isinstance(p, DataNode):
         return p.name
     if isinstance(p, DeterministicNode):
-        return p.name if p.name else "f()"
+        return p.name if p.name else f"f({', '.join(_named_parents(p))})"
     if isinstance(p, Node):
         return "f()"
     arr = np.asarray(p)
@@ -30,7 +33,34 @@ def _fmt_param(p):
         if isinstance(v, float):
             return f"{v:.4g}"
         return str(v)
-    return f"<{'x'.join(map(str, arr.shape))}>"
+    # array params print as an opaque constant (reference printing.py)
+    return "<constant>"
+
+
+def _named_parents(node):
+    """Nearest NAMED ancestors of a deterministic/potential expression — the
+    'f(alpha, beta)' argument list in the reference's
+    'mu = Deterministic(f(alpha, beta))' format."""
+    from .graph import _parents
+
+    out, seen = [], set()
+    stack = list(_parents(node))
+    while stack:
+        p = stack.pop(0)
+        if id(p) in seen:
+            continue
+        seen.add(id(p))
+        name = getattr(p, "name", None)
+        if name and not name.startswith("_anon_rv_"):
+            if name not in out:
+                out.append(name)
+        elif isinstance(p, (FreeRV, ObservedRV)):
+            label = f"<{type(p.dist).__name__.lower()}>"
+            if label not in out:
+                out.append(label)
+        else:
+            stack.extend(_parents(p))
+    return out
 
 
 def _latex_escape(s):
@@ -63,9 +93,11 @@ def str_for_model(model, formatting="plain"):
     for orv in model.observed_RVs:
         lines.append(str_for_dist(orv, formatting))
     for det in model.deterministics:
-        lines.append(f"{det.name} ~ Deterministic")
+        lines.append(str_for_potential_or_deterministic(det, formatting))
     for pot in model.potentials:
-        lines.append(f"{pot.name} ~ Potential")
+        lines.append(
+            str_for_potential_or_deterministic(pot, formatting, "Potential")
+        )
     return "\n".join(lines)
 
 
@@ -81,9 +113,17 @@ def str_for_model_latex(model):
             rf"\operatorname{{{dist_name}}}({params})"
         )
     for det in model.deterministics:
-        rows.append(rf"{det.name} &\sim \operatorname{{Deterministic}}")
+        args = _latex_escape(", ".join(_named_parents(det)))
+        rows.append(
+            rf"\text{{{_latex_escape(det.name)}}} &= "
+            rf"\operatorname{{Deterministic}}(f({args}))"
+        )
     for pot in model.potentials:
-        rows.append(rf"{pot.name} &\sim \operatorname{{Potential}}")
+        args = _latex_escape(", ".join(_named_parents(pot)))
+        rows.append(
+            rf"\text{{{_latex_escape(pot.name)}}} &\sim "
+            rf"\operatorname{{Potential}}(f({args}))"
+        )
     body = r" \\ ".join(rows)
     return rf"$$\begin{{aligned}} {body} \end{{aligned}}$$"
 
@@ -96,9 +136,12 @@ def str_for_data_var(var, formatting="plain"):
 
 def str_for_potential_or_deterministic(var, formatting="plain",
                                        dist_name="Deterministic"):
-    """Reference printing.py: '<name> ~ Deterministic(f(...))'."""
+    """Reference printing.py formats: 'mu = Deterministic(f(alpha, beta))'
+    and 'pot ~ Potential(f(mu))' — deterministics use '=', potentials '~'."""
     name = getattr(var, "name", "<unnamed>")
-    return f"{name} ~ {dist_name}(f(...))"
+    args = ", ".join(_named_parents(var)) if isinstance(var, Node) else ""
+    sep = "=" if dist_name == "Deterministic" else "~"
+    return f"{name} {sep} {dist_name}(f({args}))"
 
 
 def model_table(model, formatting="plain"):
