@@ -47,10 +47,17 @@ class CustomDist(Distribution):
         moment=None,
         ndim_supp=0,
         ndims_params=None,
+        signature=None,
         dtype="floatX",
         transform=None,
         class_name="CustomDist",
     ):
+        if signature is not None:
+            # gufunc-style signature "(n),(m)->(n)" resolves ndims_params /
+            # ndim_supp (reference custom.py signature support)
+            ndims_params, ndim_supp = _parse_signature(
+                signature, len(dist_params), class_name
+            )
         self.dist_params = tuple(as_param(p) for p in dist_params)
         self.param_names = tuple(f"_p{i}" for i in range(len(self.dist_params)))
         self.param_event_ndims = tuple(
@@ -214,6 +221,35 @@ class CustomDist(Distribution):
             return jnp.asarray(self._support_point_fn(*params))
         # default: zeros (reference uses zeros/ones heuristics)
         return jnp.zeros((), dtype=self.dtype)
+
+
+def _parse_signature(signature, n_params, class_name):
+    """Parse a gufunc signature "(n),(m)->(n)" into per-param core ndims and
+    the output support ndim (reference CustomDist signature= handling)."""
+    import re
+
+    if "->" not in signature:
+        raise ValueError(
+            f"{class_name}: invalid signature {signature!r} (missing '->')"
+        )
+    ins, outs = signature.split("->")
+    in_specs = re.findall(r"\(([^)]*)\)", ins)
+    out_specs = re.findall(r"\(([^)]*)\)", outs)
+    if not out_specs:
+        raise ValueError(
+            f"{class_name}: invalid signature {signature!r} (no output spec)"
+        )
+    if len(in_specs) != n_params:
+        raise ValueError(
+            f"{class_name}: signature {signature!r} declares "
+            f"{len(in_specs)} inputs but {n_params} dist_params were given"
+        )
+
+    def core(spec):
+        spec = spec.strip()
+        return 0 if not spec else len(spec.split(","))
+
+    return [core(sp) for sp in in_specs], core(out_specs[0])
 
 
 DensityDist = CustomDist  # deprecated alias (reference custom.py:851)
