@@ -83,9 +83,12 @@ class _AxesToTrailing(_pt.Transform):
         return self._from_trailing(self.base.backward(self._to_trailing(v), env))
 
     def log_jac_det(self, v, env=None):
-        # the core jacobian collapses the trailing (core) axes; the result
-        # carries the remaining batch axes (consumers sum it)
-        return self.base.log_jac_det(self._to_trailing(v), env)
+        # the wrapper declares the FULL array as one transform block
+        # (event_ndim = ndim), so its correction must be the block total:
+        # the core jacobian collapses only the trailing (permuted core)
+        # axes — sum the remaining batch axes into the block scalar, or the
+        # model's jacobian-shape guard rightly rejects the mismatch
+        return jnp.sum(self.base.log_jac_det(self._to_trailing(v), env))
 
     def _map_shape(self, shape, base_map):
         shape = list(shape)

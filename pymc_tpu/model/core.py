@@ -338,6 +338,10 @@ class Model:
         name = self.name_for(name)
         if dims is not None and isinstance(dims, str):
             dims = (dims,)
+        if dims is not None and len(dims) < len(dist.shape):
+            # partial dims label the TRAILING axes (pm.dims core_dims on an
+            # observed var with unnamed batch axes); pad the lead with None
+            dims = (None,) * (len(dist.shape) - len(dims)) + tuple(dims)
         # register any new dims implied
         if dims is not None:
             for d, ln in zip(dims, dist.shape):
