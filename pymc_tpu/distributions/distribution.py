@@ -224,7 +224,11 @@ class Distribution:
             kwargs.setdefault("shape", np.shape(obs_arr))
         if (dims is not None and kwargs.get("shape") is None
                 and kwargs.get("size") is None and observed is None):
-            kwargs.setdefault("shape", model.shape_from_dims(dims))
+            dims_t = (dims,) if isinstance(dims, str) else tuple(dims)
+            if all(isinstance(d, str) for d in dims_t):
+                kwargs.setdefault("shape", model.shape_from_dims(dims))
+            # dims containing None: the shape comes from the params
+            # (reference issue #6335 — partially-dimmed RVs are valid)
         # kwargs only meaningful on the named path (e.g. Ordered* compute_p)
         named_kwargs = {
             k: kwargs.pop(k)

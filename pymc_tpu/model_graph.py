@@ -71,6 +71,19 @@ class ModelGraph:
                 out.append((parent, pot.name))
         return sorted(set(out))
 
+    def vars_to_plot(self, var_names=None):
+        """Selection semantics of the reference (model_graph.py
+        vars_to_plot): the named variables plus their direct parents."""
+        if var_names is None:
+            return set(self.model.named_vars)
+        keep = set(var_names)
+        unknown = keep - set(self.model.named_vars)
+        if unknown:
+            raise KeyError(f"Unknown model variables: {sorted(unknown)}")
+        for name in list(keep):
+            keep |= self._node_parents(self.model.named_vars[name])
+        return keep
+
     def node_kind(self, var):
         if isinstance(var, FreeRV):
             return "free"
@@ -126,7 +139,7 @@ def model_to_graphviz(model=None, *, var_names=None, formatting="plain",
         "data": dict(shape="box", style="rounded"),
         "potential": dict(shape="octagon"),
     }
-    keep = set(var_names) if var_names else None
+    keep = mg.vars_to_plot(var_names) if var_names else None
     for label, names in mg.plates().items():
         names = [n for n in names if keep is None or n in keep]
         if not names:
@@ -153,8 +166,11 @@ def model_to_mermaid(model=None, *, var_names=None):
     """Reference model_to_mermaid."""
     model = modelcontext(model)
     mg = ModelGraph(model)
+    keep = mg.vars_to_plot(var_names) if var_names else None
     lines = ["graph TD"]
     for name, var in model.named_vars.items():
+        if keep is not None and name not in keep:
+            continue
         kind = mg.node_kind(var)
         label = mg.node_label(var).replace("\n", "<br>")
         if kind == "observed":
@@ -164,7 +180,8 @@ def model_to_mermaid(model=None, *, var_names=None):
         else:
             lines.append(f'  {name}(("{label}"))')
     for a, b in mg.edges():
-        lines.append(f"  {a} --> {b}")
+        if keep is None or (a in keep and b in keep):
+            lines.append(f"  {a} --> {b}")
     return "\n".join(lines)
 
 
@@ -174,9 +191,13 @@ def model_to_networkx(model=None, *, var_names=None):
 
     model = modelcontext(model)
     mg = ModelGraph(model)
+    keep = mg.vars_to_plot(var_names) if var_names else None
     G = nx.DiGraph()
     for name, var in model.named_vars.items():
+        if keep is not None and name not in keep:
+            continue
         G.add_node(name, kind=mg.node_kind(var), label=mg.node_label(var))
     for a, b in mg.edges():
-        G.add_edge(a, b)
+        if keep is None or (a in keep and b in keep):
+            G.add_edge(a, b)
     return G
