@@ -58,7 +58,16 @@ def _clone_transform(tr, memo, replace):
 
 def _clone_node(node, memo, replace):
     if id(node) in replace:
-        return replace[id(node)]
+        # clone the REPLACEMENT through the same memo: if it is (or contains)
+        # a node of this model (e.g. remove_minibatched_nodes swapping a
+        # minibatch view for its full pm.Data source), every reference must
+        # resolve to the clone's single copy — injecting the original
+        # verbatim would leave TWO DataNodes named 'y', and set_data on the
+        # clone would update the one the graph doesn't read
+        rep = replace[id(node)]
+        if isinstance(rep, Node):
+            return _clone_node(rep, memo, {})
+        return rep
     if id(node) in memo:
         return memo[id(node)]
     if isinstance(node, ConstantNode):
@@ -185,26 +194,44 @@ def prune_vars_detached_from_observed(model):
 
 
 def remove_minibatched_nodes(model):
-    """Replace Minibatch views by their full data (reference
-    transform/basic.py:66)."""
+    """Replace EVERY Minibatch view in the graph by its full data source —
+    observed values AND dist parameters / deterministics built from
+    minibatch slices (reference transform/basic.py:66 removes the Minibatch
+    ops wherever they appear)."""
     from ...graph import ancestors
 
-    replace = {}
+    roots = []
     for orv in model.observed_RVs:
-        obs = orv.observed
-        if isinstance(obs, Node) and getattr(obs, "is_minibatch", False):
-            full = obs.args[0] if isinstance(obs, DeterministicNode) else None
-            if full is not None:
-                replace[obs] = (
-                    full if isinstance(full, Node) else ConstantNode(full)
-                )
+        if isinstance(orv.observed, Node):
+            roots.append(orv.observed)
+        roots.extend(p for p in orv.dist.param_values() if isinstance(p, Node))
+    for rv in model.free_RVs:
+        roots.extend(p for p in rv.dist.param_values() if isinstance(p, Node))
+    roots.extend(model.deterministics)
+    roots.extend(model.potentials)
+
+    replace = {}
+    for node in ancestors(roots):
+        if getattr(node, "is_minibatch", False) and isinstance(
+            node, DeterministicNode
+        ):
+            full = node.args[0]
+            replace[node] = (
+                full if isinstance(full, Node) else ConstantNode(full)
+            )
     if not replace:
         return clone_model(model)
-    new = model_map(model, replace={k: v for k, v in replace.items()})
+    new = model_map(model, replace=replace)
+    from ...graph import DataNode
+
     for orv in new.observed_RVs:
         orv.scale = 1.0
-        if not isinstance(orv.observed, Node):
-            continue
+        # the dist's shape metadata was frozen at the MINIBATCH size; point
+        # it at the full data (live, so set_data predictions resize)
+        orv.dist._shape_arg = tuple(orv.shape)
+        if isinstance(orv.observed, DataNode):
+            orv.dist._shape_node = orv.observed
+        orv.dist._resolve_shapes()
     return new
 
 

@@ -61,15 +61,20 @@ class Approximation:
         return unravel_vector(mu, self.info)
 
     def sample(self, draws=1000, random_seed=None, return_inferencedata=True,
-               **kwargs):
+               model=None, **kwargs):
         """Draw from the approximation -> InferenceData (reference
-        Approximation.sample)."""
+        Approximation.sample). The posterior is post-processed against
+        ``model`` / the active model context when given — the reference's
+        ``with remove_minibatched_nodes(model): approx.sample()`` idiom,
+        where deterministics re-evaluate over the FULL data."""
+        from ..model.core import Model
         from ..sampling.mcmc import _make_postprocess_fn, _resolve_seed
         from ..backends.arviz import to_inference_data
 
+        target = model or Model.get_context(False) or self.model
         key = _resolve_seed(random_seed)
         z = self.sample_q(self.params, key, draws)  # (draws, D)
-        post_fn = jax.jit(jax.vmap(_make_postprocess_fn(self.model, self.info)))
+        post_fn = jax.jit(jax.vmap(_make_postprocess_fn(target, self.info)))
         out = post_fn(z)
         posterior = {
             k: np.asarray(jax.device_get(v))[None]
@@ -77,7 +82,7 @@ class Approximation:
         }
         if not return_inferencedata:
             return posterior
-        return to_inference_data(self.model, posterior=posterior)
+        return to_inference_data(target, posterior=posterior)
 
     def sample_dict_fn(self, draws=1):
         def fn(key):
