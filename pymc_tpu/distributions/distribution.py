@@ -525,6 +525,11 @@ class DiracDelta(Discrete):
         )
         return jnp.where(match, 0.0, -jnp.inf)
 
+    def _logcdf(self, value, c):
+        # log P(X <= value) = 0 where value >= c else -inf (reference
+        # DiracDelta.logcdf)
+        return jnp.where(value >= c, 0.0, -jnp.inf)
+
     def _sample(self, key, shape, c):
         return jnp.broadcast_to(c, shape)
 

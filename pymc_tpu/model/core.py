@@ -618,8 +618,22 @@ class Model:
         free_RVs = list(self.free_RVs)
         observed_RVs = list(self.observed_RVs)
         potentials = list(self.potentials)
+        check_bounds = bool(self.check_bounds)
 
         def fn(value_dict):
+            # honor Model(check_bounds=False): the parameter guards read the
+            # global flag at TRACE time, and this fn traces under jit here
+            # (reference threads model.check_bounds into logp compilation)
+            from ..config import config as _config
+
+            prev_check = _config.check_bounds
+            _config.check_bounds = check_bounds and prev_check
+            try:
+                return _fn_body(value_dict)
+            finally:
+                _config.check_bounds = prev_check
+
+        def _fn_body(value_dict):
             memo = {}
             env = {}
             for extra in (("__minibatch_key__",), ("__simulator_key__",)):
