@@ -390,8 +390,31 @@ def compute_deterministics(
     return ds
 
 
-def vectorize_over_posterior(fn, idata, model=None):
-    """Apply fn(env) over every posterior draw (reference forward.py:1337)."""
+def vectorize_over_posterior(fn=None, idata=None, model=None, *,
+                             outputs=None, posterior=None, input_rvs=None,
+                             allow_rvs_in_graph=True, random_seed=None):
+    """Apply a computation over every posterior draw (reference
+    forward.py:1337 vectorize_over_posterior).
+
+    Two call forms:
+
+    - ``vectorize_over_posterior(fn, idata)`` — functional form: fn(env)
+      is vmapped over the flattened (chain·draw) posterior.
+    - ``vectorize_over_posterior(outputs=[nodes], posterior=ds,
+      input_rvs=[rvs], allow_rvs_in_graph=...)`` — reference signature:
+      each output expression is evaluated per posterior draw with the
+      ``input_rvs`` bound from ``posterior``; any OTHER random variable
+      reachable from the outputs is resampled independently per draw when
+      ``allow_rvs_in_graph`` (else RuntimeError, matching the reference
+      contract). Returns a list of (chains, draws, ...) arrays (concrete —
+      the idiomatic JAX equivalent of the reference's symbolic batched
+      graph).
+    """
+    if outputs is not None:
+        return _vectorize_outputs_over_posterior(
+            outputs, posterior, input_rvs or [], allow_rvs_in_graph,
+            random_seed,
+        )
     model = modelcontext(model)
     post = idata.posterior
     traced = {}
@@ -405,6 +428,87 @@ def vectorize_over_posterior(fn, idata, model=None):
     return jax.tree.map(
         lambda v: np.asarray(jax.device_get(v)).reshape((C, D) + v.shape[1:]), out
     )
+
+
+def _vectorize_outputs_over_posterior(outputs, posterior, input_rvs,
+                                      allow_rvs_in_graph, random_seed):
+    from ..graph import FreeRV, Node, ObservedRV, _parents, evaluate, rv_ancestors
+
+    outputs = [
+        o.to_node() if getattr(o, "_lift_to_node", False) else o
+        for o in outputs
+    ]
+    input_rvs = list(input_rvs)
+    input_names = {rv.name for rv in input_rvs}
+
+    def _arr(name):
+        v = posterior[name]
+        return np.asarray(getattr(v, "values", v))
+
+    given = {rv.name: _arr(rv.name) for rv in input_rvs}
+    if given:
+        C, D = next(iter(given.values())).shape[:2]
+    else:
+        names = list(getattr(posterior, "data_vars", posterior))
+        C, D = _arr(names[0]).shape[:2]
+
+    rvs = rv_ancestors(outputs)
+    volatile = [rv for rv in rvs if rv.name not in input_names]
+    if volatile and not allow_rvs_in_graph:
+        raise RuntimeError(
+            "The following random variables found in the extracted graph "
+            f"would be resampled: {[rv.name or '<anonymous>' for rv in volatile]} "
+            "(pass allow_rvs_in_graph=True or list them in input_rvs)"
+        )
+
+    # dependency order over the volatile RVs (reference walks the
+    # toposorted graph)
+    deps = {
+        id(rv): [
+            a for a in rv_ancestors(list(_parents(rv))) if a is not rv
+        ]
+        for rv in volatile
+    }
+    satisfied = set(input_names)
+    order, placed = [], set()
+    while len(order) < len(volatile):
+        progressed = False
+        for rv in volatile:
+            if id(rv) in placed:
+                continue
+            if all(
+                id(d) in placed or d.name in satisfied for d in deps[id(rv)]
+            ):
+                order.append(rv)
+                placed.add(id(rv))
+                progressed = True
+        if not progressed:  # pragma: no cover - DAG by construction
+            raise RuntimeError("cyclic RV dependencies")
+
+    def one(k, given_point):
+        env = dict(given_point)
+        memo = {}
+        for i, rv in enumerate(order, start=1):
+            env[rv.name] = rv.dist.sample(
+                jax.random.fold_in(k, i), (), env, memo
+            )
+            memo[id(rv)] = env[rv.name]
+        return [evaluate(o, env, memo) for o in outputs]
+
+    key = jax.random.PRNGKey(
+        int(np.random.default_rng().integers(2**30))
+        if random_seed is None else int(random_seed)
+    )
+    keys = jax.random.split(key, C * D)
+    flat = {
+        n: jnp.asarray(v.reshape((C * D,) + v.shape[2:]))
+        for n, v in given.items()
+    }
+    outs = jax.jit(jax.vmap(one))(keys, flat)
+    return [
+        np.asarray(jax.device_get(o)).reshape((C, D) + o.shape[1:])
+        for o in outs
+    ]
 
 
 def compile_forward_sampling_function(

@@ -5,7 +5,7 @@ from .updates import (
     apply_nesterov_momentum, momentum, nesterov_momentum, norm_constraint,
     rmsprop, sgd, total_norm_constraint,
 )
-from .approximations import Empirical, FullRank, MeanField
+from .approximations import Empirical, FullRank, MeanField, VIState
 from .callbacks import CheckParametersConvergence, Tracker
 from . import operators, test_functions
 from .inference import (ADVI, ASVGD, SVGD, FullRankADVI, ImplicitGradient,
@@ -29,6 +29,7 @@ __all__ = [
     "MeanField",
     "FullRank",
     "Empirical",
+    "VIState",
     "CheckParametersConvergence",
     "Tracker",
     "updates",

@@ -12,6 +12,8 @@ InferenceData through the same postprocess path as MCMC.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -19,9 +21,18 @@ import jax.numpy as jnp
 from ..blocking import unravel_vector
 from ..config import floatX
 
-__all__ = ["Approximation", "MeanField", "FullRank", "Empirical"]
+__all__ = ["Approximation", "MeanField", "FullRank", "Empirical", "VIState"]
 
 _LOG_2PI = 1.8378770664093453
+
+
+class VIState(NamedTuple):
+    """Fitted-state snapshot (reference opvi.py:122 VIState): per-variable
+    mean/std DataArrays in CONSTRAINED space (std is None for families
+    without a density, e.g. Empirical)."""
+
+    mean: dict
+    std: dict | None
 
 
 class Approximation:
@@ -91,6 +102,158 @@ class Approximation:
 
         return fn
 
+    # -- expression sampling (reference opvi.py Approximation.sample_node /
+    # symbolic_sample_over_posterior) --------------------------------------
+    def _constrain_env(self, z_flat):
+        """flat unconstrained vector -> {rv_name: constrained value} env."""
+        vals = unravel_vector(z_flat, self.info)
+        env = {}
+        for rv in self.model.free_RVs:
+            v = vals[rv.value_name]
+            env[rv.name] = (
+                rv.transform.backward(v, env) if rv.transform is not None else v
+            )
+        return env
+
+    def sample_node(self, node, size=None, deterministic=False,
+                    more_replacements=None, random_seed=None):
+        """Evaluate a model expression under the approximation (reference
+        opvi.py Approximation.sample_node): free RVs reachable from ``node``
+        are replaced by draws from q — or by the posterior mean when
+        ``deterministic`` is truthy. With ``size=k`` the result gains a
+        leading (k,) axis of independent draws; without it, one draw is
+        returned at the expression's own shape. ``more_replacements`` maps
+        graph Nodes to replacement values (evaluated in their place — the
+        reference's more_replacements; use it to swap pm.Data / minibatch
+        views for new arrays). Each unseeded call uses fresh randomness."""
+        from ..graph import Node, as_node, evaluate
+        from ..sampling.mcmc import _resolve_seed
+
+        node = node if isinstance(node, Node) else as_node(node)
+        repl = {}
+        if more_replacements:
+            for k, v in more_replacements.items():
+                repl[id(k)] = jnp.asarray(v)
+
+        def eval_at(z):
+            memo = dict(repl)
+            env = self._constrain_env(z)
+            return evaluate(node, env, memo)
+
+        if deterministic:
+            out = eval_at(self._mean_flat())
+            if size is not None:
+                out = jnp.broadcast_to(
+                    out[None], (int(size),) + tuple(np.shape(out))
+                )
+            return out
+        if random_seed is not None:
+            key = _resolve_seed(random_seed)
+        else:
+            if not hasattr(self, "_node_key"):
+                self._node_key = _resolve_seed(None)
+                self._node_calls = 0
+            self._node_calls += 1
+            key = jax.random.fold_in(self._node_key, self._node_calls)
+        n = 1 if size is None else int(size)
+        z = self.sample_q(self.params, key, n)
+        out = jax.vmap(eval_at)(z)
+        return out[0] if size is None else out
+
+    # -- named fitted-state views (reference opvi.py:1184-1229) ------------
+    def _std_flat(self):
+        raise NotImplementedError(
+            f"{type(self).__name__} approximation has no parametric std"
+        )
+
+    def _named_data(self, flat):
+        """flat value-space vector -> {value_name: DataVar} with model
+        dims/coords where the value var shares the RV's shape (reference
+        mean_data/std_data: keyed by TRANSFORMED names, e.g. sigma_log__)."""
+        from ..backends.inference_data import DataVar
+
+        vals = unravel_vector(flat, self.info)
+        out = {}
+        coords_map = getattr(self.model, "coords", None) or {}
+        for name, shape in zip(self.info.names, self.info.shapes):
+            arr = np.asarray(jax.device_get(vals[name]))
+            dims, coords = self._dims_coords(name, arr.shape, coords_map)
+            out[name] = DataVar(name, arr, dims=dims, coords=coords)
+        return out
+
+    def _dims_coords(self, name, shape, coords_map):
+        from ..backends.arviz import _var_dims
+
+        dims = list(_var_dims(self.model, name, shape))
+        if all(d.startswith(f"{name}_dim_") for d in dims) and dims:
+            # transformed value name: borrow the RV's dims when the value
+            # shape matches the constrained shape (elementwise transforms)
+            for rv in self.model.free_RVs:
+                if rv.value_name == name and rv.name != name:
+                    rv_dims = list(_var_dims(self.model, rv.name, shape))
+                    if tuple(getattr(rv, "value_shape", ())) == tuple(
+                        getattr(rv, "shape", ())
+                    ):
+                        dims = [
+                            d.replace(rv.name, name) if d.startswith(f"{rv.name}_dim_")
+                            else d
+                            for d in rv_dims
+                        ]
+                    break
+        coords = {
+            d: list(coords_map[d])
+            for d in dims
+            if d in coords_map and coords_map[d] is not None
+        }
+        return tuple(dims), coords
+
+    @property
+    def mean_data(self):
+        """Per-variable posterior means in the VALUE (transformed) space
+        as DataArrays (reference opvi.py:1184)."""
+        return self._named_data(self._mean_flat())
+
+    @property
+    def std_data(self):
+        """Per-variable posterior stds in the VALUE space (reference
+        opvi.py:1193). NotImplementedError for density-free families."""
+        return self._named_data(self._std_flat())
+
+    include_transformed = False
+
+    @property
+    def state(self):
+        """VIState(mean, std) in CONSTRAINED space (reference opvi.py state:
+        the mean/std vectors are mapped through the value transforms —
+        for monotone transforms the mean entry is the posterior median).
+        std is None for families without a parametric std (Empirical)."""
+        from ..backends.inference_data import DataVar
+
+        coords_map = getattr(self.model, "coords", None) or {}
+
+        def constrained(flat):
+            env = self._constrain_env(flat)
+            out = {}
+            for rv in self.model.free_RVs:
+                arr = np.asarray(jax.device_get(env[rv.name]))
+                dims, coords = self._dims_coords(rv.name, arr.shape, coords_map)
+                out[rv.name] = DataVar(rv.name, arr, dims=dims, coords=coords)
+            return out
+
+        mean = constrained(self._mean_flat())
+        try:
+            std = constrained(self._std_flat())
+        except NotImplementedError:
+            std = None
+        if self.include_transformed:
+            extra = self._named_data(self._mean_flat())
+            for k, v in extra.items():
+                mean.setdefault(k, v)
+            if std is not None:
+                for k, v in self._named_data(self._std_flat()).items():
+                    std.setdefault(k, v)
+        return VIState(mean=mean, std=std)
+
 
 class MeanField(Approximation):
     """Diagonal Gaussian over the unconstrained space
@@ -131,6 +294,9 @@ class MeanField(Approximation):
 
     def _mean_flat(self):
         return self.params["mu"]
+
+    def _std_flat(self):
+        return jax.nn.softplus(self.params["rho"])
 
     @property
     def mean(self):
@@ -195,6 +361,10 @@ class FullRank(Approximation):
 
     def _mean_flat(self):
         return self.params["mu"]
+
+    def _std_flat(self):
+        L = self._chol(self.params)
+        return jnp.sqrt(jnp.sum(L * L, axis=1))
 
     @property
     def mean(self):
