@@ -23,8 +23,11 @@ def _base_point(model, key, overrides=None, default_strategy="support_point"):
 
     overrides: {rv_name_or_value_name: array | "prior" | "support_point"}
     """
-    overrides = dict(overrides or {})
-    overrides.update(model.rvs_to_initial_values)
+    # registered initvals first, CALL-TIME overrides win (reference
+    # make_initial_point_fn: ipfns overrides > model initvals > strategy)
+    merged = dict(model.rvs_to_initial_values)
+    merged.update(overrides or {})
+    overrides = merged
     env = {}
     values = {}
     memo = {}
@@ -34,7 +37,22 @@ def _base_point(model, key, overrides=None, default_strategy="support_point"):
             x = rv.dist.support_point(env, memo)
         elif isinstance(strategy, str) and strategy == "prior":
             x = rv.dist.sample(jax.random.fold_in(key, i), (), env, memo)
+        elif isinstance(strategy, str) and strategy == "moment":
+            # reference deprecated alias for support_point
+            x = rv.dist.support_point(env, memo)
         else:
+            from .graph import Node, rv_ancestors
+
+            if isinstance(strategy, Node):
+                # reference initial_point: symbolic initvals may not depend
+                # on other random variables
+                if rv_ancestors([strategy]):
+                    raise ValueError(
+                        f"Initial value of {rv.name} depends on other random "
+                        "variables; that is not supported (reference "
+                        "initial_point contract)."
+                    )
+                strategy = evaluate(strategy)
             x = jnp.asarray(strategy)
             if x.shape != tuple(rv.shape):
                 x = jnp.broadcast_to(x, rv.shape)

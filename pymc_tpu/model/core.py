@@ -69,7 +69,23 @@ def modelcontext(model=None):
     return Model.get_context()
 
 
-class Model:
+class _InitContextMeta(type):
+    """Push the instance onto the model-context stack DURING __init__ so
+    class-based models (``class MyModel(pm.Model)``) can register variables
+    in their constructor (reference ContextMeta/InitContextMeta,
+    model/core.py context machinery)."""
+
+    def __call__(cls, *args, **kwargs):
+        instance = cls.__new__(cls)
+        _MODEL_CONTEXT.stack.append(instance)
+        try:
+            instance.__init__(*args, **kwargs)
+        finally:
+            _MODEL_CONTEXT.stack.pop()
+        return instance
+
+
+class Model(metaclass=_InitContextMeta):
     """Bayesian model: a named collection of random variables, deterministics
     and potentials, with coords/dims bookkeeping.
 
@@ -95,7 +111,21 @@ class Model:
 
     def __init__(self, name="", coords=None, check_bounds=True, model=None):
         self.name = str(name)
-        self.parent = model if model is not None else Model.get_context(False)
+        if self.name.startswith("::") or self.name.endswith("::"):
+            raise KeyError(
+                f"name {self.name!r} cannot start or end with the '::' "
+                "separator"
+            )
+        if model is not None:
+            self.parent = model
+        else:
+            # self is already on the context stack during __init__
+            # (_InitContextMeta): the parent is the nearest enclosing model
+            # that is not self
+            self.parent = next(
+                (m for m in reversed(_MODEL_CONTEXT.stack) if m is not self),
+                None,
+            )
         self.check_bounds = check_bounds
 
         if self.parent is not None:
@@ -149,6 +179,18 @@ class Model:
             root = self.__dict__.get("_root")
             if root is not None and root is not self:
                 return getattr(root, attr)
+            raise AttributeError(f"'Model' object has no attribute '{attr}'")
+        # model variables are reachable as attributes by their LOCAL name
+        # (reference class-based-model contract: `self.v2` after
+        # `pm.Normal("v2")` inside the model)
+        if not attr.startswith("_") and "name" in self.__dict__:
+            named = getattr(self.__dict__.get("_root", self), "named_vars", None)
+            if named is not None:
+                full = self.name_for(attr)
+                if full in named:
+                    return named[full]
+                if attr in named:
+                    return named[attr]
         raise AttributeError(f"'Model' object has no attribute '{attr}'")
 
     def name_for(self, name):
@@ -259,6 +301,13 @@ class Model:
     def value_names(self):
         return [rv.value_name for rv in self.free_RVs]
 
+    @property
+    def value_vars(self):
+        """The value-variable names of the free RVs, in registration order
+        (reference Model.value_vars returns the value TENSORS; here the
+        value space is named, so the names are the variables)."""
+        return [rv.value_name for rv in self.free_RVs]
+
     def __getitem__(self, key):
         return self.named_vars[key]
 
@@ -268,6 +317,13 @@ class Model:
     def add_named_variable(self, var, dims=None):
         if var.name is None:
             raise ValueError("Variable is unnamed")
+        if var.name.endswith("::") or var.name.startswith("::"):
+            raise KeyError(
+                f"name {var.name!r} cannot start or end with the '::' "
+                "separator (reference tree-naming contract)"
+            )
+        if "/" in var.name:
+            raise ValueError(f"name {var.name!r} cannot contain '/'")
         if var.name in self.named_vars:
             raise ValueError(f"Variable name {var.name} already exists.")
         if var.name in self._dim_lengths:
@@ -309,6 +365,16 @@ class Model:
 
     def normalize_observed(self, observed):
         if is_node(observed):
+            from ..graph import rv_ancestors
+
+            if rv_ancestors([observed]):
+                # reference make_obs_var: observed data cannot be (or
+                # depend on) a random variable
+                raise TypeError(
+                    "Variables that depend on random variables cannot be "
+                    "used for observed data (got a random-variable "
+                    f"expression {observed!r})."
+                )
             observed = evaluate(observed)
         arr = np.asarray(observed)
         return arr
@@ -352,18 +418,39 @@ class Model:
         if observed is not None:
             return self._make_obs_var(dist, name, observed, dims, total_size)
 
-        # resolve transform: explicit `transform` wins; then default_transform;
-        # then the dist's own default (reference create_value_var :2085).
-        # transform=None explicitly disables the transform.
-        if transform is UNSET:
+        # resolve transform (reference create_value_var :2085): the user
+        # `transform=` CHAINS on top of the default transform (dist default,
+        # or `default_transform=` when given); `default_transform=None`
+        # disables the default. `transform=None` is the deprecated way to
+        # disable and warns (reference TestTransformArgs.test_transform_warning).
+        if transform is None:
+            warnings.warn(
+                "To disable default transform, please use "
+                "default_transform=None instead of transform=None. Setting "
+                "transform to None will not have any effect in future.",
+                UserWarning,
+                stacklevel=3,
+            )
             if default_transform is UNSET:
-                tr = dist.default_transform()
-            else:
-                tr = default_transform
+                default_transform = None
+            transform = UNSET
+        base = (
+            dist.default_transform()
+            if default_transform is UNSET else default_transform
+        )
+        if base is False:
+            base = None
+        user = None if transform is UNSET else transform
+        if user is False:
+            user = None
+        if base is None:
+            tr = user
+        elif user is None:
+            tr = base
         else:
-            tr = transform
-        if tr is False:
-            tr = None
+            from ..distributions.transforms import ChainedTransform
+
+            tr = ChainedTransform([base, user])
         if tr is not None:
             if dist.is_discrete:
                 raise ValueError(
@@ -397,6 +484,15 @@ class Model:
 
     def _make_obs_var(self, dist, name, observed, dims, total_size):
         if is_node(observed):
+            from ..graph import rv_ancestors
+
+            if rv_ancestors([observed]):
+                # reference make_obs_var: observed data cannot be (or
+                # depend on) a random variable
+                raise TypeError(
+                    f"Variables that depend on other nodes cannot be used "
+                    f"for observed data (got a random variable for {name!r})."
+                )
             # symbolic observed (Minibatch view): no NaN/shape normalization
             rv = ObservedRV(name, dist, observed, model=self.root)
             if total_size is not None:
@@ -776,6 +872,42 @@ class Model:
     def compile_dlogp(self, jacobian=True):
         logp = self.logp_fn(jacobian=jacobian)
         return jax.jit(jax.grad(logp))
+
+    def compile_d2logp(self, jacobian=True, negate_output=False):
+        """Jitted dense Hessian of the joint logp over the raveled
+        continuous values (reference Model.d2logp/compile_d2logp — which
+        returns the NEGATIVE Hessian by default; pass negate_output=True
+        for that convention). fn(value_dict) -> (D, D)."""
+        info = self.raveled_info()
+        scalar_logp = self.logp_fn(jacobian=jacobian)
+
+        def f(q):
+            return scalar_logp(unravel_vector(q, info))
+
+        hess = jax.hessian(f)
+
+        @jax.jit
+        def fn(value_dict):
+            q = ravel_point(value_dict, info)
+            h = hess(q)
+            return -h if negate_output else h
+
+        return fn
+
+    def tempered_logp_dlogp_fn(self, jacobian=True):
+        """fn(q_flat, weight) -> (logp, grad) of the TEMPERED density
+        varlogp + weight * (datalogp + potentials) — the SMC/tempering
+        ladder (reference ValueGradFunction tempered=True + set_weights,
+        model/core.py:176-233). weight is a traced scalar so one compiled
+        program serves the whole ladder."""
+        info = self.raveled_info()
+        split_logp = self.logp_fn(jacobian=jacobian, split=True)
+
+        def f(q, weight):
+            varlogp, datalogp = split_logp(unravel_vector(q, info))
+            return varlogp + weight * datalogp
+
+        return jax.value_and_grad(f, argnums=0)
 
     def compile_fn(self, outs, point_fn=True):
         """Compile arbitrary node outputs into a jitted function of a point

@@ -45,7 +45,11 @@ def find_MAP(
             "conditional at their initial values (reference behavior)."
         )
     info = model.raveled_info()
-    logp_dict = model.logp_fn()
+    # jacobian=False: MAP is the mode of the CONSTRAINED-space density; the
+    # transform jacobian would shift bounded-variable modes (reference
+    # starting.py:145 compile_logp(jacobian=False) — test_mle_jacobian pins
+    # that a flat-prior bounded model's MAP equals the unbounded MLE)
+    logp_dict = model.logp_fn(jacobian=False)
 
     disc_vals = {}
     init = model.initial_point(random_seed=seed or 0)
@@ -68,6 +72,10 @@ def find_MAP(
         q0 = ravel_point(init, info)
     q0 = np.asarray(jax.device_get(q0), dtype=np.float64)
 
+    gradient_free = str(method).lower() in {
+        "powell", "nelder-mead", "cobyla", "cobyqa"
+    }
+
     def f(q):
         v, g = vg(jnp.asarray(q, dtype=floatX()))
         v = float(np.asarray(jax.device_get(v)))
@@ -77,7 +85,9 @@ def find_MAP(
         return v, g
 
     res = optimize.minimize(
-        f, q0, jac=True, method=method, options={"maxiter": maxeval, **kwargs}
+        (lambda q: f(q)[0]) if gradient_free else f,
+        q0, jac=not gradient_free, method=method,
+        options={"maxiter": maxeval, **kwargs},
     )
     q_map = jnp.asarray(res.x, dtype=floatX())
     vals = unravel_vector(q_map, info)

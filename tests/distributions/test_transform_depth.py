@@ -175,7 +175,10 @@ def _transformed_vs_untransformed(dist_cls, params, shape, transform,
     transformed model at v equals the untransformed model's logp at
     backward(v) plus the summed log_jac_det."""
     with pm.Model() as mt:
-        dist_cls("x", shape=shape, transform=transform, **params)
+        # default_transform=None: test EXACTLY the given transform (user
+        # transform= would otherwise chain on top of the dist default)
+        dist_cls("x", shape=shape, transform=transform,
+                 default_transform=None, **params)
     rv = mt.free_RVs[0]
     t = rv.transform
     vshape = t.value_shape(rv.dist.shape)
@@ -185,7 +188,7 @@ def _transformed_vs_untransformed(dist_cls, params, shape, transform,
 
     lp_t = float(mt.logp_fn()({rv.value_name: jnp.asarray(v)}))
     with pm.Model() as mu:
-        dist_cls("x", shape=shape, transform=None, **params)
+        dist_cls("x", shape=shape, default_transform=None, **params)
     ru = mu.free_RVs[0]
     lp_u = float(mu.logp_fn()({ru.value_name: jnp.asarray(x)}))
     np.testing.assert_allclose(lp_t, lp_u + ljd.sum(), rtol=1e-8)
@@ -316,13 +319,13 @@ class TestModelLevelContracts:
 
     def test_logp_shape_elementwise_vs_ordered(self):
         with pm.Model() as m:
-            pm.Uniform("x", shape=(4, 3), transform=tr.logodds)
+            pm.Uniform("x", shape=(4, 3), default_transform=tr.logodds)
         for jac in (True, False):
             t = m.logp_terms_fn(jacobian=jac, elementwise=True)(
                 m.initial_point(0))
             assert np.shape(t["x"]) == (4, 3)
         with pm.Model() as m:
-            pm.Uniform("x", shape=(4, 3), transform=tr.ordered)
+            pm.Uniform("x", shape=(4, 3), default_transform=tr.ordered)
         for jac in (True, False):
             t = m.logp_terms_fn(jacobian=jac, elementwise=True)(
                 m.initial_point(0))
@@ -365,8 +368,40 @@ class TestModelLevelContracts:
 
     def test_transform_none_keeps_constrained(self):
         with pm.Model() as m:
-            pm.HalfNormal("x", transform=None)
+            with pytest.warns(UserWarning, match="default_transform=None"):
+                pm.HalfNormal("x", transform=None)
         assert m.free_RVs[0].transform is None
+
+    def test_default_transform_none_keeps_constrained(self):
+        with pm.Model() as m:
+            pm.HalfNormal("x", default_transform=None)
+        assert m.free_RVs[0].transform is None
+
+    def test_transform_chains_with_default(self):
+        """reference TestTransformArgs.test_transform_order: user transform
+        chains ON TOP of the default (list = [default, user])."""
+        with pm.Model() as m:
+            pm.HalfNormal("x", shape=(3,), transform=tr.ordered)
+        t = m.free_RVs[0].transform
+        assert isinstance(t, tr.ChainedTransform)
+        assert isinstance(t.transforms[0], tr.LogTransform)
+        assert isinstance(t.transforms[1], tr.OrderedTransform)
+
+    def test_default_transform_is_applied(self):
+        """reference test_default_transform_is_applied: with the default
+        kept, a decreasing unconstrained ordered value maps through exp to
+        positive support (finite logp); with default_transform=None the
+        ordered-only backward can leave the support (logp -inf)."""
+        with pm.Model() as m1:
+            pm.LogNormal("x1", mu=[0.0, 0.0], sigma=[1.0, 1.0],
+                         transform=tr.ordered, default_transform=None)
+        with pm.Model() as m2:
+            pm.LogNormal("x2", mu=[0.0, 0.0], sigma=[1.0, 1.0],
+                         transform=tr.ordered)
+        v1 = m1.free_RVs[0].value_name
+        v2 = m2.free_RVs[0].value_name
+        assert np.isinf(float(m1.compile_logp()({v1: np.array([-1.0, -1.0])})))
+        assert np.isfinite(float(m2.compile_logp()({v2: np.array([-1.0, -1.0])})))
 
 
 class TestCholeskyCovTransform:
@@ -451,10 +486,12 @@ class TestSamplingWithTransforms:
     """Chained / vector transforms must survive an actual NUTS run."""
 
     def test_sample_chained_ordered_uniform(self):
+        # transform=ordered CHAINS with the default interval transform
+        # (reference semantics) -> logit then ordered
         with pm.Model() as m:
             pm.Uniform(
                 "x", 0, 1, shape=(3,),
-                transform=tr.ChainedTransform([tr.logodds, tr.ordered]),
+                transform=tr.ordered,
                 initval=np.array([0.2, 0.5, 0.8]),
             )
             idata = pm.sample(draws=200, tune=200, chains=2, random_seed=0,
@@ -472,7 +509,7 @@ class TestSamplingWithTransforms:
         with pm.Model() as m:
             pm.HalfNormal(
                 "x", sigma=1.0, shape=(3,),
-                transform=tr.ChainedTransform([tr.log, tr.ordered]),
+                transform=tr.ordered,
                 initval=np.array([0.5, 1.0, 1.5]),
             )
             idata = pm.sample(draws=200, tune=200, chains=2, random_seed=0,
