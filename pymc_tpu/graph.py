@@ -546,7 +546,10 @@ class DeterministicNode(Node):
     def shape(self):
         if self._shape_version != _DATA_VERSION[0]:
             self._infer_shape()
-        return self._shape
+        # live: `shape=expr.shape` on a data-derived expression re-resolves
+        # after pm.set_data resizes an ancestor (same contract as
+        # DataNode.shape — reference mutable-data prediction pattern)
+        return LiveShape(self._shape, owner=self)
 
     def _compute(self, env, memo):
         args = [a._eval(env, memo) if isinstance(a, Node) else a for a in self.args]

@@ -225,11 +225,21 @@ def sample_posterior_predictive(
         )
 
     post = trace.posterior if hasattr(trace, "posterior") else trace
+    if isinstance(post, (list, tuple)):
+        # point-list input (reference MultiTrace point lists,
+        # test_forward.py:1458): a list of {name: value} dicts becomes a
+        # single-chain posterior
+        names = set().union(*(p.keys() for p in post)) if post else set()
+        post = {
+            n: np.stack([np.asarray(p[n]) for p in post])[None]
+            for n in names
+        }
     traced = {}
     C = D = None
     for rv in model.free_RVs:
         if rv.name in post:
-            vals = np.asarray(post[rv.name].values)
+            v = post[rv.name]
+            vals = np.asarray(getattr(v, "values", v))
             C, D = vals.shape[:2]
             traced[rv.name] = vals
     if C is None:

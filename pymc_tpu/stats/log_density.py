@@ -36,6 +36,14 @@ def compute_log_likelihood(
     (reference log_density.py:31)."""
     model = modelcontext(model)
     traced, C, D = _posterior_env(model, idata)
+    if var_names is not None:
+        obs_names = {orv.name for orv in model.observed_RVs}
+        bad = set(var_names) - obs_names
+        if bad:
+            raise ValueError(
+                f"var_names must refer to observed_RVs in the model. "
+                f"Got: {sorted(bad)}"
+            )
     obs = [
         orv for orv in model.observed_RVs
         if var_names is None or orv.name in set(var_names)
