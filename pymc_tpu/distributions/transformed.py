@@ -702,6 +702,88 @@ def _match_rounding(node, method):
     return Discretized.dist(base, method=method)
 
 
+_CAST_KIND_ORDER = {"b": 0, "u": 1, "i": 1, "f": 2}
+
+
+def _match_cast(node, out_dtype, has_outer_ops):
+    """``x.astype(dtype)`` of a measurable expression (reference
+    logprob/tensor.py MeasurableCast find_measurable_casts:468-530).
+
+    Returns None when the cast is measure-preserving and transparent to the
+    chain (same-or-widening kind mid-chain), a Distribution when it resolves
+    to one (directly-valued relabel; float->int truncation), and raises when
+    the cast is not measurable.
+    """
+    from .censored import Censored
+    from .derived import Discretized
+
+    args = [a for a in node.args if isinstance(a, Node)]
+    if len(node.args) != 1 or len(args) != 1:
+        raise TypeError("measurable cast must be unary")
+    inner = args[0]
+    in_dt = np.dtype(getattr(inner, "dtype", np.float64))
+    out_dt = np.dtype(out_dtype)
+    ik = _CAST_KIND_ORDER.get(in_dt.kind)
+    ok = _CAST_KIND_ORDER.get(out_dt.kind)
+    if ik is None or ok is None:
+        raise TypeError(
+            f"no derived density for a cast between dtype kinds "
+            f"{in_dt.kind!r} -> {out_dt.kind!r}"
+        )
+    if ok < ik:
+        if in_dt.kind == "f" and out_dt.kind == "i":
+            # float -> signed int rounds toward zero: a trunc composed with
+            # a dtype relabel (reference find_measurable_casts introduces
+            # the explicit trunc and lets the rounding rewrite claim it)
+            base_inner = _inner_dist(inner)
+            if isinstance(base_inner, Censored):
+                raise TypeError(
+                    "int-cast (truncation) of a censored expression is not "
+                    "measurable: the point masses at the censoring bounds "
+                    "are not a density"
+                )
+            if base_inner.is_discrete:
+                return base_inner
+            return Discretized.dist(base_inner, method="trunc")
+        raise TypeError(
+            "cast discretizes the base variable without truncating it "
+            "(unsigned ints wrap negative values; bool collapses the "
+            "support onto two points) — no derived density (reference "
+            "find_measurable_casts)"
+        )
+    if ik < _CAST_KIND_ORDER["f"] and ok == _CAST_KIND_ORDER["f"]:
+        # Casting a discrete variable to float hides its discreteness from
+        # the transform chain (a continuous Jacobian would be wrongly
+        # applied to scalings of the cast variable) — directly valued only.
+        if has_outer_ops:
+            raise TypeError(
+                "float cast of a discrete variable hides its discreteness "
+                "from the transform chain — only a directly-valued cast is "
+                "measurable (reference find_measurable_casts)"
+            )
+        return _DtypeView._make(_inner_dist(inner), out_dt)
+    if not has_outer_ops:
+        # outermost measure-preserving relabel of the whole expression
+        return _DtypeView._make(_inner_dist(inner), out_dt)
+    return None
+
+
+def _match_broadcast(node):
+    """``broadcast_to(x, shape)`` of a measurable expression, directly
+    valued (reference logprob/tensor.py MeasurableBroadcast:363-466)."""
+    rand = [a for a in node.args if isinstance(a, Node) and rv_ancestors([a])]
+    if len(rand) != 1:
+        raise TypeError(
+            "measurable broadcast_to needs exactly one random operand (the "
+            "target shape must be RV-free)"
+        )
+    x = rand[0]
+    base = _inner_dist(x)
+    return BroadcastDistribution._make(
+        base, tuple(int(s) for s in x.shape), tuple(int(s) for s in node.shape)
+    )
+
+
 def _match_layout(node):
     """transpose / reshape / ravel / squeeze / expand_dims of a measurable
     expression → LayoutDistribution (reference logprob/tensor.py
@@ -745,28 +827,47 @@ def _match_layout(node):
         raise TypeError("unrecognized layout op")
 
     base = _inner_dist(x)
-    if base.event_ndim != 0:
-        raise TypeError(
-            "layout ops over multivariate distributions would mix event "
-            "dimensions — no derived density"
-        )
+    ev = int(getattr(base, "event_ndim", 0) or 0)
+    n = len(in_shape)
+    requires_direct = False
     if kind == "transpose":
-        axes = tuple(a % len(in_shape) for a in ax) if ax is not None else \
-            tuple(reversed(range(len(in_shape))))
+        axes = tuple(a % n for a in ax) if ax is not None else \
+            tuple(reversed(range(n)))
         inv_axes = tuple(int(i) for i in np.argsort(axes))
-        k = len(in_shape)
 
         def fwd(arr):
-            lead = arr.ndim - k
+            lead = arr.ndim - n
             return jnp.transpose(
                 arr, tuple(range(lead)) + tuple(lead + a for a in axes)
             )
 
         def inv(arr):
-            lead = arr.ndim - k
+            lead = arr.ndim - n
             return jnp.transpose(
                 arr, tuple(range(lead)) + tuple(lead + a for a in inv_axes)
             )
+
+        if ev:
+            # The value is fully un-transposed before the base logp, so any
+            # permutation derives; the density re-applies only the BATCH
+            # part of the order (reference logprob_dimshuffle redo_ds drops
+            # the support axes). A permutation that moves the event block
+            # off the trailing axes is no longer a well-formed distribution
+            # (its event structure is interleaved), so it is directly
+            # valued only — mirroring the reference restriction that
+            # transposing dimshuffles of multivariates must be directly
+            # valued (find_measurable_dimshuffles).
+            batch_axes = tuple(a for a in axes if a < n - ev)
+
+            def dfwd(arr, _b=batch_axes, _m=n - ev):
+                lead = arr.ndim - _m
+                return jnp.transpose(
+                    arr, tuple(range(lead)) + tuple(lead + a for a in _b)
+                )
+
+            requires_direct = set(axes[n - ev:]) != set(range(n - ev, n))
+        else:
+            dfwd = fwd
     else:  # C-order-preserving reshape family
         if int(np.prod(in_shape) if in_shape else 1) != int(
             np.prod(out_shape) if out_shape else 1
@@ -774,14 +875,38 @@ def _match_layout(node):
             raise TypeError("layout reshape must preserve the element count")
 
         def fwd(arr):
-            lead = arr.shape[: arr.ndim - len(in_shape)]
+            lead = arr.shape[: arr.ndim - n]
             return jnp.reshape(arr, lead + out_shape)
 
         def inv(arr):
             lead = arr.shape[: arr.ndim - len(out_shape)]
             return jnp.reshape(arr, lead + in_shape)
 
-    return LayoutDistribution._make(base, fwd, inv, out_shape)
+        if ev:
+            if (
+                n < ev
+                or len(out_shape) < ev
+                or in_shape[n - ev:] != out_shape[len(out_shape) - ev:]
+            ):
+                raise TypeError(
+                    "reshape across the event block of a multivariate "
+                    "distribution has no derived density (the event layout "
+                    "is consumed by the base logp) — reshape batch "
+                    "dimensions only"
+                )
+
+            def dfwd(arr, _m=n - ev,
+                     _out=out_shape[: len(out_shape) - ev]):
+                lead = arr.shape[: arr.ndim - _m]
+                return jnp.reshape(arr, lead + _out)
+
+        else:
+            dfwd = fwd
+
+    return LayoutDistribution._make(
+        base, fwd, inv, out_shape,
+        dfwd=dfwd, event_k=ev, requires_direct=requires_direct,
+    )
 
 
 def _match_cumsum(node, axis):
@@ -1255,8 +1380,28 @@ def dist_from_expression(node):
         if cs is not None:
             base = _match_cumsum(current, cs[0])
             break
+        castdt = getattr(current.fn, "_measurable_cast", None)
+        if castdt is not None:
+            matched = _match_cast(current, castdt, bool(ops))
+            if matched is None:
+                # measure-preserving relabel: transparent in the chain
+                current = [a for a in current.args if isinstance(a, Node)][0]
+                continue
+            base = matched
+            break
         fn = current.fn
         fn = getattr(fn, "_base_fn", fn)
+        if fn is jnp.broadcast_to:
+            if ops:
+                raise TypeError(
+                    "broadcast_to(...) is only measurable when directly "
+                    "valued: the broadcast copies are degenerate, so a "
+                    "transform's Jacobian over them would be counted once "
+                    "per copy (reference find_measurable_broadcast claims "
+                    "only directly-valued broadcasts)"
+                )
+            base = _match_broadcast(current)
+            break
         if fn is jnp.where:
             matched = _match_switch_scale(current)
             if matched is not None:
@@ -1348,6 +1493,14 @@ def dist_from_expression(node):
         base = current.dist
     elif not ops:
         return base
+    if getattr(base, "_requires_direct_value", False):
+        raise TypeError(
+            "this layout moves the event block of a multivariate "
+            "distribution off the trailing axes — it is only measurable "
+            "when directly valued (reference find_measurable_dimshuffles "
+            "claims transposing multivariate dimshuffles only when "
+            "directly valued)"
+        )
     if getattr(base, "_mixed_discrete", False):
         raise TypeError(
             "elementwise transforms over a join mixing discrete and "
@@ -1565,9 +1718,12 @@ class StackedDistribution(Distribution):
     MeasurableJoin:88-157) and tests/logprob/test_tensor.py. The logp is
     ELEMENTWISE: each component's (conditional) log-density occupies its
     slice of the value's layout, so summation yields the joint. Components
-    must be univariate (event_ndim 0); interdependent components factorize
-    by the chain rule — each named RV's value slice is injected into the
-    evaluation env before later components' parameters resolve.
+    must share one support ndim (mixing univariate and multivariate raises,
+    reference logprob_join); multivariate joins collapse each component's
+    event block before re-joining the batch logps. Interdependent
+    components factorize by the chain rule — each named RV's value slice is
+    injected into the evaluation env before later components' parameters
+    resolve.
     """
 
     param_names = ()
@@ -1578,23 +1734,33 @@ class StackedDistribution(Distribution):
         parts = []
         for arg in node.args:
             if isinstance(arg, (FreeRV, ObservedRV)):
-                d = arg.dist
-                if len(d.event_shape):
-                    raise TypeError(
-                        "measurable joins support univariate components "
-                        f"only; {arg.name!r} has event shape {d.event_shape}"
-                    )
-                parts.append(_Part("rv", arg, d, tuple(arg.shape), None))
+                parts.append(
+                    _Part("rv", arg, arg.dist, tuple(arg.shape), None)
+                )
             elif isinstance(arg, Node) and rv_ancestors([arg]):
                 d = dist_from_expression(arg)
-                if len(getattr(d, "event_shape", ())):
-                    raise TypeError(
-                        "measurable joins support univariate components only"
-                    )
                 parts.append(_Part("expr", arg, d, tuple(d.shape), None))
             else:
                 shape = tuple(getattr(arg, "shape", np.shape(arg)))
                 parts.append(_Part("const", arg, None, shape, None))
+
+        # components must share one support ndim (reference logprob_join
+        # raises when mixing univariate and multivariate logps; constants
+        # are point masses with support ndim 0)
+        supp_ndims = {
+            len(getattr(p.dist, "event_shape", ()))
+            for p in parts
+            if p.dist is not None
+        }
+        if any(p.dist is None for p in parts):
+            supp_ndims.add(0)
+        if len(supp_ndims) > 1:
+            raise ValueError(
+                "Joined logps have different number of dimensions, this can "
+                "happen when joining univariate and multivariate "
+                "distributions"
+            )
+        k = supp_ndims.pop() if supp_ndims else 0
 
         seen = set()
         for leaf in _chain_leaves(node):
@@ -1618,6 +1784,22 @@ class StackedDistribution(Distribution):
         # batch dims split correctly
         ax = axis if axis < 0 else axis - len(full)
         obj.axis = ax
+        obj._event_k = k
+        obj._support_concat = False
+        if k:
+            if kind == "stack":
+                if -ax <= k:
+                    raise TypeError(
+                        "measurable stack of multivariate components must "
+                        "stack along a batch axis (the inserted axis lands "
+                        "inside the event block)"
+                    )
+            else:
+                # concatenating along an event axis fuses the components
+                # into ONE joint event: per-component logps are batch-shaped
+                # and SUM (reference logprob_join clips the concat axis into
+                # the reduced logp and concatenates — the total is the same)
+                obj._support_concat = -ax <= k
         if kind == "concatenate":
             for p in parts:
                 p.size = p.shape[ax] if len(p.shape) >= -ax else 1
@@ -1626,8 +1808,9 @@ class StackedDistribution(Distribution):
         ]
         obj.is_discrete = all(discretes)
         obj._mixed_discrete = len(set(discretes)) > 1
-        obj.event_shape = ()
-        obj.batch_shape = full
+        obj.event_ndim = k
+        obj.event_shape = full[len(full) - k:] if k else ()
+        obj.batch_shape = full[: len(full) - k] if k else full
         return obj
 
     @property
@@ -1694,17 +1877,56 @@ class StackedDistribution(Distribution):
         return out
 
     def logp(self, value, env=None, memo=None):
+        if self._event_k:
+            return self._multivariate_logp(value, env, memo)
         return self._join_like_value(
             value, self._conditional_terms(value, env, memo, "logp")
         )
 
+    def _multivariate_logp(self, value, env, memo):
+        """Join of event_ndim>0 components (reference logprob_join
+        multivariate path, tests/logprob/test_tensor.py
+        test_measurable_join_multivariate): each component's logp collapses
+        its own event block; batch-axis joins re-join the batch logps at the
+        axis shifted past the event dims, event-axis concats sum (the value
+        split hands every component its complete event)."""
+        k = self._event_k
+        slices = self._split(value)
+        env2 = dict(env or {})
+        for p, sl in zip(self.parts, slices):
+            if p.kind == "rv":
+                env2[p.node.name] = sl
+        terms = []
+        for p, sl in zip(self.parts, slices):
+            t = p.dist.logp(sl, env2, None)
+            batch = jnp.shape(jnp.asarray(sl))[: jnp.asarray(sl).ndim - k]
+            terms.append(jnp.broadcast_to(t, batch))
+        if self.kind == "stack":
+            return jnp.stack(terms, axis=self.axis + k)
+        if self._support_concat:
+            out = terms[0]
+            for t in terms[1:]:
+                out = out + t
+            return out
+        return jnp.concatenate(terms, axis=self.axis + k)
+
     def logcdf(self, value, env=None, memo=None):
         """Elementwise (conditional) marginal logcdf per component slice."""
+        if self._event_k:
+            raise NotImplementedError(
+                "cdf-family of a multivariate join is not defined "
+                "componentwise"
+            )
         return self._join_like_value(
             value, self._conditional_terms(value, env, memo, "logcdf")
         )
 
     def logccdf(self, value, env=None, memo=None):
+        if self._event_k:
+            raise NotImplementedError(
+                "cdf-family of a multivariate join is not defined "
+                "componentwise"
+            )
         return self._join_like_value(
             value, self._conditional_terms(value, env, memo, "logccdf")
         )
@@ -1764,7 +1986,8 @@ class LayoutDistribution(Distribution):
     event_ndim = 0
 
     @classmethod
-    def _make(cls, base, fwd, inv, out_shape):
+    def _make(cls, base, fwd, inv, out_shape, dfwd=None, event_k=0,
+              requires_direct=False):
         obj = object.__new__(cls)
         obj._shape_arg = None
         obj._shape_node = None
@@ -1772,10 +1995,19 @@ class LayoutDistribution(Distribution):
         obj.base = base
         obj._fwd = fwd   # plain instance attrs: no binding
         obj._inv = inv
+        obj._dfwd = dfwd if dfwd is not None else fwd
+        obj._event_k = int(event_k)
+        obj._requires_direct_value = bool(requires_direct)
         obj.is_discrete = bool(base.is_discrete)
         obj._mixed_discrete = bool(getattr(base, "_mixed_discrete", False))
-        obj.batch_shape = tuple(out_shape)
-        obj.event_shape = ()
+        out_shape = tuple(out_shape)
+        if event_k and not requires_direct:
+            obj.event_ndim = int(event_k)
+            obj.event_shape = out_shape[len(out_shape) - event_k:]
+            obj.batch_shape = out_shape[: len(out_shape) - event_k]
+        else:
+            obj.batch_shape = out_shape
+            obj.event_shape = ()
         return obj
 
     @property
@@ -1783,15 +2015,27 @@ class LayoutDistribution(Distribution):
         return self.base.dtype
 
     def logp(self, value, env=None, memo=None):
-        return self._fwd(self.base.logp(self._inv(jnp.asarray(value)), env, memo))
+        return self._dfwd(
+            self.base.logp(self._inv(jnp.asarray(value)), env, memo)
+        )
+
+    def _cdf_guard(self):
+        if self._event_k:
+            raise NotImplementedError(
+                "cdf-family of a layout over a multivariate distribution is "
+                "not defined elementwise"
+            )
 
     def logcdf(self, value, env=None, memo=None):
+        self._cdf_guard()
         return self._fwd(self.base.logcdf(self._inv(jnp.asarray(value)), env, memo))
 
     def logccdf(self, value, env=None, memo=None):
+        self._cdf_guard()
         return self._fwd(self.base.logccdf(self._inv(jnp.asarray(value)), env, memo))
 
     def icdf(self, q, env=None, memo=None):
+        self._cdf_guard()
         return self._fwd(self.base.icdf(self._inv(jnp.asarray(q)), env, memo))
 
     def sample(self, key, sample_shape=(), env=None, memo=None):
@@ -1801,6 +2045,187 @@ class LayoutDistribution(Distribution):
 
     def support_point(self, env=None, memo=None):
         return self._fwd(self.base.support_point(env, memo))
+
+
+class _DtypeView(Distribution):
+    """Measure-preserving dtype relabel of a base distribution.
+
+    Parity: reference pymc/logprob/tensor.py MeasurableCast
+    (cast_logprob:533-540, cast_logcdf:543-548, cast_icdf:551-553). The
+    logp value is passed through AS IS — casting it back could silently map
+    impossible values onto possible ones (1.5 -> 1 for an integer base);
+    the cdf floors float values against a discrete base
+    (P(cast(X) <= 1.5) = P(X <= 1)); the icdf carries the relabeled dtype.
+    """
+
+    param_names = ()
+
+    @classmethod
+    def _make(cls, base, dtype):
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.base = base
+        obj._out_dtype = np.dtype(dtype)
+        obj.is_discrete = bool(base.is_discrete)
+        obj._mixed_discrete = bool(getattr(base, "_mixed_discrete", False))
+        obj._has_atoms = bool(getattr(base, "_has_atoms", False))
+        obj.event_ndim = len(getattr(base, "event_shape", ()))
+        obj.event_shape = tuple(getattr(base, "event_shape", ()))
+        obj.batch_shape = tuple(base.batch_shape)
+        return obj
+
+    @property
+    def dtype(self):
+        return self._out_dtype
+
+    def logp(self, value, env=None, memo=None):
+        return self.base.logp(value, env, memo)
+
+    def _floor_if_discrete(self, value):
+        v = jnp.asarray(value)
+        if self.base.is_discrete and jnp.issubdtype(v.dtype, jnp.floating):
+            return jnp.floor(v)
+        return v
+
+    def logcdf(self, value, env=None, memo=None):
+        return self.base.logcdf(self._floor_if_discrete(value), env, memo)
+
+    def logccdf(self, value, env=None, memo=None):
+        return self.base.logccdf(self._floor_if_discrete(value), env, memo)
+
+    def icdf(self, q, env=None, memo=None):
+        return jnp.asarray(self.base.icdf(q, env, memo)).astype(
+            self._out_dtype
+        )
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        return jnp.asarray(
+            self.base.sample(key, sample_shape, env, memo)
+        ).astype(self._out_dtype)
+
+    def support_point(self, env=None, memo=None):
+        return jnp.asarray(self.base.support_point(env, memo)).astype(
+            self._out_dtype
+        )
+
+
+class BroadcastDistribution(Distribution):
+    """Directly-valued ``broadcast_to(rv, shape)``.
+
+    Parity: reference pymc/logprob/tensor.py broadcast_logprob:367-436. The
+    broadcast copies are degenerate duplicates of the base entries, so they
+    are consumed like support dimensions: the logp is the base logp of the
+    de-duplicated value, and -inf wherever the value could not have
+    originated by broadcasting (copies disagree). The consistency check is
+    elementwise over the surviving batch dimensions.
+    """
+
+    param_names = ()
+
+    @classmethod
+    def _make(cls, base, in_shape, out_shape):
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.base = base
+        obj._in_shape = tuple(in_shape)
+        obj._out_shape = tuple(out_shape)
+        obj.is_discrete = bool(base.is_discrete)
+        obj._mixed_discrete = bool(getattr(base, "_mixed_discrete", False))
+        ev = len(getattr(base, "event_shape", ()))
+        n_new = len(out_shape) - len(in_shape)
+        obj._n_new = n_new
+        obj._ev = ev
+        # base batch axes (in base coords) that the broadcast fans out
+        obj._bcast_dims = tuple(
+            i
+            for i in range(len(in_shape))
+            if in_shape[i] == 1 and out_shape[i + n_new] != 1
+        )
+        # the density output drops the expanded/broadcast axes: its shape is
+        # the base batch shape with the broadcast axes squeezed
+        batch = [
+            s
+            for i, s in enumerate(in_shape[: len(in_shape) - ev])
+            if i not in obj._bcast_dims
+        ]
+        obj.batch_shape = tuple(batch)
+        obj.event_shape = ()
+        obj._requires_direct_value = True
+        return obj
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def logp(self, value, env=None, memo=None):
+        value = jnp.asarray(value)
+        out = self._out_shape
+        n_new = self._n_new
+        lead = value.ndim - len(out)
+        bdims = tuple(d + n_new for d in self._bcast_dims)
+        expanded = tuple(range(n_new))
+        idx = (slice(None),) * lead + tuple(
+            0 if (i in expanded or i in bdims) else slice(None)
+            for i in range(len(out))
+        )
+        unb = value[idx]
+        if self._bcast_dims:
+            unb = jnp.expand_dims(
+                unb, tuple(lead + d for d in self._bcast_dims)
+            )
+        lp = self.base.logp(unb, env, memo)
+        # broadcast batch axes are consumed like support dims
+        squeeze = tuple(
+            lead + d
+            for d in self._bcast_dims
+            if lead + d < lp.ndim and lp.shape[lead + d] == 1
+        )
+        if squeeze:
+            lp = jnp.squeeze(lp, axis=squeeze)
+        # copies must agree, elementwise over the surviving batch axes
+        valid = jnp.broadcast_to(
+            unb, value.shape[:lead] + out
+        )
+        core = tuple(range(len(out) - self._ev, len(out)))
+        reduced = tuple(
+            lead + a for a in sorted({*expanded, *bdims, *core})
+        )
+        check = jnp.all(value == valid, axis=reduced) if reduced else (
+            value == valid
+        )
+        return jnp.where(check, lp, -jnp.inf)
+
+    def logcdf(self, value, env=None, memo=None):
+        raise NotImplementedError(
+            "cdf-family of a broadcast RV is not defined (the copies are "
+            "degenerate, not independent)"
+        )
+
+    logccdf = logcdf
+
+    def icdf(self, q, env=None, memo=None):
+        raise NotImplementedError(
+            "icdf of a broadcast RV is not defined"
+        )
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        x = self.base.sample(key, sample_shape, env, memo)
+        x = jnp.reshape(
+            x,
+            tuple(sample_shape) + (1,) * self._n_new + self._in_shape,
+        )
+        return jnp.broadcast_to(x, tuple(sample_shape) + self._out_shape)
+
+    def support_point(self, env=None, memo=None):
+        return jnp.broadcast_to(
+            self.base.support_point(env, memo), self._out_shape
+        )
 
 
 class SelectionDistribution(Distribution):

@@ -159,7 +159,11 @@ class Node:
         return evaluate(self, e)
 
     def astype(self, dtype):
-        return apply(lambda x: jnp.asarray(x).astype(dtype), self)
+        fn = lambda x: jnp.asarray(x).astype(dtype)  # noqa: E731
+        # measurable-cast marker (distributions/transformed.py _match_cast,
+        # reference logprob/tensor.py find_measurable_casts)
+        fn._measurable_cast = np.dtype(dtype)
+        return apply(fn, self)
 
     def reshape(self, *shape):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):

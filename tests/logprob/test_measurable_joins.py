@@ -268,12 +268,26 @@ class TestErrors:
         with pytest.raises(NotImplementedError, match="icdf"):
             pm.icdf(pmm.stack([a, b]), np.array([0.5, 0.5]))
 
-    def test_multivariate_component_rejected(self):
+    def test_mixed_support_ndim_rejected(self):
+        """Reference test_join_mixed_ndim_supp: a univariate batch and a
+        multivariate component produce logps of different ndims."""
         with pm.Model():
             m = pm.MvNormal("m", mu=np.zeros(2), cov=np.eye(2))
             a = pm.Normal("a", shape=2)
-        with pytest.raises(TypeError, match="univariate components"):
+        with pytest.raises(
+            ValueError, match="different number of dimensions"
+        ):
             pm.logp(pmm.stack([m, a]), np.zeros((2, 2)))
+
+    def test_multivariate_with_constant_rejected(self):
+        """A constant slot is a point mass with support ndim 0 — mixing it
+        with multivariate components raises like the reference."""
+        with pm.Model():
+            m = pm.MvNormal("m", mu=np.zeros(2), cov=np.eye(2))
+        with pytest.raises(
+            ValueError, match="different number of dimensions"
+        ):
+            pm.logp(pmm.stack([m, np.zeros(2)]), np.zeros((2, 2)))
 
     def test_replicated_rv_rejected(self):
         """stack([x, x]) has no joint density wrt the product measure —
@@ -288,3 +302,164 @@ class TestErrors:
             x = pm.Normal("x")
         with pytest.raises(TypeError, match="more than one join component"):
             pm.logp(pmm.stack([x, pmm.exp(x)]), np.array([0.5, 1.6]))
+
+
+class TestMultivariateJoins:
+    """Reference test_measurable_join_multivariate: joins of event_ndim>0
+    components. Batch-axis joins re-join the per-component (event-reduced)
+    logps at the axis shifted past the event block; event-axis concats sum
+    the component logps (each component's value slice is its complete
+    event, so the product density is the joint)."""
+
+    def _mvns(self, shape1, shape2):
+        with pm.Model():
+            x = pm.MvNormal(
+                "x", mu=np.zeros(2), cov=np.eye(2), shape=shape1 + (2,)
+            )
+            y = pm.MvNormal(
+                "y", mu=np.ones(2), cov=2.0 * np.eye(2), shape=shape2 + (2,)
+            )
+        return x, y
+
+    @staticmethod
+    def _lp1(v):
+        return st.multivariate_normal.logpdf(v, np.zeros(2), np.eye(2))
+
+    @staticmethod
+    def _lp2(v):
+        return st.multivariate_normal.logpdf(v, np.ones(2), 2.0 * np.eye(2))
+
+    def test_concat_leading_batch_axis(self):
+        x, y = self._mvns((5,), (3,))
+        v = np.random.default_rng(1).normal(size=(8, 2))
+        lp = np.asarray(pm.logp(pmm.concatenate([x, y], axis=0), v))
+        expected = np.concatenate([self._lp1(v[:5]), self._lp2(v[5:])])
+        assert lp.shape == (8,)
+        np.testing.assert_allclose(lp, expected, rtol=1e-6)
+
+    def test_concat_negative_batch_axis(self):
+        x, y = self._mvns((5,), (3,))
+        v = np.random.default_rng(2).normal(size=(8, 2))
+        lp = np.asarray(pm.logp(pmm.concatenate([x, y], axis=-2), v))
+        expected = np.concatenate([self._lp1(v[:5]), self._lp2(v[5:])])
+        np.testing.assert_allclose(lp, expected, rtol=1e-6)
+
+    def test_concat_middle_batch_axis(self):
+        x, y = self._mvns((5, 6), (5, 1))
+        v = np.random.default_rng(3).normal(size=(5, 7, 2))
+        lp = np.asarray(pm.logp(pmm.concatenate([x, y], axis=1), v))
+        assert lp.shape == (5, 7)
+        # scipy squeezes the size-1 batch axis of _lp2 — restore it
+        expected = np.concatenate(
+            [self._lp1(v[:, :6]), self._lp2(v[:, 6:]).reshape(5, 1)],
+            axis=1,
+        )
+        np.testing.assert_allclose(lp, expected, rtol=1e-6)
+
+    def test_concat_support_axis_sums(self):
+        """Joining along the event axis fuses the components into one
+        event: the logp is the per-batch-row SUM of the component logps
+        (the reference concatenates the reduced logps — the total is
+        identical)."""
+        x, y = self._mvns((), ())
+        v = np.array([0.3, -0.2, 1.4, 0.8])
+        lp = np.asarray(pm.logp(pmm.concatenate([x, y], axis=0), v))
+        assert lp.shape == ()
+        np.testing.assert_allclose(
+            lp, self._lp1(v[:2]) + self._lp2(v[2:]), rtol=1e-6
+        )
+
+    def test_concat_support_axis_batched(self):
+        x, y = self._mvns((4,), (4,))
+        v = np.random.default_rng(4).normal(size=(4, 4))
+        lp = np.asarray(pm.logp(pmm.concatenate([x, y], axis=1), v))
+        assert lp.shape == (4,)
+        np.testing.assert_allclose(
+            lp, self._lp1(v[:, :2]) + self._lp2(v[:, 2:]), rtol=1e-6
+        )
+
+    @pytest.mark.parametrize("axis, lp_axis", [(0, 0), (1, 1)])
+    def test_stack_batch_axes(self, axis, lp_axis):
+        x, y = self._mvns((4,), (4,))
+        v = np.random.default_rng(5).normal(
+            size=(2, 4, 2) if axis == 0 else (4, 2, 2)
+        )
+        lp = np.asarray(pm.logp(pmm.stack([x, y], axis=axis), v))
+        parts = [
+            self._lp1(np.take(v, 0, axis=axis)),
+            self._lp2(np.take(v, 1, axis=axis)),
+        ]
+        expected = np.stack(parts, axis=lp_axis)
+        assert lp.shape == expected.shape
+        np.testing.assert_allclose(lp, expected, rtol=1e-6)
+
+    def test_stack_inside_event_rejected(self):
+        x, y = self._mvns((), ())
+        with pytest.raises(TypeError, match="batch axis"):
+            pm.logp(pmm.stack([x, y], axis=1), np.zeros((2, 2)))
+
+    def test_heterogeneous_families(self):
+        """MvNormal + Dirichlet along a batch axis (the reference pairs
+        multivariate_normal with dirichlet)."""
+        with pm.Model():
+            m = pm.MvNormal("m", mu=np.zeros(3), cov=np.eye(3), shape=(2, 3))
+            d = pm.Dirichlet("d", np.ones(3), shape=(2, 3))
+        vm = np.random.default_rng(6).normal(size=(2, 3))
+        vd = np.random.default_rng(7).dirichlet(np.ones(3), size=2)
+        v = np.concatenate([vm, vd], axis=0)
+        lp = np.asarray(pm.logp(pmm.concatenate([m, d], axis=0), v))
+        expected = np.concatenate(
+            [
+                st.multivariate_normal.logpdf(vm, np.zeros(3), np.eye(3)),
+                [st.dirichlet.logpdf(row, np.ones(3)) for row in vd],
+            ]
+        )
+        np.testing.assert_allclose(lp, expected, rtol=1e-6)
+
+    def test_interdependent_multivariate(self):
+        """Chain rule through a multivariate join: y | x."""
+        with pm.Model():
+            x = pm.MvNormal("x", mu=np.zeros(2), cov=np.eye(2))
+            y = pm.MvNormal("y", mu=x, cov=np.eye(2))
+        v = np.array([[0.5, -0.3], [0.7, 0.1]])
+        lp = np.asarray(pm.logp(pmm.stack([x, y], axis=0), v))
+        expected = np.array(
+            [
+                st.multivariate_normal.logpdf(v[0], np.zeros(2), np.eye(2)),
+                st.multivariate_normal.logpdf(v[1], v[0], np.eye(2)),
+            ]
+        )
+        np.testing.assert_allclose(lp, expected, rtol=1e-6)
+
+    def test_elementwise_transform_over_multivariate_join(self):
+        """exp of a stack of MvNormals: the Jacobian reduces over the event
+        block before joining (TransformedDistribution event reduction)."""
+        x, y = self._mvns((), ())
+        v = np.exp(np.array([[0.3, -0.2], [1.4, 0.8]]))
+        lp = np.asarray(pm.logp(pmm.exp(pmm.stack([x, y], axis=0)), v))
+        expected = np.array(
+            [self._lp1(np.log(v[0])), self._lp2(np.log(v[1]))]
+        ) - np.log(v).sum(axis=-1)
+        np.testing.assert_allclose(lp, expected, rtol=1e-6)
+
+    def test_forward_sampling_matches_components(self):
+        x, y = self._mvns((5,), (3,))
+        e = pmm.concatenate([x, y], axis=0)
+        from pymc_tpu.distributions.transformed import dist_from_expression
+
+        d = dist_from_expression(e)
+        draws = np.asarray(
+            d.sample(jax.random.PRNGKey(0), sample_shape=(4000,))
+        )
+        assert draws.shape == (4000, 8, 2)
+        np.testing.assert_allclose(
+            draws[:, :5].mean(axis=(0, 1)), np.zeros(2), atol=0.06
+        )
+        np.testing.assert_allclose(
+            draws[:, 5:].mean(axis=(0, 1)), np.ones(2), atol=0.08
+        )
+
+    def test_cdf_family_raises(self):
+        x, y = self._mvns((), ())
+        with pytest.raises(NotImplementedError, match="multivariate join"):
+            pm.logcdf(pmm.stack([x, y], axis=0), np.zeros((2, 2)))
