@@ -52,13 +52,21 @@ class _Op:
     logp works, cdf-family raises).
     """
 
-    def __init__(self, name, forward, inverse, ljd_inv, monotone, const=None):
+    def __init__(self, name, forward, inverse, ljd_inv, monotone, const=None,
+                 valid=None, safe=1.0):
         self.name = name
         self._forward = forward
         self._inverse = inverse
         self._ljd_inv = ljd_inv
         self._monotone = monotone
         self.const = const
+        # image guard: values outside the op's image get logp -inf (the
+        # reference transform rewrites propagate nan->-inf via
+        # CheckParameterValue; we guard explicitly). ``safe`` is an in-image
+        # point the clamped branch evaluates at so the -inf side contributes
+        # zero gradient (the where-VJP trap).
+        self._valid = valid
+        self._safe = safe
 
     def _c(self, env, memo):
         c = self.const
@@ -74,12 +82,26 @@ class _Op:
     def forward(self, x, env=None, memo=None):
         return self._forward(x, self._c(env, memo))
 
+    def valid_mask(self, y, env=None, memo=None):
+        """Elementwise in-image mask, or None when the image is all of R."""
+        if self._valid is None:
+            return None
+        return self._valid(y, self._c(env, memo))
+
     def inverse(self, y, env=None, memo=None):
-        return self._inverse(y, self._c(env, memo))
+        c = self._c(env, memo)
+        if self._valid is not None:
+            y = jnp.where(self._valid(y, c), y, self._safe)
+        return self._inverse(y, c)
 
     def ljd_inv(self, y, env=None, memo=None):
-        """log |d inverse(y) / dy| (elementwise)."""
-        return self._ljd_inv(y, self._c(env, memo))
+        """log |d inverse(y) / dy| (elementwise); -inf outside the image."""
+        c = self._c(env, memo)
+        if self._valid is None:
+            return self._ljd_inv(y, c)
+        m = self._valid(y, c)
+        ys = jnp.where(m, y, self._safe)
+        return jnp.where(m, self._ljd_inv(ys, c), -jnp.inf)
 
     def monotone(self, env=None, memo=None):
         m = self._monotone
@@ -99,27 +121,51 @@ def _sign_of_const(c):
 
 
 # --------------------------------------------------------------- unary ops
-def _u(name, forward, inverse, ljd_inv, monotone):
+def _u(name, forward, inverse, ljd_inv, monotone, valid=None, safe=1.0):
     return lambda: _Op(
         name,
         lambda x, c: forward(x),
         lambda y, c: inverse(y),
         lambda y, c: ljd_inv(y),
         monotone,
+        valid=None if valid is None else (lambda y, c: valid(y)),
+        safe=safe,
     )
 
 
 _LOG_2 = _pymath.log(2.0)
 _LOG_3 = _pymath.log(3.0)
+_LOG_10 = _pymath.log(10.0)
 _HALF_LOG_PI = 0.5 * _pymath.log(_pymath.pi)
+_HALF_PI = 0.5 * _pymath.pi
 
 _UNARY = {
-    jnp.exp: _u("exp", jnp.exp, jnp.log, lambda y: -jnp.log(y), 1),
+    jnp.exp: _u(
+        "exp", jnp.exp, jnp.log, lambda y: -jnp.log(y), 1,
+        valid=lambda y: y > 0,
+    ),
     jnp.log: _u("log", jnp.log, jnp.exp, lambda y: y, 1),
     jnp.log1p: _u("log1p", jnp.log1p, jnp.expm1, lambda y: y, 1),
-    jnp.expm1: _u("expm1", jnp.expm1, jnp.log1p, lambda y: -jnp.log1p(y), 1),
+    jnp.expm1: _u(
+        "expm1", jnp.expm1, jnp.log1p, lambda y: -jnp.log1p(y), 1,
+        valid=lambda y: y > -1.0, safe=0.0,
+    ),
+    jnp.log2: _u(
+        "log2", jnp.log2, jnp.exp2,
+        lambda y: y * _LOG_2 + _pymath.log(_LOG_2), 1,
+    ),
+    jnp.log10: _u(
+        "log10", jnp.log10, lambda y: jnp.power(10.0, y),
+        lambda y: y * _LOG_10 + _pymath.log(_LOG_10), 1,
+    ),
+    jnp.exp2: _u(
+        "exp2", jnp.exp2, jnp.log2,
+        lambda y: -jnp.log(y) - _pymath.log(_LOG_2), 1,
+        valid=lambda y: y > 0,
+    ),
     jnp.sqrt: _u(
-        "sqrt", jnp.sqrt, jnp.square, lambda y: _LOG_2 + jnp.log(y), 1
+        "sqrt", jnp.sqrt, jnp.square, lambda y: _LOG_2 + jnp.log(y), 1,
+        valid=lambda y: y >= 0,
     ),
     jnp.cbrt: _u(
         "cbrt",
@@ -146,6 +192,7 @@ _UNARY = {
         jsp.logit,
         lambda y: -jnp.log(y) - jnp.log1p(-y),
         1,
+        valid=lambda y: (y > 0) & (y < 1), safe=0.5,
     ),
     jsp.expit: _u(
         "sigmoid",
@@ -153,6 +200,7 @@ _UNARY = {
         jsp.logit,
         lambda y: -jnp.log(y) - jnp.log1p(-y),
         1,
+        valid=lambda y: (y > 0) & (y < 1), safe=0.5,
     ),
     jsp.logit: _u(
         "logit",
@@ -168,6 +216,7 @@ _UNARY = {
         jsp.ndtri,
         lambda y: _HALF_LOG_PI + _LOG_2 / 2.0 + 0.5 * jsp.ndtri(y) ** 2,
         1,
+        valid=lambda y: (y > 0) & (y < 1), safe=0.5,
     ),
     jsp.ndtri: _u(
         # probit: x -> Phi^{-1}(x)
@@ -193,6 +242,7 @@ _UNARY = {
         jnp.arctanh,
         lambda y: -jnp.log1p(-y * y),
         1,
+        valid=lambda y: (y > -1.0) & (y < 1.0), safe=0.0,
     ),
     jnp.arctanh: _u(
         "arctanh",
@@ -207,6 +257,7 @@ _UNARY = {
         jsp.erfinv,
         lambda y: _HALF_LOG_PI - _LOG_2 + jsp.erfinv(y) ** 2,
         1,
+        valid=lambda y: (y > -1.0) & (y < 1.0), safe=0.0,
     ),
     jsp.erfinv: _u(
         "erfinv",
@@ -215,18 +266,77 @@ _UNARY = {
         lambda y: _LOG_2 - _HALF_LOG_PI - y**2,
         1,
     ),
+    jsp.erfc: _u(
+        # decreasing: logcdf(y) = base logccdf(erfcinv(y))
+        "erfc",
+        jsp.erfc,
+        lambda y: jsp.erfinv(1.0 - y),
+        lambda y: _HALF_LOG_PI - _LOG_2 + jsp.erfinv(1.0 - y) ** 2,
+        -1,
+        valid=lambda y: (y > 0) & (y < 2.0), safe=1.0,
+    ),
+    jnp.arcsin: _u(
+        # image is the principal branch [-pi/2, pi/2]
+        "arcsin", jnp.arcsin, jnp.sin, lambda y: jnp.log(jnp.cos(y)), 1,
+        valid=lambda y: jnp.abs(y) <= _HALF_PI, safe=0.0,
+    ),
+    jnp.arccos: _u(
+        "arccos", jnp.arccos, jnp.cos, lambda y: jnp.log(jnp.sin(y)), -1,
+        valid=lambda y: (y >= 0) & (y <= _pymath.pi), safe=_HALF_PI,
+    ),
+    jnp.arctan: _u(
+        "arctan", jnp.arctan, jnp.tan,
+        lambda y: -2.0 * jnp.log(jnp.abs(jnp.cos(y))), 1,
+        valid=lambda y: jnp.abs(y) < _HALF_PI, safe=0.0,
+    ),
+    jnp.arccosh: _u(
+        # image is the non-negative branch
+        "arccosh", jnp.arccosh, jnp.cosh, lambda y: jnp.log(jnp.sinh(y)), 1,
+        valid=lambda y: y >= 0, safe=1.0,
+    ),
     jax.nn.softplus: _u(
         "softplus",
         jax.nn.softplus,
         lambda y: y + jnp.log(-jnp.expm1(-y)),
         lambda y: -jnp.log(-jnp.expm1(-y)),
         1,
+        valid=lambda y: y > 0,
     ),
 }
 
+def _register_math_unaries():
+    """pm.math exposes a few ops through module-level helper fns rather than
+    jnp callables — register those impls by identity."""
+    from .. import math as _pmm
+
+    _UNARY[_pmm._erfcinv_jax] = _u(
+        "erfcinv",
+        _pmm._erfcinv_jax,
+        jsp.erfc,
+        lambda y: _LOG_2 - _HALF_LOG_PI - y**2,
+        -1,
+    )
+    _UNARY[_pmm._log1mexp_jax] = _u(
+        # self-inverse decreasing bijection of (-inf, 0)
+        "log1mexp",
+        _pmm._log1mexp_jax,
+        _pmm._log1mexp_jax,
+        lambda y: y - _pmm._log1mexp_jax(y),
+        -1,
+        valid=lambda y: y < 0, safe=-1.0,
+    )
+
+
+_register_math_unaries()
+
+# non-injective folds: two monotone branches, logp = logaddexp of the
+# branch densities (reference logprob/transforms.py AbsTransform:908-921,
+# CoshTransform:674-690, PowerTransform even powers:923-965)
+_FOLD_FNS = {jnp.abs: "abs", jnp.square: "square", jnp.cosh: "cosh"}
+
 _NON_INVERTIBLE = {
-    jnp.abs: "abs", jnp.square: "square", jnp.sign: "sign",
-    jnp.cos: "cos", jnp.cosh: "cosh", jnp.sin: "sin", jnp.tan: "tan",
+    jnp.sign: "sign",
+    jnp.cos: "cos", jnp.sin: "sin", jnp.tan: "tan",
 }
 
 # mass-pooling maps (reference logprob/censoring.py MeasurableClip:86,
@@ -311,8 +421,28 @@ def _div_op(c, const_first):
 def _pow_op(c, const_first):
     if const_first:  # c ** x
         if isinstance(c, Node):
-            raise TypeError(
-                "base of a measurable c**x must be a concrete constant"
+            # symbolic base (e.g. a conditioned RV or pm.Data): measurable
+            # per reference find_measurable_transforms power-with-rv-base —
+            # the base must be positive at runtime; our convention is
+            # logp -inf on invalid params, not ParameterValueError. The base
+            # is sanitized inside the lambdas so an invalid c cannot poison
+            # the -inf with nan.
+            def _safe_c(cv):
+                cv = jnp.asarray(cv)
+                return jnp.where((cv > 0) & (cv != 1.0), cv, 2.0)
+
+            return _Op(
+                "rpow",
+                lambda x, c: jnp.asarray(c) ** x,
+                lambda y, c: jnp.log(y) / jnp.log(_safe_c(c)),
+                lambda y, c: -jnp.log(y)
+                - jnp.log(jnp.abs(jnp.log(_safe_c(c)))),
+                None,
+                const=c,
+                valid=lambda y, c: (y > 0)
+                & (jnp.asarray(c) > 0)
+                & (jnp.asarray(c) != 1.0),
+                safe=1.0,
             )
         base = float(np.asarray(c))
         if base <= 0 or base == 1.0:
@@ -326,6 +456,7 @@ def _pow_op(c, const_first):
             lambda y, c: -jnp.log(y) - _pymath.log(abs(_pymath.log(base))),
             1 if base > 1 else -1,
             const=c,
+            valid=lambda y, c: y > 0,
         )
     if isinstance(c, Node):
         raise TypeError("exponent of a measurable x**p must be concrete")
@@ -337,18 +468,24 @@ def _pow_op(c, const_first):
         raise TypeError("x**0 is not an invertible transform")
     is_int = float(p).is_integer()
     if is_int and int(p) % 2 == 0:
+        # handled by the folded-density path in dist_from_expression
         raise TypeError(
-            f"x**{int(p)} (even power) is not invertible on the real line; "
-            "reference logprob/transforms.py likewise restricts MeasurablePower"
+            f"x**{int(p)} (even power) is not invertible on the real line"
         )
     if is_int:
         # odd integer power: bijective on R, sign-preserving inverse
         def inv(y, c):
             return jnp.sign(y) * jnp.abs(y) ** (1.0 / p)
+
+        valid = None
     else:
-        # fractional power: defined on the positive half-line
+        # fractional power: image is the non-negative half-line
         def inv(y, c):
             return y ** (1.0 / p)
+
+        valid = (
+            (lambda y, c: y > 0) if p < 0 else (lambda y, c: y >= 0)
+        )
 
     return _Op(
         "pow",
@@ -359,7 +496,26 @@ def _pow_op(c, const_first):
         ),
         (1 if p > 0 else None),
         const=c,
+        valid=valid,
     )
+
+
+def _match_odds_ratio(node, fn, num, den):
+    """``t / (1 + t)`` where numerator and denominator share the SAME node
+    ``t`` — returns ``t`` when matched, else None."""
+    if fn not in (jnp.divide, jnp.true_divide):
+        return None
+    if not isinstance(den, DeterministicNode) or len(den.args) != 2:
+        return None
+    dfn = getattr(den.fn, "_base_fn", den.fn)
+    if dfn is not jnp.add:
+        return None
+    da, db = den.args
+    for t, one in ((da, db), (db, da)):
+        if t is num and not isinstance(one, Node) and np.ndim(one) == 0 \
+                and float(one) == 1.0:
+            return t
+    return None
 
 
 _BINARY = {
@@ -1448,6 +1604,19 @@ def dist_from_expression(node):
         ):
             base = _match_layout(current)
             break
+        if fn in _FOLD_FNS:
+            args = [a for a in current.args if isinstance(a, Node)]
+            if len(current.args) != 1 or len(args) != 1:
+                raise TypeError(
+                    f"measurable {_FOLD_FNS[fn]} must be unary"
+                )
+            kind = _FOLD_FNS[fn]
+            base = FoldedDistribution._make(
+                _inner_dist(args[0]),
+                "pow" if kind == "square" else kind,
+                power=2.0 if kind == "square" else None,
+            )
+            break
         if fn in _NON_INVERTIBLE:
             raise TypeError(
                 f"{_NON_INVERTIBLE[fn]}(...) is not invertible — no derived "
@@ -1469,6 +1638,22 @@ def dist_from_expression(node):
             a, b = current.args
             a_free, b_free = _is_rv_free(a), _is_rv_free(b)
             if a_free == b_free:
+                # t / (1 + t) with a SHARED t: the odds-to-probability map
+                # (reference canonicalizes exp(x)/(1+exp(x)) to sigmoid(x)
+                # via graph rewrites; we match the shared-node ratio)
+                shared = _match_odds_ratio(current, fn, a, b)
+                if shared is not None:
+                    ops.append(
+                        _Op(
+                            "odds",
+                            lambda x, c: x / (1.0 + x),
+                            lambda y, c: y / (1.0 - y),
+                            lambda y, c: -2.0 * jnp.log(jnp.abs(1.0 - y)),
+                            None,  # pole at t = -1: direction undetermined
+                        )
+                    )
+                    current = shared
+                    continue
                 raise TypeError(
                     "measurable binary op needs exactly one random operand "
                     "(expressions mixing two RVs have no derived density here)"
@@ -1476,6 +1661,17 @@ def dist_from_expression(node):
             const, rv_side, const_first = (
                 (a, b, True) if a_free else (b, a, False)
             )
+            if fn is jnp.power and not const_first and not isinstance(
+                const, Node
+            ):
+                p = np.asarray(const)
+                if p.ndim == 0 and float(p) != 0 and float(p).is_integer() \
+                        and int(p) % 2 == 0:
+                    # even power: two-branch folded density
+                    base = FoldedDistribution._make(
+                        _inner_dist(rv_side), "pow", power=float(p)
+                    )
+                    break
             ops.append(_BINARY[fn](const, const_first))
             current = rv_side
             continue
@@ -1517,6 +1713,113 @@ def dist_from_expression(node):
 
 
 # ----------------------------------------------------------- distribution
+class FoldedDistribution(Distribution):
+    """Non-injective elementwise map with two monotone branches ±b(y):
+    ``abs(x)``, even powers ``x**p``, and ``cosh(x)``.
+
+    Parity: reference pymc/logprob/transforms.py AbsTransform:908-921,
+    PowerTransform (even powers):923-965, CoshTransform:674-690 and
+    tests/logprob/test_transforms.py test_absolute_rv_transform /
+    test_negative_value_even_power_transform_logp / test_cosh_rv_transform.
+    The density is the sum over the two pre-images; the cdf family is
+    undefined (the reference raises NotImplementedError likewise).
+    """
+
+    param_names = ()
+    event_ndim = 0
+
+    @classmethod
+    def _make(cls, base, kind, power=None):
+        if base.is_discrete:
+            raise TypeError(
+                f"measurable {kind} of a discrete variable is not supported "
+                "(the branch densities double-count the fold point)"
+            )
+        if len(getattr(base, "event_shape", ())):
+            raise TypeError(
+                f"measurable {kind} of a multivariate distribution folds "
+                "2**d sign combinations per event — no derived density"
+            )
+        obj = object.__new__(cls)
+        obj._shape_arg = None
+        obj._shape_node = None
+        obj._size_arg = None
+        obj.base = base
+        obj.kind = kind
+        obj._power = None if power is None else float(power)
+        obj.is_discrete = False
+        obj.batch_shape = tuple(base.shape)
+        obj.event_shape = ()
+        return obj
+
+    @property
+    def dtype(self):
+        from ..config import floatX
+
+        return floatX()
+
+    def _forward(self, x):
+        if self.kind == "abs":
+            return jnp.abs(x)
+        if self.kind == "cosh":
+            return jnp.cosh(x)
+        return x ** self._power
+
+    def _fold(self, y):
+        """(valid mask, positive pre-image at the clamped value, ljd)."""
+        if self.kind == "abs":
+            m = y >= 0
+            ys = jnp.where(m, y, 1.0)
+            return m, ys, jnp.zeros_like(ys)
+        if self.kind == "cosh":
+            m = y >= 1.0
+            ys = jnp.where(m, y, 2.0)
+            return m, jnp.arccosh(ys), -0.5 * jnp.log(ys * ys - 1.0)
+        p = self._power
+        m = (y > 0) if p < 0 else (y >= 0)
+        ys = jnp.where(m, y, 1.0)
+        ljd = -_pymath.log(abs(p)) + (1.0 / p - 1.0) * jnp.log(ys)
+        return m, ys ** (1.0 / p), ljd
+
+    def logp(self, value, env=None, memo=None):
+        m, xp, ljd = self._fold(jnp.asarray(value))
+        lp = (
+            jnp.logaddexp(
+                self.base.logp(-xp, env, memo), self.base.logp(xp, env, memo)
+            )
+            + ljd
+        )
+        lp = jnp.where(m, lp, -jnp.inf)
+        return jnp.broadcast_to(
+            lp, jnp.broadcast_shapes(jnp.shape(lp), tuple(self.batch_shape))
+        )
+
+    def logcdf(self, value, env=None, memo=None):
+        raise NotImplementedError(
+            f"logcdf of a folded ({self.kind}) transform is not implemented"
+        )
+
+    logccdf = logcdf
+
+    def icdf(self, q, env=None, memo=None):
+        raise NotImplementedError(
+            f"icdf of a folded ({self.kind}) transform is not implemented"
+        )
+
+    def sample(self, key, sample_shape=(), env=None, memo=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        x = self.base.sample(key, sample_shape, env, memo)
+        return jnp.broadcast_to(
+            self._forward(x), tuple(sample_shape) + self.shape
+        )
+
+    def support_point(self, env=None, memo=None):
+        return jnp.broadcast_to(
+            self._forward(self.base.support_point(env, memo)), self.shape
+        )
+
+
 class TransformedDistribution(Distribution):
     """Invertible elementwise transform chain applied to a base dist.
 

@@ -89,8 +89,13 @@ erfinv = _wrap(jsp_special.erfinv)
 expm1 = _wrap(jnp.expm1)
 
 
+def _erfcinv_jax(v):
+    # module-level named impl so derived-density matching can key on it
+    return jsp_special.erfinv(1.0 - v)
+
+
 def erfcinv(x):
-    return apply(lambda v: jsp_special.erfinv(1.0 - v), x)
+    return apply(_erfcinv_jax, x)
 
 
 sigmoid = _wrap(jax.nn.sigmoid)

@@ -187,10 +187,17 @@ class TestReciprocalPower:
         with pytest.raises(NotImplementedError):
             pm.logcdf(y, v)
 
-    def test_even_power_rejected(self):
+    def test_even_power_now_folds(self):
+        """x**2 derives as a two-branch folded density (was rejected before
+        the FoldedDistribution support; reference PowerTransform even
+        powers) — x**2 of a standard normal is chi-squared(1)."""
         x = _normal_rv()
-        with pytest.raises(TypeError, match="even power"):
-            pm.logp(x ** 2.0, 1.0)
+        np.testing.assert_allclose(
+            float(pm.logp(x ** 2.0, 1.4)),
+            st.chi2.logpdf(1.4, df=1),
+            rtol=1e-9,
+        )
+        assert np.isneginf(float(pm.logp(x ** 2.0, -1.0)))
 
     def test_sqrt_exponential(self):
         with pm.Model():
@@ -264,10 +271,21 @@ class TestMultivariateBase:
 
 
 class TestErrors:
-    def test_abs_rejected(self):
+    def test_abs_now_folds(self):
+        """abs derives as a folded density (was rejected before the
+        FoldedDistribution support; reference AbsTransform) — abs of a
+        standard normal is half-normal."""
+        x = _normal_rv()
+        np.testing.assert_allclose(
+            float(pm.logp(abs(x), 1.0)),
+            st.halfnorm.logpdf(1.0),
+            rtol=1e-9,
+        )
+
+    def test_sign_still_rejected(self):
         x = _normal_rv()
         with pytest.raises(TypeError, match="not invertible"):
-            pm.logp(abs(x), 1.0)
+            pm.logp(pmm.sign(x), 1.0)
 
     def test_two_rv_sum_rejected(self):
         with pm.Model():
